@@ -1,0 +1,57 @@
+"""Benchmark harness — runs the headline queries and prints one JSON line.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Times each catalog query tagged ``bench=True`` (end-to-end: plan + execute +
+collect) after one JVM/session warmup query, and reports per-query seconds
+plus the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from counsel_data_pipeline_spark.catalog import all_queries
+from counsel_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    spark = get_spark("bench")
+    queries = {n: q for n, q in all_queries().items() if q.bench}
+
+    # Warm up the JVM / parquet footer cache so q1 doesn't pay session startup.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    per_query: dict[str, float] = {}
+    t_all = time.time()
+    for name, q in queries.items():
+        t0 = time.time()
+        df = q.fn(spark, sf_dir)
+        n = df.count() if len(df.columns) > 8 else len(df.collect())
+        per_query[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {per_query[name]}s ({n} rows)", file=sys.stderr)
+    total = round(time.time() - t_all, 3)
+
+    print(json.dumps({
+        "metric": "bench_total_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_num,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Sources.
+
+Two families:
+  1. The driver's TPC-H-ish parquet tables (``load_table``/``register_views``).
+  2. The reference pipeline's polymorphic JSON reader (SURVEY §2.1 S4):
+     the reference accepts ``{county,total,rows:[...]}`` wrappers, bare
+     arrays, and ``data``/``clinics`` keyed variants
+     (reference: src/geocode.js:88-99, scripts/check-total.js:29-41).
+
+At 100 TB the parquet path is the real scan: keep reads schema-pruned
+(select exactly the needed columns so ReadSchema stays narrow) and let
+predicate pushdown reach the file scan — plans in this repo filter on the
+raw column before any transformation for that reason.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. Filters/projections applied by callers are pushed
+    into this parquet scan by Catalyst — do not cache or materialize here."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql plans."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic clinic-domain JSON (reference S4)
+# ---------------------------------------------------------------------------
+
+_ROW_KEYS = ("rows", "data", "clinics")
+
+
+def extract_rows(obj: Any) -> list[dict]:
+    """Normalize the reference's polymorphic JSON shapes to a row list.
+
+    Mirrors src/geocode.js:88-99 + scripts/check-total.js:29-41: accepts a
+    bare array, or an object with the first present of rows/data/clinics.
+    """
+    if isinstance(obj, list):
+        return obj
+    if isinstance(obj, dict):
+        for key in _ROW_KEYS:
+            val = obj.get(key)
+            if isinstance(val, list):
+                return val
+    raise ValueError("unrecognized clinic JSON shape (not array / rows / data / clinics)")
+
+
+def read_clinic_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read a wrapper-or-array clinic JSON file into a DataFrame.
+
+    These files are single-document JSON (the reference writes
+    ``JSON.stringify(wrapper, null, 2)``), small by construction (one file
+    per county / per run), so parsing happens on the driver and the rows are
+    parallelized. Landing-zone data at scale should instead be written as
+    JSONL/parquet and read with spark.read with a declared schema.
+
+    An ``ingest_order`` column is attached — the reference's dedup/merge
+    semantics are insertion-order-sensitive (SURVEY §2.4 A1/A2) and Spark
+    DataFrames are unordered, so arrival order must be an explicit column.
+    """
+    with open(path, encoding="utf-8") as f:
+        obj = json.load(f)
+    rows = extract_rows(obj)
+    indexed = [{**r, "ingest_order": i} for i, r in enumerate(rows)]
+    if schema is not None:
+        return spark.createDataFrame(indexed, schema=schema)
+    # Route through the JSON line reader for permissive schema inference.
+    rdd = spark.sparkContext.parallelize([json.dumps(r, ensure_ascii=False) for r in indexed])
+    return spark.read.json(rdd)

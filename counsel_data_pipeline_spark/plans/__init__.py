@@ -1,0 +1,6 @@
+"""Query plan modules. Importing this package registers every query in
+counsel_data_pipeline_spark.catalog.QUERIES."""
+
+from counsel_data_pipeline_spark.plans import (  # noqa: F401
+    tpch,
+)
