@@ -37,8 +37,23 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Filters/projections applied by callers are pushed
-    into this parquet scan by Catalyst — do not cache or materialize here."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    into this parquet scan by Catalyst — do not cache or materialize here.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which vanilla Spark rejects
+    ([PARQUET_TYPE_ILLEGAL]); read nanos as long and integer-divide to
+    microseconds — truncation toward zero, matching how DuckDB (µs-native)
+    reads the same file, so oracle comparisons stay exact.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -2,5 +2,9 @@
 counsel_data_pipeline_spark.catalog.QUERIES."""
 
 from counsel_data_pipeline_spark.plans import (  # noqa: F401
+    events,
+    rollup,
+    setops,
     tpch,
+    window,
 )

@@ -1,0 +1,197 @@
+"""Event/time-series analytics over the `events` table.
+
+Batch equivalents of the streaming surface (streaming/ runs the same
+windowed aggregations via Structured Streaming; tests assert batch≡stream).
+The reference's closest analog is its cron micro-batch (SURVEY §2.10) —
+tumbling windows, JSON prop extraction, sessionization are the engine
+extensions.
+
+Scale notes: time-bucket aggregations group on (bucket, key) — fully
+parallel, map-side partials; sessionization shuffles once on user_id and
+sorts within user only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from counsel_data_pipeline_spark.catalog import register
+from counsel_data_pipeline_spark.io.sources import load_table
+from counsel_data_pipeline_spark.plans._parity import dec, dsum, sql_dsum, to_double
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type,
+               count(*) AS n_events,
+               {sql_dsum('value', 'sum_value', 6)},
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description="tumbling 1-hour event-time window per type (batch twin of streaming agg)",
+    tags=("events", "window-time"),
+    bench=True,
+)
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value", 6),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "events_sliding_6h_daily",
+    oracle=f"""
+        -- Epoch-aligned sliding windows, matching Spark's F.window(): an event
+        -- at t belongs to the 4 windows whose 6h-aligned start lies in
+        -- (t-24h, t]: start = floor(t/6h)*6h - k*6h, k = 0..3.
+        WITH k AS (SELECT unnest(range(0, 4)) AS i)
+        SELECT strftime(
+                 make_timestamp((epoch_us(ts) // 21600000000 - i) * 21600000000),
+                 '%Y-%m-%d %H:%M:%S') AS win_start,
+               count(*) AS n_events,
+               {sql_dsum('value', 'sum_value', 6)}
+        FROM events, k
+        GROUP BY 1
+    """,
+    description="sliding window (24h length, 6h slide) — each event lands in 4 windows",
+    tags=("events", "window-time"),
+)
+def sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # F.window with slideDuration generates the same 4-windows-per-event
+    # expansion natively (Expand node, no join needed).
+    return (
+        events.groupBy(F.window("ts", "24 hours", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value", 6))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_json_prop_buckets",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1
+    """,
+    description="semi-structured JSON prop extraction + bucket agg",
+    tags=("events", "json"),
+)
+def json_prop_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "events_sessionize_30m",
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        ), per_session AS (
+          SELECT user_id, session_id, count(*) AS session_events
+          FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               count(*) AS n_sessions,
+               max(session_events) AS max_session_events,
+               sum(session_events) AS n_events
+        FROM per_session GROUP BY user_id
+    """,
+    description="gap-based sessionization (30 min idle) via lag + running flag-sum",
+    tags=("events", "session"),
+    bench=True,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("session_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("session_events").alias("max_session_events"),
+        F.sum("session_events").alias("n_events"),
+    )
+
+
+@register(
+    "events_top20_users_by_value",
+    oracle=f"""
+        SELECT user_id,
+               {sql_dsum('value', 'total_value', 6)},
+               count(*) AS n_events
+        FROM events
+        GROUP BY user_id
+        ORDER BY total_value DESC, user_id
+        LIMIT 20
+    """,
+    description="deterministic top-20 users by decimal-exact value sum",
+    tags=("events", "topk"),
+)
+def top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(dec("value")).alias("tv_exact"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            to_double(F.col("tv_exact"), 6).alias("total_value"),
+            "n_events",
+            "tv_exact",
+        )
+        .orderBy(F.col("tv_exact").desc(), "user_id")
+        .drop("tv_exact")
+        .limit(20)
+    )

@@ -1,0 +1,144 @@
+"""Window/analytic query plans.
+
+The reference has no window functions (SURVEY §2.13) but its order-sensitive
+operators (first-wins dedup A1, stable sort O1) are implemented with windows
+in this engine, so the analytic surface is first-class here.
+
+Scale notes: every window below partitions by a high-cardinality key
+(customer, user, brand) — one shuffle on the partition key, then sorting
+within partitions only. No global ORDER BY except after aggregation to a
+small result. Running aggregates use explicit ROWS frames (RANGE is the
+default with ORDER BY and differs across engines on ties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from counsel_data_pipeline_spark.catalog import register
+from counsel_data_pipeline_spark.io.sources import load_table
+from counsel_data_pipeline_spark.plans._parity import dec, dsum, to_double
+
+
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    description="row_number top-3 orders per customer (deterministic tiebreak on key)",
+    tags=("window", "topk"),
+)
+def top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@register(
+    "window_running_customer_spend",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS DOUBLE) AS running_spend
+        FROM orders
+    """,
+    description="running decimal-exact spend per customer (explicit ROWS frame)",
+    tags=("window", "agg"),
+)
+def running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        to_double(F.sum(dec("o_totalprice")).over(w)).alias("running_spend"),
+    )
+
+
+@register(
+    "window_event_value_delta",
+    oracle="""
+        SELECT event_id, user_id,
+               value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS delta
+        FROM events
+    """,
+    description="per-user lag delta over event time (single FP subtraction — parity-safe)",
+    tags=("window",),
+)
+def event_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "window_part_price_rank",
+    oracle="""
+        SELECT p_brand, p_partkey, p_retailprice, price_rank
+        FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 dense_rank() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC) AS price_rank
+          FROM part
+        )
+        WHERE price_rank <= 3
+    """,
+    description="dense_rank price ranking within brand (ties kept — deterministic set)",
+    tags=("window", "topk"),
+)
+def part_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_retailprice")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return part.withColumn("price_rank", F.dense_rank().over(w)).filter(
+        F.col("price_rank") <= 3
+    )
+
+
+@register(
+    "window_order_gap_days",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    """,
+    description="days since customer's previous order (lag + integer date diff)",
+    tags=("window", "datetime"),
+)
+def order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).cast("bigint").alias("gap_days"),
+    )
