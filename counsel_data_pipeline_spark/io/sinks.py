@@ -1,0 +1,85 @@
+"""Sinks (SURVEY §2.2 K1/K2).
+
+Two tiers:
+  - *Parity tier* (this module's ``wrapper_json`` / ``csv_text``): byte-
+    compatible with the reference's single-document outputs
+    (JSON.stringify(wrapper, null, 2), reference src/index.js:326-352;
+    CSV quoting rule src/index.js:32-35). These collect to the driver —
+    correct for the reference's per-county documents (≤ a few thousand
+    rows), NOT for bulk data.
+  - *Scale tier* (``write_csv`` / ``write_json``): distributed
+    ``df.write`` with options matched to the same dialect, for outputs
+    that don't require a single file.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+_CSV_NEEDS_QUOTE = re.compile(r'[,"\n]')
+
+
+def _csv_cell(v: Any) -> str:
+    """Reference esc(): null/undefined→'', quote iff value contains , " or
+    newline, inner quotes doubled; booleans lowercase (JS String(bool))."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        s = "true" if v else "false"
+    else:
+        s = str(v)
+    if _CSV_NEEDS_QUOTE.search(s):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def csv_text(rows: list[dict], headers: list[str]) -> str:
+    """K2: header + rows joined with \\n (no trailing newline)."""
+    lines = [",".join(headers)]
+    lines.extend(",".join(_csv_cell(r.get(h)) for h in headers) for r in rows)
+    return "\n".join(lines)
+
+
+def wrapper_obj(rows: list[dict], county: str = "全台灣") -> dict:
+    """K1 envelope with the total == len(rows) invariant (A3/V2)."""
+    return {"county": county, "total": len(rows), "rows": rows}
+
+
+def wrapper_json(rows: list[dict], county: str = "全台灣") -> str:
+    return json.dumps(wrapper_obj(rows, county), ensure_ascii=False, indent=2)
+
+
+def collect_rows(df: DataFrame, order_col: str | None = None, drop: tuple[str, ...] = ()) -> list[dict]:
+    """Materialize a (small) DataFrame to ordered row dicts for the parity
+    sinks, dropping engine-internal columns."""
+    if order_col is not None:
+        df = df.orderBy(order_col)
+    drop_cols = set(drop) | ({order_col} if order_col else set())
+    rows = []
+    for r in df.collect():
+        d = r.asDict(recursive=True)
+        for c in drop_cols:
+            d.pop(c, None)
+        rows.append(d)
+    return rows
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """Distributed CSV with the reference dialect (quote-minimal, empty
+    string for null, lowercase booleans via string cast)."""
+    out = df
+    for name, dtype in df.dtypes:
+        if dtype == "boolean":
+            from pyspark.sql import functions as F
+
+            out = out.withColumn(name, F.lower(F.col(name).cast("string")))
+    out.write.mode("overwrite").option("header", True).option("nullValue", "").csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """Distributed JSONL (the scale replacement for single-doc wrappers)."""
+    df.write.mode("overwrite").json(path)

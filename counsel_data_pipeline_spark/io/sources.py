@@ -104,6 +104,12 @@ def read_clinic_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     indexed = [{**r, "ingest_order": i} for i, r in enumerate(rows)]
     if schema is not None:
         return spark.createDataFrame(indexed, schema=schema)
+    if not indexed:
+        # Schema inference has nothing to work with; fall back to the
+        # declared raw-grid contract so downstream projections resolve.
+        from counsel_data_pipeline_spark.schemas import RAW_GRID_ROW
+
+        return spark.createDataFrame([], schema=RAW_GRID_ROW)
     # Route through the JSON line reader for permissive schema inference.
     rdd = spark.sparkContext.parallelize([json.dumps(r, ensure_ascii=False) for r in indexed])
     return spark.read.json(rdd)
