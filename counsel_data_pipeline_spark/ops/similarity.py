@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (north-star extension,
+SURVEY §7 M6 — no reference analog; BASELINE.json requires it).
+
+Brute-force cosine top-k is the exact baseline: queries are broadcast, the
+corpus streams through one stage, a per-query window keeps the top k.
+At 100 TB: corpus-side scan is embarrassingly parallel; the top-k window
+shuffles only (n_queries × k) candidate rows — compute a per-partition
+partial top-k first via groupBy(query).agg if k is small (Catalyst's
+TakeOrderedAndProject does this for global sorts; for grouped top-k the
+window on the pre-filtered candidates is the standard shape).
+
+The LSH bucket path (random-hyperplane signs) bounds the candidate set per
+query for the approximate variant; hyperplanes are derived deterministically
+from md5 so runs are reproducible without a stored model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of elementwise double products — the evaluation
+    order is pinned so results are bit-reproducible across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(c: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (self excluded).
+
+    Returns (query_id, neighbor_id, cosine, rank); deterministic tiebreak
+    on neighbor id.
+    """
+    emb = corpus.select(
+        F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
+    ).withColumn("__norm", l2_norm(F.col("__v")))
+    queries = emb.filter(F.col("__id").isin(query_ids)).select(
+        F.col("__id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__norm").alias("__qnorm"),
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).filter(F.col("__id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("__id").alias("neighbor_id"),
+        (dot(F.col("__qv"), F.col("__v")) / (F.col("__qnorm") * F.col("__norm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_lsh_bucket(
+    vec: Column, n_planes: int = 16, dim: int = 64
+) -> Column:
+    """Sign-LSH bucket id from ``n_planes`` deterministic pseudo-random
+    hyperplanes. Plane p's component d is derived from md5(p:d) — a uniform
+    value in [-0.5, 0.5) — so the partitioning is stable across runs and
+    engines without storing a model."""
+    bits = []
+    for p in range(n_planes):
+        comps = F.array(
+            *[
+                (
+                    F.conv(F.substring(F.md5(F.lit(f"{p}:{d}")), 1, 8), 16, 10).cast(
+                        "double"
+                    )
+                    / F.lit(float(16**8))
+                    - F.lit(0.5)
+                )
+                for d in range(dim)
+            ]
+        )
+        bits.append(F.when(dot(comps, vec) >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    plus (multiprobe) every bucket one bit-flip away — the standard
+    recall/cost knob, probing the n_planes nearest buckets.
+
+    The scale path — corpus rows hash to ONE bucket each (narrow shuffle on
+    a small int key); only the broadcast query side fans out to its probe
+    set, so candidate volume is (probes/2^planes) of the corpus per query.
+    Recall < 1 by design; exact cosine runs only within probed buckets.
+    """
+    emb = corpus.select(
+        F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
+    ).withColumn("__bucket", hyperplane_lsh_bucket(F.col("__v"), n_planes, dim))
+    emb = emb.withColumn("__norm", l2_norm(F.col("__v")))
+    probe_offsets = [0] + ([1 << p for p in range(n_planes)] if multiprobe else [])
+    queries = (
+        emb.filter(F.col("__id").isin(query_ids))
+        .select(
+            F.col("__id").alias("query_id"),
+            F.col("__v").alias("__qv"),
+            F.col("__norm").alias("__qnorm"),
+            F.explode(
+                F.array(*[F.col("__bucket").bitwiseXOR(F.lit(o)) for o in probe_offsets])
+            ).alias("__qbucket"),
+        )
+    )
+    pairs = emb.join(
+        F.broadcast(queries),
+        (F.col("__bucket") == F.col("__qbucket")) & (F.col("__id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("__id").alias("neighbor_id"),
+        (dot(F.col("__qv"), F.col("__v")) / (F.col("__qnorm") * F.col("__norm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

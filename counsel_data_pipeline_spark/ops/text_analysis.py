@@ -1,0 +1,105 @@
+"""Text analysis operators for the documents table (north-star extension:
+language-ID, quality scoring, token counting, fingerprinting).
+
+Everything is built-in Column expressions / higher-order functions — no
+Python UDFs — so the hot path stays inside whole-stage codegen and scales
+linearly with the scan. Each helper has an exact ANSI-SQL twin used by the
+oracle queries in plans/llm_text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small closed-class English function-word list used by both the quality
+# score and the language heuristic.
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
+
+WS = r"\s+"
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(c), WS)
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def stopword_count(c: Column) -> Column:
+    return F.size(F.filter(tokens(c), lambda t: t.isin(*STOPWORDS)))
+
+
+def char_class_count(c: Column, pattern: str) -> Column:
+    """Number of characters NOT removed by stripping ``pattern``."""
+    return F.length(c) - F.length(F.regexp_replace(c, pattern, ""))
+
+
+def punct_ratio(c: Column) -> Column:
+    return char_class_count(c, r"[\p{Punct}]") / F.length(c)
+
+
+def avg_token_len(c: Column) -> Column:
+    t = tokens(c)
+    return F.aggregate(
+        F.transform(t, F.length), F.lit(0), lambda a, x: a + x
+    ).cast("double") / F.size(t)
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs, very
+    high stopword density, and punctuation-heavy text. Pure arithmetic on
+    integer counts → cross-engine reproducible."""
+    n = token_count(c)
+    stop_r = stopword_count(c).cast("double") / n
+    len_score = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - stop_r)
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio(c)),
+        6,
+    )
+
+
+def lang_id(c: Column) -> Column:
+    """n-gram-free language heuristic: CJK codepoints → zh; function-word
+    density → en; else unknown."""
+    has_cjk = c.rlike(r"[\x{4e00}-\x{9fff}]")
+    stop_r = stopword_count(c).cast("double") / token_count(c)
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when(stop_r >= 0.02, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def norm_text(c: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, whitespace collapsed."""
+    return F.lower(F.regexp_replace(F.trim(c), WS, " "))
+
+
+def content_md5(c: Column) -> Column:
+    return F.md5(F.encode(norm_text(c), "UTF-8"))
+
+
+def word_shingles(c: Column, n: int) -> Column:
+    """n-word shingles ('rolling window' over the token stream); empty
+    array when the doc has fewer than n tokens."""
+    t = tokens(c)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_fingerprint(c: Column, n: int = 5) -> Column:
+    """Rolling-hash document fingerprint: the minimum md5 over n-word
+    shingles (winnowing with window = whole doc). Equal fingerprints ⇒
+    shared rare shingle — a cheap near-dup prefilter."""
+    hashes = F.transform(word_shingles(c, n), lambda s: F.md5(F.encode(s, "UTF-8")))
+    return F.array_min(hashes)

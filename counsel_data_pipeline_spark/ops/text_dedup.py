@@ -1,0 +1,252 @@
+"""Document deduplication family (north-star extension): exact hash dedup,
+n-gram Jaccard, MinHash+LSH banding, SimHash.
+
+Scale design (the point of each variant):
+  - exact: one hash-groupBy shuffle on md5(normalized text); the canonical
+    survivor is min(doc_id) — deterministic, no window needed.
+  - n-gram Jaccard: exact pairwise similarity but only over candidate
+    pairs that SHARE a shingle — the shingle self-join replaces the O(n²)
+    cross join; common-shingle skew is bounded by dropping shingles above
+    a document-frequency cap (they can't separate near-dups anyway).
+  - MinHash+LSH: signatures are one aggregate pass (H min-hashes computed
+    map-side); banding turns near-dup search into an equi-join on
+    (band_id, band_hash) — the classic sub-quadratic path at 100 TB.
+  - SimHash: one 64-bit signature per doc via per-token hash bit voting;
+    near-dups = signatures within Hamming distance k, found by banding
+    the 64 bits into k+1 chunks (pigeonhole: some chunk must match
+    exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from counsel_data_pipeline_spark.ops.text_analysis import (
+    content_md5,
+    norm_text,
+    word_shingles,
+)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group identical (normalized) texts: (content_hash, canonical_id,
+    n_copies). Survivor = min id, deterministic without any ordering column."""
+    return (
+        df.select(F.col(id_col).alias("id"), content_md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Distinct (id, shingle) pairs."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+
+    Returns (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
+    ``max_shingle_df`` drops ubiquitous shingles before the self-join —
+    the skew guard that keeps the candidate blow-up bounded at scale.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — sig[i] = min over shingles of
+    xxhash64(i, shingle). One explode + one groupBy computing all H mins
+    map-side (partial aggregation), i.e. a single shuffle of H longs per doc."""
+    sh = _doc_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash banding: docs agreeing on ALL rows of some band become
+    candidate pairs; optionally verified with exact Jaccard.
+
+    Returns (id_a, id_b, est_jaccard[, jaccard]) — est_jaccard is the
+    signature agreement fraction.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, n_hashes)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(n_hashes)),
+    ).select("id_a", "id_b", "est_jaccard")
+    if verify_threshold is None:
+        return est
+    exact = jaccard_pairs(df, id_col, text_col, n, threshold=0.0, max_shingle_df=None)
+    return est.join(exact.select("id_a", "id_b", "jaccard"), ["id_a", "id_b"], "left").filter(
+        F.coalesce(F.col("jaccard"), F.lit(0.0)) >= verify_threshold
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 1
+) -> DataFrame:
+    """(id, sig) — 64-bit SimHash: each shingle's xxhash64 votes ±1 on every
+    bit (weighted by term frequency — shingles NOT deduped); the signature
+    takes the sign of each bit's tally.
+
+    Shape: one explode + one groupBy with 64 integer tally aggregates, all
+    partial (map-side combine) — a single shuffle of 64 ints per doc."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
+    )
+    h = F.xxhash64(F.col("shingle"))
+    tallies = sh.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__t{b}")
+            for b in range(64)
+        ]
+    )
+    # Assemble the signature: bit 63 is the sign bit in two's complement.
+    sig = F.lit(0).cast("bigint")
+    for b in range(64):
+        bit_val = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("bigint")
+        sig = sig.bitwiseOR(F.when(F.col(f"__t{b}") > 0, bit_val).otherwise(F.lit(0).cast("bigint")))
+    return tallies.select("id", sig.alias("sig"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k, using pigeonhole
+    banding: split 64 bits into k+1 chunks; pairs within distance k must
+    agree exactly on ≥1 chunk → equi-join per chunk, then exact Hamming
+    verification via popcount(xor)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sigs = simhash_signatures(df, id_col, text_col)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sig"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bucket"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cb"),
+    ).select("id", "sig", "cb.chunk", "cb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "chunk", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "chunk", "bucket")
+    cand = (
+        a.join(b, ["chunk", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

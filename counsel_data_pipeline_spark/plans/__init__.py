@@ -3,6 +3,9 @@ counsel_data_pipeline_spark.catalog.QUERIES."""
 
 from counsel_data_pipeline_spark.plans import (  # noqa: F401
     events,
+    llm_dedup,
+    llm_similarity,
+    llm_text,
     rollup,
     setops,
     tpch,

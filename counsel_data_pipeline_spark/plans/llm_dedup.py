@@ -1,0 +1,102 @@
+"""Deduplication query plans over `documents` — ops/text_dedup.py surfaced
+through the driver contract.
+
+Exact-hash and n-gram-Jaccard have full DuckDB oracles. MinHash-LSH and
+SimHash use engine hash functions (xxhash64) DuckDB doesn't provide, so
+they register rows-only; their CORRECTNESS comes from pytest instead
+(tests/test_text_dedup.py asserts LSH candidates ⊇ high-jaccard truth set
+and simhash distance properties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from counsel_data_pipeline_spark.catalog import register
+from counsel_data_pipeline_spark.io.sources import load_table
+from counsel_data_pipeline_spark.ops import text_dedup as td
+
+_SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact_content_hash",
+    oracle=f"""
+        SELECT md5({_SQL_NORM}) AS content_hash,
+               min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    description="exact dedup: md5 of normalized text, deterministic min-id survivor",
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return td.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS t FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter,
+               sa.sz AS size_a, sb.sz AS size_b,
+               CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    description="exact 3-gram Jaccard near-dup pairs (shingle self-join, jaccard ≥ 0.5)",
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_shingle_df=None: the oracle has no skew cap; the capped variant is
+    # the production path (see ops/text_dedup.jaccard_pairs docstring).
+    return td.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_df=None
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=None,  # xxhash64 signatures: not DuckDB-expressible; pytest-verified
+    description="MinHash(16)+LSH(4 bands) candidate pairs, exact-jaccard verified ≥ 0.5",
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return td.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3, n_hashes=16, bands=4, verify_threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=None,  # xxhash64-based signature: not DuckDB-expressible; pytest-verified
+    description="64-bit SimHash near-dup pairs within Hamming distance 5 (pigeonhole banding)",
+    tags=("llm", "dedup"),
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return td.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=5
+    ).orderBy("id_a", "id_b")

@@ -1,0 +1,146 @@
+"""Text-analysis query plans over `documents` (language-ID, quality
+scoring, token counting, fingerprinting) — ops/text_analysis.py surfaced
+through the driver contract with exact DuckDB oracles.
+
+All plans are single-scan, UDF-free; the oracle mirrors every arithmetic
+step so double results are bit-identical (int/int divisions and same-order
+double arithmetic only — see plans/_parity.py for the rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from counsel_data_pipeline_spark.catalog import register
+from counsel_data_pipeline_spark.io.sources import load_table
+from counsel_data_pipeline_spark.ops import text_analysis as ta
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_SQL_STOPS = "['" + "','".join(ta.STOPWORDS) + "']"
+
+
+@register(
+    "text_token_stats_by_lang",
+    oracle=f"""
+        WITH t AS (
+          SELECT lang, source, len({_SQL_TOKENS}) AS n_tok FROM documents
+        )
+        SELECT lang, source,
+               count(*) AS n_docs,
+               sum(n_tok) AS total_tokens,
+               CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_tokens,
+               max(n_tok) AS max_tokens
+        FROM t GROUP BY lang, source
+    """,
+    description="whitespace token counts aggregated per (lang, source)",
+    tags=("llm", "text"),
+    bench=True,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = ta.token_count(F.col("text"))
+    return (
+        docs.select("lang", "source", n_tok.alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len({_SQL_TOKENS}) AS n_tok,
+                 len(list_filter({_SQL_TOKENS}, x -> list_contains({_SQL_STOPS}, x)))
+                   AS n_stop,
+                 length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                   AS n_punct,
+                 length(text) AS n_chars
+          FROM documents
+        )
+        SELECT doc_id, n_tok, n_stop,
+               CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+               CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+               round(0.5 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+                     + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok)
+                     + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars), 6)
+                 AS quality
+        FROM t
+    """,
+    description="per-doc quality heuristic: length/stopword/punctuation components",
+    tags=("llm", "text"),
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        ta.token_count(text).alias("n_tok"),
+        ta.stopword_count(text).alias("n_stop"),
+        (ta.stopword_count(text).cast("double") / ta.token_count(text)).alias("stop_ratio"),
+        (ta.char_class_count(text, r"[\p{Punct}]").cast("double") / F.length(text)).alias(
+            "punct_ratio"
+        ),
+        ta.quality_score(text).alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS has_cjk,
+                 CAST(len(list_filter({_SQL_TOKENS},
+                                      x -> list_contains({_SQL_STOPS}, x))) AS DOUBLE)
+                   / len({_SQL_TOKENS}) AS stop_ratio
+          FROM documents
+        )
+        SELECT doc_id, lang AS actual_lang,
+               CASE WHEN has_cjk THEN 'zh'
+                    WHEN stop_ratio >= 0.02 THEN 'en'
+                    ELSE 'unknown' END AS pred_lang
+        FROM t
+    """,
+    description="heuristic language ID (CJK codepoints, function-word density)",
+    tags=("llm", "text"),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        ta.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS tok
+                   FROM documents)
+        SELECT doc_id,
+               md5({_SQL_NORM}) AS content_hash,
+               list_min(list_transform(range(1, len(tok) - 3),
+                        i -> md5(array_to_string(tok[i:i+4], ' '))))
+                 AS shingle_fp
+        FROM documents JOIN t USING (doc_id)
+    """,
+    description="document fingerprints: content md5 + min-hash over 5-gram shingles",
+    tags=("llm", "text"),
+)
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ta.content_md5(F.col("text")).alias("content_hash"),
+        ta.shingle_fingerprint(ta.norm_text(F.col("text")), n=5).alias("shingle_fp"),
+    )

@@ -1,0 +1,81 @@
+"""Correctness checks for the approximate (no-SQL-oracle) LLM operators:
+MinHash-LSH, SimHash, and LSH-bucketed ANN — validated against their exact
+counterparts (jaccard_pairs / cosine_topk), which themselves hash-match
+DuckDB in the driver gate.
+"""
+
+from collections import defaultdict
+
+import pytest
+
+from counsel_data_pipeline_spark.io.sources import load_table
+from counsel_data_pipeline_spark.ops import similarity as sim
+from counsel_data_pipeline_spark.ops import text_dedup as td
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    return {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in td.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None).collect()
+    }
+
+
+def test_minhash_lsh_recall_and_precision(docs, exact_pairs):
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in td.minhash_lsh_pairs(
+            docs, n=3, n_hashes=16, bands=4, verify_threshold=0.5
+        ).collect()
+    }
+    # Verified pairs are exact-jaccard-filtered → must be a subset of truth.
+    assert lsh <= set(exact_pairs)
+    # Banding with 16/4 at j>=0.5 should recover nearly all true pairs.
+    assert len(lsh) >= 0.85 * len(exact_pairs)
+
+
+def test_simhash_finds_near_identical_docs(docs, exact_pairs):
+    simp = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in td.simhash_pairs(docs, max_hamming=5).collect()
+    }
+    near_identical = {k for k, j in exact_pairs.items() if j >= 0.95}
+    covered = near_identical & set(simp)
+    assert len(covered) >= 0.95 * len(near_identical)
+    # Hamming distances are valid and within the bound.
+    assert all(0 <= h <= 5 for h in simp.values())
+
+
+def test_exact_dedup_no_false_merges(docs):
+    out = td.exact_dedup(docs).collect()
+    n_docs = docs.count()
+    assert sum(r["n_copies"] for r in out) == n_docs
+    # sf0.01 documents are all distinct → every group is a singleton.
+    assert all(r["n_copies"] == 1 for r in out)
+
+
+def test_ann_recall_floor(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = list(range(8))
+    exact = sim.cosine_topk(emb, queries, k=10).collect()
+    approx = sim.lsh_bucketed_topk(emb, queries, k=10, n_planes=4).collect()
+    exn, apn = defaultdict(set), defaultdict(dict)
+    for r in exact:
+        exn[r["query_id"]].add(r["neighbor_id"])
+    for r in approx:
+        apn[r["query_id"]][r["neighbor_id"]] = r["cosine"]
+    recall = sum(len(exn[q] & set(apn[q])) for q in exn) / (10 * len(exn))
+    assert recall >= 0.5, f"multi-probe recall@10 degraded: {recall}"
+    # Cosines computed in-bucket must equal the exact pipeline's values.
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for q, neigh in apn.items():
+        for n_id, c in neigh.items():
+            if (q, n_id) in exact_cos:
+                assert c == exact_cos[(q, n_id)]
