@@ -64,9 +64,10 @@ def anchor_text(col: Column) -> Column:
 
 def js_to_int(c: Column) -> Column:
     """P5: JS ``Number(x)`` semantics — null/''/non-numeric → 0, numeric
-    strings parsed. (Divergence: JS keeps fractions; counts are integral in
-    practice, so we truncate to int.)"""
-    return F.coalesce(c.cast("double"), F.lit(0.0)).cast("int")
+    strings parsed. try_cast (not cast): under ANSI mode a malformed string
+    must yield the 0 default, not an error. (Divergence: JS keeps
+    fractions; counts are integral in practice, so we truncate to int.)"""
+    return F.coalesce(c.try_cast("double"), F.lit(0.0)).try_cast("int")
 
 
 def null_if_none_sentinel(c: Column) -> Column:

@@ -19,10 +19,17 @@ from pyspark.sql import functions as F
 from counsel_data_pipeline_spark.ops.clean import anchor_text
 
 
-def first_wins(df: DataFrame, key: Column | Sequence[str], order_col: str = "ingest_order") -> DataFrame:
-    """Keep the first row per key in ``order_col`` order (A1 semantics)."""
+def first_wins(
+    df: DataFrame,
+    key: Column | Sequence[str],
+    order_col: str | Sequence[str] = "ingest_order",
+) -> DataFrame:
+    """Keep the first row per key in ``order_col`` order (A1 semantics).
+    Pass multiple order columns when the primary one isn't unique within a
+    key — determinism requires a total order."""
     key_col = key if isinstance(key, Column) else F.struct(*[F.col(k) for k in key])
-    w = Window.partitionBy(key_col).orderBy(F.col(order_col))
+    orders = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(key_col).orderBy(*[F.col(o) for o in orders])
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -27,6 +27,46 @@ def js_template_key(*cols: str) -> Column:
     return F.trim(F.concat_ws("||", *parts))
 
 
+def keyed_merge(
+    primary: DataFrame,
+    secondary: DataFrame,
+    key: Column,
+    max_cols: list[str],
+    or_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Generic A2 core: union two sources; per key keep the first row's
+    descriptive fields (primary before secondary, ``order_col`` within
+    each), take max over ``max_cols`` and logical OR over ``or_cols``.
+
+    One shuffle on the key serves both the first-row window and the
+    aggregation (Catalyst reuses the exchange). Returns the merged rows
+    plus ``__src`` (source rank of the surviving first row).
+    """
+    p = primary.withColumn("__src", F.lit(0))
+    s = secondary.withColumn("__src", F.lit(1))
+    unioned = p.unionByName(s).withColumn("__key", key)
+    w = Window.partitionBy("__key").orderBy("__src", order_col)
+    base_cols = [c for c in unioned.columns if not c.startswith("__")]
+    firsts = (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__key", "__src", *base_cols)
+    )
+    aggs = unioned.groupBy("__key").agg(
+        *[F.max(c).alias(f"__max_{c}") for c in max_cols],
+        *[F.max(c).alias(f"__or_{c}") for c in or_cols],  # bool OR == max(boolean)
+    )
+    merged = firsts.join(aggs, "__key")
+    for c in max_cols:
+        merged = merged.withColumn(c, F.col(f"__max_{c}"))
+    for c in or_cols:
+        merged = merged.withColumn(c, F.col(f"__or_{c}"))
+    return merged.drop(
+        *[f"__max_{c}" for c in max_cols], *[f"__or_{c}" for c in or_cols], "__key"
+    )
+
+
 def merge_yes_no(yes: DataFrame, no: DataFrame, order_col: str = "ingest_order") -> DataFrame:
     """Merge the has-quota and no-quota clean sets (A2 + O1).
 
@@ -34,31 +74,14 @@ def merge_yes_no(yes: DataFrame, no: DataFrame, order_col: str = "ingest_order")
     a ``merge_order`` column encoding the reference's output order
     (has_quota desc, first-seen); callers sort on it when materializing.
     """
-    yes_t = yes.withColumn("__src", F.lit(0))
-    no_t = no.withColumn("__src", F.lit(1))
-    unioned = yes_t.unionByName(no_t).withColumn(
-        "__key", js_template_key("county", "org_name", "address")
-    )
-    w = Window.partitionBy("__key").orderBy("__src", order_col)
-
-    base_cols = [c for c in unioned.columns if not c.startswith("__")]
-    firsts = (
-        unioned.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__key", "__src", order_col, *[c for c in base_cols if c != order_col])
-    )
-    aggs = unioned.groupBy("__key").agg(
-        *[F.max(c).alias(f"__max_{c}") for c in COUNT_COLS],
-        F.max("teleconsultation").alias("__tele_or"),  # bool OR == max(boolean)
-    )
-    merged = firsts.join(aggs, "__key")
-    for c in COUNT_COLS:
-        merged = merged.withColumn(c, F.col(f"__max_{c}"))
-    merged = (
-        merged.withColumn("teleconsultation", F.col("__tele_or"))
-        .withColumn("has_quota", F.col("in_4_weeks") > 0)
-        .drop(*[f"__max_{c}" for c in COUNT_COLS], "__tele_or", "__key")
-    )
+    merged = keyed_merge(
+        yes,
+        no,
+        js_template_key("county", "org_name", "address"),
+        max_cols=COUNT_COLS,
+        or_cols=["teleconsultation"],
+        order_col=order_col,
+    ).withColumn("has_quota", F.col("in_4_weeks") > 0)
     # Reference output order: has_quota desc (stable) over first-seen order.
     return merged.withColumn(
         "merge_order",

@@ -6,6 +6,7 @@ from counsel_data_pipeline_spark.plans import (  # noqa: F401
     llm_dedup,
     llm_similarity,
     llm_text,
+    reference_ops,
     rollup,
     setops,
     tpch,

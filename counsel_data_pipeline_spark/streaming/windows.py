@@ -1,0 +1,93 @@
+"""Structured Streaming surface (SURVEY §2.10 + north-star streaming).
+
+The reference's 'streaming' is a cron micro-batch (Trigger.AvailableNow is
+the exact Spark analog, SURVEY T4); on top of that, this module provides
+the event-time operators Spark adds for free: watermarked tumbling/sliding
+window aggregation and gap-based session windows — each the streaming twin
+of a batch plan in plans/events.py (tests assert batch ≡ stream on the
+same input).
+
+Scale notes: watermark bounds state; tumbling/sliding aggs keep one state
+row per (window, key); session_window merges per-key intervals. State
+store partitioning follows spark.sql.shuffle.partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from counsel_data_pipeline_spark.plans._parity import dec, to_double
+
+EVENTS_SCHEMA = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file-source micro-batches).
+
+    Same NANOS handling as the batch reader: nanos as long → truncate to
+    micros (io/sources.load_table docstring).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of plans/events.tumbling_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            to_double(F.sum(dec("value")), 6).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def session_windows_30m(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (30-minute gap) — the streaming counterpart
+    of the lag-based batch sessionization in plans/events.py."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("session_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "session_events",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, name: str | None = None) -> DataFrame:
+    """Execute a streaming DataFrame with Trigger.AvailableNow (the
+    reference's cron-batch semantics, T4) into a memory sink and return the
+    materialized result as a batch DataFrame."""
+    name = name or f"q_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if result.isStreaming else "append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
