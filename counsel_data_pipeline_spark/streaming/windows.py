@@ -33,8 +33,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros (io/sources.load_table docstring).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(
-        os.path.join(sf_dir, "events.parquet")
+    # File sources take a directory; scope to the events file via glob so
+    # the other tables' parquet in the same dir is never listed.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
