@@ -4,6 +4,7 @@ counsel_data_pipeline_spark.catalog.QUERIES."""
 from counsel_data_pipeline_spark.plans import (  # noqa: F401
     events,
     llm_dedup,
+    llm_multimodal,
     llm_similarity,
     llm_text,
     reference_ops,
