@@ -1,0 +1,127 @@
+"""Golden validation of the TW-address normalizer library (ops/text.py)
+against the reference's committed run artifacts:
+
+  - street/admin fallback rows record the query that succeeded
+    (``usedQuery``) → our candidate builders must generate it.
+  - plain opencage rows cached their winning query in
+    data/geocode-cache.json → our primary candidate list must intersect
+    the cache keys.
+
+Plus targeted unit cases for the individual F-functions.
+"""
+
+import json
+
+import pytest
+
+from counsel_data_pipeline_spark.ops import text as T
+
+PUB = "/root/reference/public/clinics.json"
+DEV = "/root/reference/src/public/clinics.json"
+CACHE = "/root/reference/data/geocode-cache.json"
+
+
+def _rows(path):
+    return json.load(open(path))["rows"]
+
+
+def test_street_fallback_candidates_contain_used_query():
+    # A handful of rows carry a stale usedQuery recorded against an OLDER
+    # address (carry-forward quirk, SURVEY §2.10 T6): the road in usedQuery
+    # does not occur in the row's current address at all, so no candidate
+    # generator could reproduce it. Hence a ≥95% threshold, like the cache
+    # test below, rather than exact containment.
+    missed = []
+    checked = 0
+    for r in _rows(PUB) + _rows(DEV):
+        if r.get("approx") == "street" and r.get("usedQuery"):
+            checked += 1
+            cands = T.build_street_centroid_candidates(
+                r.get("address") or "", r.get("org_name") or ""
+            )
+            if r["usedQuery"] not in cands:
+                missed.append((r["org_name"], r["usedQuery"], cands[:3]))
+    assert checked > 300
+    hit = checked - len(missed)
+    assert hit / checked >= 0.95, (
+        f"{len(missed)}/{checked} street queries not generated: {missed[:5]}"
+    )
+
+
+def test_admin_fallback_candidates_contain_used_query():
+    for r in _rows(PUB) + _rows(DEV):
+        if r.get("approx") == "admin" and r.get("usedQuery"):
+            county, district = T.parse_region_parts(r.get("address") or "")
+            tries = ([county + district] if county and district else []) + (
+                [county] if county else []
+            )
+            assert r["usedQuery"] in tries, (r["org_name"], r["usedQuery"], tries)
+
+
+def test_primary_candidates_hit_cache_keys():
+    cache_keys = set(json.load(open(CACHE)).keys())
+    checked = hit = 0
+    for r in _rows(PUB):
+        if r.get("source") == "opencage" and not r.get("approx"):
+            checked += 1
+            cands = T.build_query_candidates(r.get("address") or "", r.get("org_name") or "")
+            if set(cands) & cache_keys:
+                hit += 1
+    assert checked > 500
+    # The cache was accumulated by exactly this candidate generator in the
+    # reference — near-total intersection is the expected signature. A small
+    # residue of cache entries (e.g. 劍潭路28、30號 un-split on 、;
+    # 國光路二段337號 without the 大里→neighborhood-li strip) was written by
+    # an OLDER revision of the builder and is unreachable from the current
+    # reference code too, so the ceiling is ~94.7%, not 100%.
+    assert hit / checked >= 0.94, f"only {hit}/{checked} rows reproduce a cached query"
+
+
+@pytest.mark.parametrize(
+    "s,expected",
+    [
+        ("十", 10), ("十五", 15), ("二十", 20), ("二十三", 23), ("九十九", 99),
+        ("三", 3), ("兩", 2), ("〇", 0), ("", None), ("百", None),
+    ],
+)
+def test_parse_zh(s, expected):
+    assert T.parse_zh_1_99(s) == expected
+
+
+def test_normalize_and_variants():
+    assert T.normalize_tw_address("710 臺南市新營區 台灣") == "臺南市新營區"
+    assert T.normalize_tw_address("10491台北市中山區") == "台北市中山區"
+    assert T.tai_variants("台北市") == ["臺北市", "台北市"]
+    assert T.section_arabic_variant("中山路一段") == "中山路1段"
+    assert T.hyphen_number_variants("西園路35-1號") == [
+        "西園路35-1號", "西園路35之1號", "西園路35號",
+    ]
+
+
+def test_trim_and_drop():
+    assert T.trim_to_house_no("松德路309號5樓之2（近市場）") == "松德路309號"
+    assert T.trim_to_house_no("和平東路一段77號4樓") == "和平東路一段77號"
+    assert T.drop_house_no("光復路102號3樓") == "光復路"
+
+
+def test_alley_degrade_order():
+    # Expectations mirror the reference regexes exactly
+    # (src/geocode.js:172-183): 弄\d+號→號 eats the house number, the 巷
+    # pattern removes 巷+digits, the no-both branch strips both tokens.
+    v = T.alley_degrade_variants("中山路5巷3弄7號")
+    assert v == ["中山路5巷3弄7號", "中山路5巷3號", "中山路5弄7號", "中山路5號"]
+
+
+def test_road_only_and_region():
+    assert T.road_only_variant("信義路二段208號") == "信義路2段208號"
+    assert T.road_only_variant("信義路二段5巷208號") == "信義路2段208號"
+    assert T.road_only_variant("無路名") is None
+    assert T.parse_region_parts("臺南市新營區中山路10號") == ("臺南市", "新營區")
+    assert T.parse_region_parts("中山路10號") == ("", "")
+
+
+def test_county_matches_tai_spellings():
+    assert T.county_matches({}, "台北市中山區", "臺北市")
+    assert T.county_matches({"city": "臺北市"}, "", "台北市")
+    assert not T.county_matches({"city": "高雄市"}, "", "臺北市")
+    assert T.county_matches({}, "", "")  # unknown → vacuous
