@@ -73,6 +73,123 @@ def cosine_topk(
     )
 
 
+def near_dup_pairs_topn(
+    corpus: DataFrame,
+    top_n: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: the ``top_n`` most
+    similar (id_a < id_b) pairs, globally ranked by cosine desc with a
+    deterministic id tiebreak.
+
+    Shape: normalized self-join with the smaller side broadcast, then a
+    global top-n (Catalyst compiles orderBy+limit to TakeOrderedAndProject
+    — per-partition partial top-n, no full sort). All-pairs is the exact
+    small-corpus baseline; at 100 TB the candidate generator must become
+    LSH buckets (``lsh_bucketed_topk``'s hash) or IVF lists (``ivf_topk``)
+    so the join degree drops from O(n²) to O(n·bucket).
+    """
+    emb = corpus.select(
+        F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
+    ).withColumn("__norm", l2_norm(F.col("__v")))
+    right = emb.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__norm").alias("__nb")
+    )
+    pairs = emb.join(F.broadcast(right), F.col("__id") < F.col("id_b"))
+    scored = pairs.select(
+        F.col("__id").alias("id_a"),
+        "id_b",
+        (dot(F.col("__v"), F.col("__vb")) / (F.col("__norm") * F.col("__nb"))).alias(
+            "cosine"
+        ),
+    )
+    return (
+        scored.orderBy(F.col("cosine").desc(), "id_a", "id_b")
+        .limit(top_n)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine").desc(), "id_a", "id_b")
+            ),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) lists — the classic ANN
+    scale path: partition the corpus into ``n_centroids`` Voronoi cells,
+    search only the ``n_probe`` cells nearest each query.
+
+    Centroid selection is deterministic without a trained model: the
+    ``n_centroids`` lowest-id vectors seed the cells (reproducible across
+    runs/engines; a k-means refinement is a drop-in upgrade). Assignment
+    is one broadcast join + ``min_by`` over cells; queries fan out to
+    their probe list, so per-query work is (n_probe/n_centroids) of the
+    corpus. Recall < 1 by design — measured against the exact brute force
+    in tests.
+    """
+    emb = corpus.select(
+        F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
+    ).withColumn("__norm", l2_norm(F.col("__v")))
+
+    centroids = (
+        emb.orderBy("__id")
+        .limit(n_centroids)
+        .select(
+            F.col("__id").alias("__cid"),
+            F.col("__v").alias("__cv"),
+            F.col("__norm").alias("__cn"),
+        )
+    )
+
+    def nearest_cells(df: DataFrame, n: int, out_col: str) -> DataFrame:
+        """Rank centroids by cosine for each row; keep the n nearest."""
+        sim = df.crossJoin(F.broadcast(centroids)).select(
+            df["*"],
+            F.col("__cid"),
+            (dot(F.col("__v"), F.col("__cv")) / (F.col("__norm") * F.col("__cn"))).alias(
+                "__csim"
+            ),
+        )
+        w = Window.partitionBy("__id").orderBy(F.col("__csim").desc(), F.col("__cid"))
+        return (
+            sim.withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= n)
+            .withColumnRenamed("__cid", out_col)
+            .drop("__csim", "__crank")
+        )
+
+    assigned = nearest_cells(emb, 1, "__cell")
+    queries = nearest_cells(emb.filter(F.col("__id").isin(query_ids)), n_probe, "__qcell").select(
+        F.col("__id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__norm").alias("__qnorm"),
+        F.col("__qcell"),
+    )
+    pairs = assigned.join(
+        F.broadcast(queries),
+        (F.col("__cell") == F.col("__qcell")) & (F.col("__id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("__id").alias("neighbor_id"),
+        (dot(F.col("__qv"), F.col("__v")) / (F.col("__qnorm") * F.col("__norm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def hyperplane_lsh_bucket(
     vec: Column, n_planes: int = 16, dim: int = 64
 ) -> Column:

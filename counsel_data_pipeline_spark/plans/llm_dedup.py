@@ -100,3 +100,31 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return td.simhash_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=5
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_embedding_cosine_topn",
+    oracle="""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        ),
+        s AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+          FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine, rank FROM (
+          SELECT *, row_number() OVER (ORDER BY cosine DESC, id_a, id_b) AS rank
+          FROM s
+        ) WHERE rank <= 50
+    """,
+    description="embedding-cosine near-dup: top-50 most-similar pairs, exact all-pairs baseline",
+    tags=("llm", "dedup", "similarity"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops import similarity as sim
+
+    return sim.near_dup_pairs_topn(load_table(spark, sf_dir, "embeddings"), top_n=50)

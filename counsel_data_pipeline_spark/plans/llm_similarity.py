@@ -62,3 +62,16 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucketed_topk(
         load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K, n_planes=4
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=None,  # approximate (probe-restricted); recall checked in pytest
+    description="ANN top-10 via IVF: 16 deterministic centroid cells, 4-probe search",
+    tags=("llm", "similarity"),
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K,
+        n_centroids=16, n_probe=4,
+    ).orderBy("query_id", "rank")

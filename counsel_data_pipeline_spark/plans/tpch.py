@@ -369,3 +369,279 @@ def brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_extendedprice", "avg_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7-style — volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(round(sum({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+        GROUP BY 1, 2, 3
+    """,
+    description="TPC-H Q7: bilateral trade volume by year (two nation-dim joins)",
+    tags=("relational", "join", "agg"),
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(F.col("n_nationkey"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    customer = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select(F.col("n_nationkey"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01 00:00:00", "1997-12-31 00:00:00")
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(to_double(F.sum(_disc_price())).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8-style — national market share inside one region
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+        WITH flat AS (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 {_SQL_DISC_PRICE} AS volume,
+                 n2.n_name AS supp_nation
+          FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+            AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                AND TIMESTAMP '1996-12-31 00:00:00'
+            AND p_type = 'ECONOMY'
+        )
+        SELECT o_year,
+               CAST(round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(30,6)) END), 6) AS DOUBLE)
+             / CAST(round(sum(volume), 6) AS DOUBLE) AS mkt_share
+        FROM flat GROUP BY o_year
+    """,
+    description="TPC-H Q8: supplier-nation market share of ECONOMY parts sold into ASIA",
+    tags=("relational", "join", "agg"),
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cust_nk"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nk")
+    ).select("s_suppkey", "supp_nation")
+    customer = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nk")
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01 00:00:00", "1996-12-31 00:00:00")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    zero = F.lit(0).cast("decimal(30,6)")
+    vol = _disc_price().cast("decimal(30,6)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                to_double(F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(zero)), 6)
+                / to_double(F.sum(vol), 6)
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13-style — customer order-count distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        ) GROUP BY c_count
+    """,
+    description="TPC-H Q13 (no comment filter — column absent): orders-per-customer histogram",
+    tags=("relational", "outerjoin", "agg"),
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14-style — promotion revenue share
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+        SELECT 100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN {_SQL_DISC_PRICE}
+                                           ELSE CAST(0 AS DECIMAL(30,6)) END), 6) AS DOUBLE)
+                     / CAST(round(sum(CAST({_SQL_DISC_PRICE} AS DECIMAL(30,6))), 6) AS DOUBLE)
+               AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    description="TPC-H Q14: PROMO-part revenue percentage for one month",
+    tags=("relational", "join", "agg"),
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    zero = F.lit(0).cast("decimal(30,6)")
+    vol = _disc_price().cast("decimal(30,6)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * to_double(F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)), 6)
+                / to_double(F.sum(vol), 6)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15-style — top supplier by quarterly revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST({_SQL_DISC_PRICE} AS DECIMAL(30,6))) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    description="TPC-H Q15: max-revenue supplier via exact-decimal revenue view",
+    tags=("relational", "subquery", "agg"),
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(_disc_price().cast("decimal(30,6)")).alias("rev_exact")
+    )
+    # global max over the tiny per-supplier aggregate (100 rows) — an
+    # unpartitioned window here is a 100-row exchange, not a bottleneck
+    best = revenue.withColumn(
+        "__mx", F.max("rev_exact").over(Window.partitionBy())
+    ).filter(F.col("rev_exact") == F.col("__mx"))
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", to_double(F.col("rev_exact")).alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18-style — large-volume customers
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q18_large_volume",
+    oracle=f"""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               {sql_dsum('l_quantity', 'sum_qty')}
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(30,6))) > 200
+          )
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    description="TPC-H Q18: customers with >200-unit orders, deterministic top-100",
+    tags=("relational", "semijoin", "topk"),
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("__q"))
+        .filter(F.col("__q") > 200)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "__ok"),
+        F.col("o_orderkey") == F.col("__ok"),
+        "left_semi",
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

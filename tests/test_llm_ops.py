@@ -79,3 +79,36 @@ def test_ann_recall_floor(spark):
         for n_id, c in neigh.items():
             if (q, n_id) in exact_cos:
                 assert c == exact_cos[(q, n_id)]
+
+
+def test_ivf_recall_floor(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = list(range(8))
+    exact = sim.cosine_topk(emb, queries, k=10).collect()
+    approx = sim.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).collect()
+    exn, apn = defaultdict(set), defaultdict(dict)
+    for r in exact:
+        exn[r["query_id"]].add(r["neighbor_id"])
+    for r in approx:
+        apn[r["query_id"]][r["neighbor_id"]] = r["cosine"]
+    recall = sum(len(exn[q] & set(apn[q])) for q in exn) / (10 * len(exn))
+    assert recall >= 0.4, f"IVF 4/16-probe recall@10 degraded: {recall}"
+    # In-cell cosines must equal the exact pipeline's values bit-for-bit.
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for q, neigh in apn.items():
+        for n_id, c in neigh.items():
+            if (q, n_id) in exact_cos:
+                assert c == exact_cos[(q, n_id)]
+
+
+def test_embedding_near_dup_topn_matches_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    got = sim.near_dup_pairs_topn(emb, top_n=20).collect()
+    assert len(got) == 20
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == list(range(1, 21))
+    # ranking is by cosine desc — verify monotonicity and pair ordering
+    ordered = sorted(got, key=lambda r: r["rank"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["cosine"] >= b["cosine"]
+    for r in got:
+        assert r["id_a"] < r["id_b"]
