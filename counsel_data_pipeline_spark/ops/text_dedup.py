@@ -41,12 +41,27 @@ def exact_dedup(
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure compute-heavy per-document work fans out across cores.
+
+    A small parquet file arrives as ONE input partition (maxPartitionBytes
+    never splits it), which would serialize the shingling/hashing below on
+    a single task. Repartition up to the cluster's default parallelism
+    only when the scan under-partitions — at real scale the input already
+    has ≥ parallelism splits and this is a no-op (no shuffle inserted)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _doc_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """Distinct (id, shingle) pairs."""
     return (
-        df.select(
+        _spread(df)
+        .select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
         )
@@ -173,10 +188,31 @@ def minhash_lsh_pairs(
     ).select("id_a", "id_b", "est_jaccard")
     if verify_threshold is None:
         return est
-    exact = jaccard_pairs(df, id_col, text_col, n, threshold=0.0, max_shingle_df=None)
-    return est.join(exact.select("id_a", "id_b", "jaccard"), ["id_a", "id_b"], "left").filter(
-        F.coalesce(F.col("jaccard"), F.lit(0.0)) >= verify_threshold
+    # Exact-Jaccard verification over CANDIDATES ONLY — the whole point of
+    # LSH is that the exact similarity runs on O(candidates), not on every
+    # shingle-sharing pair. Shingle sets ride along as arrays (distinct by
+    # construction), candidates join them twice, and the set algebra stays
+    # JVM-side (array_intersect/array_union).
+    sets = (
+        _doc_shingles(df, id_col, text_col, n)
+        .groupBy("id")
+        .agg(F.collect_list("shingle").alias("shingles"))
     )
+    verified = (
+        est.join(
+            sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa")), "id_a"
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb")), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sa", "__sb"))
+            / F.size(F.array_union("__sa", "__sb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+    )
+    return verified.select("id_a", "id_b", "est_jaccard", "jaccard")
 
 
 def simhash_signatures(
@@ -188,7 +224,7 @@ def simhash_signatures(
 
     Shape: one explode + one groupBy with 64 integer tally aggregates, all
     partial (map-side combine) — a single shuffle of 64 ints per doc."""
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
     )
