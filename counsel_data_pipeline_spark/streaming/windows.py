@@ -79,16 +79,22 @@ def session_windows_30m(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
-def run_available_now(result: DataFrame, name: str | None = None) -> DataFrame:
+def run_available_now(
+    result: DataFrame, name: str | None = None, output_mode: str | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow (the
     reference's cron-batch semantics, T4) into a memory sink and return the
-    materialized result as a batch DataFrame."""
+    materialized result as a batch DataFrame.
+
+    ``output_mode`` defaults to ``complete`` (windowed aggregations);
+    append-only operators (e.g. applyInPandasWithState with append mode)
+    must pass ``append``."""
     name = name or f"q_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if result.isStreaming else "append")
+        .outputMode(output_mode or "complete")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

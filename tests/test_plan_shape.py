@@ -1,0 +1,98 @@
+"""Physical-plan shape regression tests.
+
+Correctness tests prove the numbers; these prove the SCALE properties the
+100 TB design depends on — predicate pushdown reaching the parquet scan,
+column-pruned read schemas, dimension joins broadcast (no shuffled or
+cartesian fallback), and whole-stage codegen covering the hot path. A
+refactor that silently turns a broadcast join into a cross join or starts
+reading all columns fails here long before it fails a cluster.
+"""
+
+import os
+
+import pytest
+
+from counsel_data_pipeline_spark.catalog import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str, execute: bool = False) -> str:
+    """Formatted physical plan; ``execute=True`` first runs the query so
+    AQE finalizes the plan (codegen ids only appear on the final plan)."""
+    df = all_queries()[name].fn(spark, SF)
+    if execute:
+        df.collect()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _n_shuffles(plan: str) -> int:
+    """Count shuffle Exchange NODES (formatted output lists each node once
+    in the detail section as '(N) Exchange')."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def _has_codegen(plan: str) -> bool:
+    return "codegen id" in plan  # formatted mode tags nodes [codegen id : N]
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    assert "PushedFilters" in plan
+    # the shipdate range + discount/quantity predicates reach the scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan or "LessThan(l_shipdate" in plan
+    # column pruning: no scan reads more than the 4 needed columns
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            ncols = line.count(":")
+            assert ncols <= 5, line
+
+
+def test_q5_dimensions_broadcast(spark):
+    plan = _plan(spark, "tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # all build sides are dims — must broadcast
+    assert "r_name,ASIA" in plan.replace(" ", "")  # region filter pushed
+
+
+def test_q10_narrow_lineitem_scan(spark):
+    plan = _plan(spark, "tpch_q10_returned_customers")
+    assert "EqualTo(l_returnflag,R)" in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "l_orderkey" in line:
+            assert "l_quantity" not in line and "l_tax" not in line, line
+
+
+def test_exact_dedup_single_shuffle(spark):
+    plan = _plan(spark, "dedup_exact_content_hash")
+    # one hash-aggregate pair around exactly one exchange: partial map-side
+    # aggregation then a single shuffle on the hash key
+    assert _n_shuffles(plan) == 1
+    assert "HashAggregate" in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    plan = _plan(spark, "sim_cosine_topk_bruteforce", execute=True)
+    assert "Broadcast" in plan  # tiny query side broadcast, corpus streams
+    assert _has_codegen(plan)
+
+
+def test_merge_reuses_single_key_exchange(spark):
+    # keyed merge: window (first-row pick) and aggregation share the same
+    # key partitioning — the plan must not shuffle the union twice.
+    plan = _plan(spark, "ops_keyed_merge_two_sources")
+    assert _n_shuffles(plan) <= 3, f"expected key-exchange reuse:\n{plan}"
+
+
+def test_codegen_everywhere(spark):
+    for name in (
+        "tpch_q1_pricing_summary",
+        "events_tumbling_hourly",
+        "text_token_stats_by_lang",
+    ):
+        assert _has_codegen(_plan(spark, name, execute=True)), name

@@ -37,3 +37,25 @@ def test_stream_session_windows(spark):
     batch = all_queries()["events_sessionize_30m"].fn(spark, SF)
     expected = {r["user_id"]: r["n_events"] for r in batch.collect()}
     assert dict(per_user) == expected
+
+
+def test_stateful_first_seen_dedup_matches_batch(spark):
+    from counsel_data_pipeline_spark.io.sources import load_table
+    from counsel_data_pipeline_spark.ops.dedup import first_wins
+    from counsel_data_pipeline_spark.streaming import stateful, windows
+
+    sf = "/root/testdata/sf0.001"
+    stream = stateful.first_seen_filter(
+        windows.stream_events(spark, sf), key_cols=["user_id", "event_type"]
+    )
+    got = windows.run_available_now(stream, "first_seen", output_mode="append")
+    got_rows = {
+        (r.user_id, r.event_type): r.event_id for r in got.collect()
+    }
+
+    batch = load_table(spark, sf, "events")
+    exp = first_wins(batch, ["user_id", "event_type"], ["ts", "event_id"])
+    exp_rows = {(r.user_id, r.event_type): r.event_id for r in exp.collect()}
+
+    assert got_rows == exp_rows
+    assert len(got_rows) >= 50  # sf0.001: ~15 users × 5 event types
