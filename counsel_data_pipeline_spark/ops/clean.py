@@ -63,11 +63,17 @@ def anchor_text(col: Column) -> Column:
 
 
 def js_to_int(c: Column) -> Column:
-    """P5: JS ``Number(x)`` semantics — null/''/non-numeric → 0, numeric
-    strings parsed. try_cast (not cast): under ANSI mode a malformed string
-    must yield the 0 default, not an error. (Divergence: JS keeps
-    fractions; counts are integral in practice, so we truncate to int.)"""
-    return F.coalesce(c.try_cast("double"), F.lit(0.0)).try_cast("int")
+    """P5: JS ``Number.isFinite(Number(x)) ? Number(x) : 0`` — null/''/
+    non-numeric/NaN/±Infinity → 0, numeric strings parsed. try_cast (not
+    cast): under ANSI mode a malformed string must yield the 0 default,
+    not an error. The explicit finite guard matters because Spark's double
+    cast ACCEPTS the strings 'NaN'/'Infinity' which JS maps to 0.
+    (Divergence: JS keeps fractions; counts are integral in practice, so
+    we truncate to int. JS also parses '0x..' hex literals; Spark does
+    not — no such values occur upstream.)"""
+    d = F.coalesce(c.try_cast("double"), F.lit(0.0))
+    finite = ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
+    return F.when(finite, d).otherwise(F.lit(0.0)).try_cast("int")
 
 
 def null_if_none_sentinel(c: Column) -> Column:

@@ -195,3 +195,19 @@ def top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("tv_exact")
         .limit(20)
     )
+
+
+@register(
+    "events_distinct_users_salted",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id
+        FROM events GROUP BY event_type
+    """,
+    description="exact count-distinct via two-stage salting (hot-key-safe twin of COUNT DISTINCT)",
+    tags=("events", "skew", "agg"),
+)
+def distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.skew import salted_count_distinct
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return salted_count_distinct(events, ["event_type"], "user_id", n_salts=8)

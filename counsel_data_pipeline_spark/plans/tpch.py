@@ -645,3 +645,50 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q17-style — small-quantity-order revenue (correlated scalar subquery)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle=f"""
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE)
+               / 7.0 AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#23'
+          AND l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey
+          )
+    """,
+    description="TPC-H Q17 adapted (brand filter only — no container column): "
+                "correlated avg-quantity subquery → per-part aggregate join",
+    tags=("relational", "subquery", "agg"),
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The correlated scalar subquery decorrelates to one aggregate over
+    # lineitem joined back on partkey — written explicitly so the plan is
+    # a single shuffle on l_partkey plus a broadcast of the part filter.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("__qty_cap")
+    ).withColumnRenamed("l_partkey", "__pk")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__qty_cap"))
+        .agg(
+            (
+                to_double(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")))
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )

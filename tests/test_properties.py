@@ -1,0 +1,156 @@
+"""Property-based tests (hypothesis): the Spark operators must agree with
+a direct Python transliteration of the reference's JS semantics on
+arbitrary generated inputs — not just the committed golden files.
+
+Each example generates a whole dataset (one Spark job per example, small
+max_examples) rather than one row per example.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from counsel_data_pipeline_spark.ops.clean import js_to_int
+from counsel_data_pipeline_spark.ops.dedup import first_wins
+from counsel_data_pipeline_spark.ops.merge import js_template_key, keyed_merge
+
+# ---------------------------------------------------------------------------
+# Python mirrors of the JS semantics (reference src/index.js:17,65-98)
+# ---------------------------------------------------------------------------
+
+
+def py_js_to_int(x):
+    """JS: Number.isFinite(Number(x)) ? Number(x) : 0 — truncated to int.
+
+    Mirrors JS Number(): ASCII-only (JS rejects Unicode digits that
+    Python's float() accepts). Hex literals aren't mirrored (never
+    generated).
+    """
+    if x is None:
+        return 0
+    s = str(x).strip()
+    if s == "":
+        return 0
+    if not s.isascii():
+        return 0
+    try:
+        v = float(s)
+    except ValueError:
+        return 0
+    if v != v or v in (float("inf"), float("-inf")):
+        return 0
+    return int(v)
+
+
+def py_uniq_first_wins(rows, key_fn):
+    seen, out = set(), []
+    for r in rows:
+        k = key_fn(r)
+        if k not in seen:
+            seen.add(k)
+            out.append(r)
+    return out
+
+
+def py_merge(yes_rows, no_rows):
+    """Reference mergeYesNo: first row wins descriptive fields, counts max,
+    teleconsultation ORs (src/index.js:65-86)."""
+    merged = {}
+    for r in list(yes_rows) + list(no_rows):
+        k = "||".join(
+            ("null" if r[c] is None else str(r[c])) for c in ("county", "org", "addr")
+        ).strip()
+        if k not in merged:
+            merged[k] = dict(r)
+        else:
+            p = merged[k]
+            p["n"] = max(p["n"], r["n"])
+            p["tele"] = bool(p["tele"]) or bool(r["tele"])
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Generators
+# ---------------------------------------------------------------------------
+
+int_like = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just(" "),
+    st.integers(-1000, 1000).map(str),
+    st.from_regex(r"\A-?\d{1,4}(\.\d{1,3})?\Z"),
+    st.text(alphabet="0123456789abc .-", min_size=0, max_size=6),
+)
+
+key_text = st.one_of(st.none(), st.sampled_from(["a", "b", "市", "x y", ""]))
+
+row = st.fixed_dictionaries(
+    {
+        "county": key_text,
+        "org": key_text,
+        "addr": key_text,
+        "n": st.integers(0, 50),
+        "tele": st.booleans(),
+    }
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(int_like, min_size=1, max_size=30))
+def test_js_int_cast_property(spark, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, raw string")
+    got = {r.i: r.out for r in df.select("i", js_to_int(F.col("raw")).alias("out")).collect()}
+    for i, v in enumerate(values):
+        assert got[i] == py_js_to_int(v), f"input {v!r}: spark={got[i]} js={py_js_to_int(v)}"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(row, min_size=1, max_size=40), st.lists(row, min_size=0, max_size=40))
+def test_keyed_merge_matches_js_semantics(spark, yes_rows, no_rows):
+    schema = "county string, org string, addr string, n int, tele boolean, ingest_order long"
+    yes = spark.createDataFrame(
+        [{**r, "ingest_order": i} for i, r in enumerate(yes_rows)], schema
+    )
+    no = spark.createDataFrame(
+        [{**r, "ingest_order": i} for i, r in enumerate(no_rows)], schema
+    )
+    # JS processes a Map keyed by the template string; dedupe inputs first
+    # (the reference's uniqByKey runs upstream of the merge)
+    key_fn = lambda r: "||".join(  # noqa: E731
+        ("null" if r[c] is None else str(r[c])) for c in ("county", "org", "addr")
+    ).strip()
+    yes_rows = py_uniq_first_wins(yes_rows, key_fn)
+    no_rows = py_uniq_first_wins(no_rows, key_fn)
+    yes = first_wins(yes, js_template_key("county", "org", "addr"), "ingest_order")
+    no = first_wins(no, js_template_key("county", "org", "addr"), "ingest_order")
+
+    merged = keyed_merge(
+        yes, no, js_template_key("county", "org", "addr"),
+        max_cols=["n"], or_cols=["tele"], order_col="ingest_order",
+    )
+    exp = py_merge(yes_rows, no_rows)
+    got = {}
+    for r in merged.collect():
+        k = key_fn({"county": r.county, "org": r.org, "addr": r.addr})
+        got[k] = (r.n, r.tele)
+    assert set(got) == set(exp)
+    for k, p in exp.items():
+        assert got[k] == (p["n"], p["tele"]), k
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=60))
+def test_first_wins_property(spark, pairs):
+    rows = [(k, v, i) for i, (k, v) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "k int, v int, ingest_order long")
+    got = {
+        r.k: (r.v, r.ingest_order)
+        for r in first_wins(df, ["k"], "ingest_order").collect()
+    }
+    exp = {}
+    for k, v in pairs:
+        exp.setdefault(k, (v, pairs.index((k, v))))
+    for k in exp:
+        first_i = min(i for i, (kk, _) in enumerate(pairs) if kk == k)
+        assert got[k] == (pairs[first_i][1], first_i)
