@@ -205,6 +205,7 @@ def top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="exact count-distinct via two-stage salting (hot-key-safe twin of COUNT DISTINCT)",
     tags=("events", "skew", "agg"),
+    bench=True,
 )
 def distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from counsel_data_pipeline_spark.ops.skew import salted_count_distinct

@@ -123,6 +123,9 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="embedding-cosine near-dup: top-50 most-similar pairs, exact all-pairs baseline",
     tags=("llm", "dedup", "similarity"),
+    # not in the bench set: the exact all-pairs fold is the ORACLE baseline
+    # (correctness anchor); the benchable scale path for embedding near-dup
+    # is the LSH/IVF-prefiltered family.
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from counsel_data_pipeline_spark.ops import similarity as sim

@@ -393,6 +393,7 @@ def brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q7: bilateral trade volume by year (two nation-dim joins)",
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").filter(
@@ -621,6 +622,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q18: customers with >200-unit orders, deterministic top-100",
     tags=("relational", "semijoin", "topk"),
+    bench=True,
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
