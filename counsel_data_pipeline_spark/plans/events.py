@@ -212,3 +212,52 @@ def distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     return salted_count_distinct(events, ["event_type"], "user_id", n_salts=8)
+
+
+@register(
+    "events_asof_last_click_before_purchase",
+    oracle="""
+        WITH clicks AS (
+          SELECT user_id, ts, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click'
+          GROUP BY user_id, ts
+        ),
+        p AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               c.click_id
+        FROM p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    description="backward as-of join: each purchase matched to the user's latest prior click "
+                "(union + one window per key — no range join)",
+    tags=("events", "asof", "join"),
+    bench=True,
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    # right side deduped per (user, ts) — DuckDB's ASOF leaves that tie
+    # unspecified, so pin the survivor identically on both engines
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["click_id"], suffix="_c",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("ts_c", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("click_id_c").alias("click_id"),
+    )

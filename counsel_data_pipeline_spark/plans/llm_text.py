@@ -144,3 +144,64 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ta.content_md5(F.col("text")).alias("content_hash"),
         ta.shingle_fingerprint(ta.norm_text(F.col("text")), n=5).alias("shingle_fp"),
     )
+
+
+@register(
+    "llm_corpus_prep",
+    oracle=f"""
+        -- end-to-end training-corpus prep: quality gate → token-length gate
+        -- → exact dedup (min-id survivor) → per-language corpus stats
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 len({_SQL_TOKENS}) AS n_tok,
+                 md5({_SQL_NORM}) AS content_hash,
+                 round(0.5 * least(CAST(len({_SQL_TOKENS}) AS DOUBLE) / 100.0, 1.0)
+                       + 0.3 * (1.0 - CAST(len(list_filter({_SQL_TOKENS},
+                                x -> list_contains({_SQL_STOPS}, x))) AS DOUBLE)
+                              / len({_SQL_TOKENS}))
+                       + 0.2 * (1.0 - CAST(length(text)
+                              - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                                AS DOUBLE) / length(text)), 6)
+                   AS quality
+          FROM documents
+        ),
+        gated AS (
+          SELECT * FROM scored
+          WHERE quality >= 0.5 AND n_tok BETWEEN 10 AND 5000
+        ),
+        survivors AS (
+          SELECT content_hash, min(doc_id) AS doc_id FROM gated GROUP BY content_hash
+        )
+        SELECT g.lang,
+               count(*) AS n_docs,
+               sum(g.n_tok) AS total_tokens,
+               CAST(sum(g.n_tok) AS DOUBLE) / count(*) AS avg_tokens
+        FROM gated g JOIN survivors s USING (doc_id)
+        GROUP BY g.lang
+    """,
+    description="composite pipeline: quality+length gates, exact dedup, per-lang corpus stats",
+    tags=("llm", "text", "pipeline"),
+    bench=True,
+)
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    scored = docs.select(
+        "doc_id", "lang",
+        ta.token_count(text).alias("n_tok"),
+        ta.content_md5(text).alias("content_hash"),
+        ta.quality_score(text).alias("quality"),
+    )
+    gated = scored.filter(
+        (F.col("quality") >= 0.5) & F.col("n_tok").between(10, 5000)
+    )
+    survivors = gated.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        gated.join(survivors, ["doc_id", "content_hash"], "left_semi")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )
