@@ -77,7 +77,15 @@ def write_csv(df: DataFrame, path: str) -> None:
             from pyspark.sql import functions as F
 
             out = out.withColumn(name, F.lower(F.col(name).cast("string")))
-    out.write.mode("overwrite").option("header", True).option("nullValue", "").csv(path)
+    (
+        out.write.mode("overwrite")
+        .option("header", True)
+        .option("nullValue", "")
+        # RFC-4180 quote doubling ("" not \") to match the parity writer's
+        # dialect (reference src/index.js:33)
+        .option("escape", '"')
+        .csv(path)
+    )
 
 
 def write_json(df: DataFrame, path: str) -> None:

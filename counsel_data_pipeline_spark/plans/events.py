@@ -261,3 +261,45 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts_c", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.col("click_id_c").alias("click_id"),
     )
+
+
+@register(
+    "events_range_join_error_windows",
+    oracle="""
+        WITH err AS (
+          SELECT event_id, ts, ts + INTERVAL 10 MINUTE AS te
+          FROM events WHERE event_type = 'error'
+        ),
+        p AS (SELECT ts AS pts FROM events WHERE event_type = 'purchase')
+        SELECT e.event_id,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS window_start,
+               count(p.pts) AS n_purchases
+        FROM err e LEFT JOIN p ON p.pts >= e.ts AND p.pts < e.te
+        GROUP BY e.event_id, e.ts
+    """,
+    description="range join via time-bucketization: purchases inside each error's 10-minute window",
+    tags=("events", "rangejoin"),
+    bench=True,
+)
+def range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("pts")
+    )
+    joined = interval_join(
+        purchases, err, "pts", "w_start", "w_end", bucket_width_s=600, how="left"
+    )
+    return joined.groupBy("event_id", "w_start").agg(
+        F.count("pts").alias("n_purchases")
+    ).select(
+        "event_id",
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_purchases",
+    )

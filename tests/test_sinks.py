@@ -1,0 +1,56 @@
+"""Distributed sink dialect parity (io/sinks.write_csv / write_json):
+the scale-tier writers must render the same dialect as the parity-tier
+single-doc writers — lowercase booleans, empty string for null, minimal
+quoting."""
+
+import glob
+import json
+import os
+import tempfile
+
+from counsel_data_pipeline_spark.io.sinks import csv_text, write_csv, write_json
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            ("臺北市", 'has,comma "quoted"', 3, True, None),
+            ("高雄市", "plain", 0, False, "x"),
+        ],
+        "county string, note string, n int, flag boolean, opt string",
+    )
+
+
+def test_write_csv_dialect_matches_parity_writer(spark):
+    df = _df(spark)
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "csv")
+        write_csv(df.coalesce(1), out)
+        [part] = glob.glob(os.path.join(out, "part-*.csv"))
+        text = open(part, encoding="utf-8").read().rstrip("\n")
+
+    rows = [r.asDict() for r in df.collect()]
+    expected = csv_text(rows, df.columns)
+    assert sorted(text.splitlines()[1:]) == sorted(expected.splitlines()[1:])
+    assert text.splitlines()[0] == ",".join(df.columns)
+    # dialect spot checks
+    assert "true" in text and "false" in text and "True" not in text
+    assert '"has,comma ""quoted"""' in text
+
+
+def test_write_json_roundtrip(spark):
+    df = _df(spark)
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "json")
+        write_json(df.coalesce(1), out)
+        lines = []
+        for part in glob.glob(os.path.join(out, "part-*")):
+            if part.endswith(".crc"):
+                continue
+            lines += [json.loads(ln) for ln in open(part, encoding="utf-8") if ln.strip()]
+    got = sorted(lines, key=lambda r: r["county"])  # 臺(U+81FA) < 高(U+9AD8)
+    assert got[0]["flag"] is True and got[1]["flag"] is False
+    assert "opt" not in got[0] or got[0].get("opt") is None  # nulls omitted in JSONL
+    assert got[1]["opt"] == "x"
+    back = spark.read.json(spark.sparkContext.parallelize([json.dumps(r) for r in got]))
+    assert back.count() == 2
