@@ -91,3 +91,17 @@ def write_csv(df: DataFrame, path: str) -> None:
 def write_json(df: DataFrame, path: str) -> None:
     """Distributed JSONL (the scale replacement for single-doc wrappers)."""
     df.write.mode("overwrite").json(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-layout partitioned parquet — the scale-tier table sink.
+
+    Readers filtering on ``partition_cols`` get PARTITION PRUNING: the scan
+    lists only matching directories, so per-county (or per-date) queries
+    read a fraction of a 100 TB table. This is the Spark analog of the
+    reference's per-county output files (SURVEY §2.1 S6: the COUNTIES env
+    filter becomes a pruned read instead of a pruned crawl).
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

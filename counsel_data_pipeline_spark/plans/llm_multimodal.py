@@ -51,3 +51,23 @@ def binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.documents_as_media(load_table(spark, sf_dir, "documents"))
     return mm.decode_media(media).orderBy("media_id")
+
+
+@register(
+    "multimodal_frame_sample_stats",
+    oracle=None,  # frame counts derive from the pseudo-decode; pytest-verified
+    description="video/audio frame sampling fan-out (explode over sampled indices), per-type stats",
+    tags=("llm", "multimodal"),
+)
+def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.documents_as_media(load_table(spark, sf_dir, "documents"))
+    frames = mm.sample_frames(media, every_n=24)
+    return (
+        frames.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled_frames"),
+            F.countDistinct("media_id").alias("n_media"),
+            F.max("frame_idx").alias("max_frame_idx"),
+        )
+        .orderBy("media_type")
+    )

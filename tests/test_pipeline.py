@@ -94,3 +94,28 @@ def test_incremental_dag_empty_delta_early_exit(spark):
     [r] = res.final.collect()
     assert (r.lat, r.lng) == (25.0, 121.5)   # carried through, no enrichment
     assert res.cache.count() == 0
+
+
+def test_incremental_dag_cold_start_empty_snapshot(spark):
+    # S5 semantics: missing previous snapshot → empty frame → EVERY clean
+    # row is delta; the whole batch goes through enrichment (here: stub).
+    from counsel_data_pipeline_spark.ops.diff import GEO_COLS
+    from counsel_data_pipeline_spark.schemas import CLINIC_GEOCODED
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    prev = spark.createDataFrame(
+        [], StructType(CLINIC_GEOCODED.fields + [StructField("prev_order", LongType())])
+    )
+    clean = spark.createDataFrame(
+        [
+            ("臺北市", f"o{i}", f"臺北市中山區南京東路2段{i}號", f"02-000{i}", i)
+            for i in range(1, 6)
+        ],
+        "county string, org_name string, address string, phone string, ingest_order long",
+    )
+    res = P.diff_enrich_publish(clean, prev, None, StubResolver())
+    assert res.change_count == 5 and res.publish
+    rows = res.final.collect()
+    assert len(rows) == 5
+    assert all(r.lat is not None for r in rows)
+    assert res.cache.count() == 5  # every resolved row wrote a cache entry

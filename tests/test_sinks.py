@@ -8,6 +8,8 @@ import json
 import os
 import tempfile
 
+from pyspark.sql import functions as F
+
 from counsel_data_pipeline_spark.io.sinks import csv_text, write_csv, write_json
 
 
@@ -54,3 +56,29 @@ def test_write_json_roundtrip(spark):
     assert got[1]["opt"] == "x"
     back = spark.read.json(spark.sparkContext.parallelize([json.dumps(r) for r in got]))
     assert back.count() == 2
+
+
+def test_partitioned_write_enables_partition_pruning(spark):
+    import re
+    import tempfile
+
+    from counsel_data_pipeline_spark.io.sinks import write_parquet_partitioned
+
+    df = spark.createDataFrame(
+        [("臺北市", i, f"org{i}") for i in range(10)]
+        + [("高雄市", i, f"org{i}") for i in range(10)],
+        "county string, n int, org string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "t")
+        write_parquet_partitioned(df, out, ["county"])
+        # directory layout: county=<value>/
+        assert sorted(
+            p for p in os.listdir(out) if p.startswith("county=")
+        ) == ["county=臺北市", "county=高雄市"]
+
+        back = spark.read.parquet(out).filter(F.col("county") == "臺北市")
+        assert back.count() == 10
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "county" in m.group(1), plan[:500]
