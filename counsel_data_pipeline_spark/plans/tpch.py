@@ -694,3 +694,62 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q16-style — supplier diversity per part group (distinct-agg after join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q16_part_supplier_diversity",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part, lineitem
+        WHERE p_partkey = l_partkey
+          AND p_brand <> 'Brand#23'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    description="TPC-H Q16 adapted (lineitem as the part-supplier relation): "
+                "distinct supplier count per part group",
+    tags=("relational", "join", "distinct-agg"),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#23")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (cross-engine linear interpolation, verified bit-equal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_order_value_percentiles",
+    oracle="""
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.50) AS p50,
+               quantile_cont(o_totalprice, 0.90) AS p90,
+               quantile_cont(o_totalprice, 0.99) AS p99
+        FROM orders GROUP BY o_orderpriority
+    """,
+    description="exact interpolated percentiles per priority (percentile ≡ quantile_cont, bit-equal)",
+    tags=("relational", "agg", "percentile"),
+)
+def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25D)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.50D)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.90D)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99D)").alias("p99"),
+    )

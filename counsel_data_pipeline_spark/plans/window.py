@@ -142,3 +142,32 @@ def order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag(F.col("o_orderdate").cast("date")).over(w),
         ).cast("bigint").alias("gap_days"),
     )
+
+
+@register(
+    "window_customer_balance_quartiles",
+    oracle="""
+        SELECT c_custkey,
+               ntile(4)      OVER w AS balance_quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist()    OVER w AS cume
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    description="ranking-family analytics (ntile/percent_rank/cume_dist) with deterministic tiebreak",
+    tags=("relational", "window"),
+)
+def balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # unpartitioned ranking is inherently single-ordered; at scale the
+    # partitionless window is the documented cost (use a bucketed variant
+    # per nation/date for parallel ranking when global rank isn't needed)
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return customer.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
