@@ -209,3 +209,18 @@ def test_enrichment_stage_is_single_partition(spark):
     assert res.enriched.count() == 8
     # all misses resolved; every usedQuery distinct address → distinct query
     assert res.new_cache_entries.select("query").distinct().count() == 8
+
+
+def test_nominatim_fallback_when_primary_dry(spark):
+    # E2: primary resolves nothing; the secondary (nominatim) resolver
+    # handles the primary candidate list and its hits are cached too.
+    primary = E.StubResolver(name="opencage", accepts=lambda q: False)
+    secondary = E.StubResolver(name="nominatim")
+    rows = spark.createDataFrame(
+        [{"county": "臺北市", "org_name": "測試診所", "address": "臺北市中山區南京東路2段125號"}]
+    )
+    res = E.enrich(rows, None, primary, nominatim=secondary)
+    [r] = res.enriched.collect()
+    assert r.source == "nominatim" and r.approx is None
+    entries = res.new_cache_entries.collect()
+    assert len(entries) == 1 and entries[0].source == "nominatim"

@@ -119,3 +119,24 @@ def test_incremental_dag_cold_start_empty_snapshot(spark):
     assert len(rows) == 5
     assert all(r.lat is not None for r in rows)
     assert res.cache.count() == 5  # every resolved row wrote a cache entry
+
+
+def test_crawl_clean_merge_whole_taiwan_golden(spark):
+    # Capstone M1 golden: all 22 counties through the full §3.1 DAG must
+    # reproduce the committed taiwan_merged_clean.json exactly, in order.
+    from test_clean_merge_golden import COUNTIES
+
+    files = [
+        (c, os.path.join(REF_OUT, f"{c}_yes_raw.json"), os.path.join(REF_OUT, f"{c}_no_raw.json"))
+        for c in COUNTIES
+    ]
+    res = P.crawl_clean_merge(spark, files)
+    got = [
+        {k: v for k, v in r.asDict(recursive=True).items() if k in CLEAN_COLUMNS}
+        for r in res.taiwan.orderBy("taiwan_order").collect()
+    ]
+    expected = json.load(open(os.path.join(REF_OUT, "taiwan_merged_clean.json")))
+    exp_rows = extract_rows(expected)
+    assert len(got) == expected["total"] == len(exp_rows)
+    for i, (g, e) in enumerate(zip(got, exp_rows)):
+        assert g == e, f"row {i} mismatch:\n got={g}\n exp={e}"
