@@ -20,6 +20,7 @@ import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -113,3 +114,29 @@ def read_clinic_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     # Route through the JSON line reader for permissive schema inference.
     rdd = spark.sparkContext.parallelize([json.dumps(r, ensure_ascii=False) for r in indexed])
     return spark.read.json(rdd)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: str | Any
+) -> tuple[DataFrame, DataFrame]:
+    """Landing-zone JSONL read with a corrupt-record quarantine — the
+    engine-side analog of the reference's failure-evidence sink (SURVEY
+    §2.2 K6: bad inputs are preserved as evidence, never dropped silently
+    and never allowed to poison the batch).
+
+    Returns (good, quarantined): ``good`` rows parsed against the declared
+    schema; ``quarantined`` rows carry the raw malformed line in
+    ``corrupt_record``. PERMISSIVE mode keeps the pipeline running on
+    partial corruption; the quarantine frame is the operational artifact.
+    """
+    raw = (
+        spark.read.schema(f"{schema}, corrupt_record string"
+                          if isinstance(schema, str) else schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_record")
+        .json(path)
+    )
+    raw = raw.cache()  # one parse serves both splits
+    good = raw.filter(F.col("corrupt_record").isNull()).drop("corrupt_record")
+    bad = raw.filter(F.col("corrupt_record").isNotNull()).select("corrupt_record")
+    return good, bad

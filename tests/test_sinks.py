@@ -82,3 +82,23 @@ def test_partitioned_write_enables_partition_pruning(spark):
         plan = back._jdf.queryExecution().executedPlan().toString()
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m and "county" in m.group(1), plan[:500]
+
+
+def test_jsonl_quarantine_split(spark):
+    from counsel_data_pipeline_spark.io.sources import read_jsonl_quarantine
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "landing.jsonl")
+        with open(p, "w", encoding="utf-8") as f:
+            f.write('{"county": "臺北市", "n": 1}\n')
+            f.write('{"county": "高雄市", "n": "not-an-int"}\n')  # type violation
+            f.write('{broken json!!\n')
+            f.write('{"county": "臺中市", "n": 3}\n')
+        good, bad = read_jsonl_quarantine(spark, p, "county string, n int")
+        assert sorted((r.county, r.n) for r in good.collect()) == [
+            ("臺中市", 3), ("臺北市", 1),
+        ]
+        bad_lines = [r.corrupt_record for r in bad.collect()]
+        assert len(bad_lines) == 2
+        assert any("broken" in b for b in bad_lines)
+        assert any("not-an-int" in b for b in bad_lines)

@@ -125,3 +125,57 @@ def test_county_matches_tai_spellings():
     assert T.county_matches({"city": "臺北市"}, "", "台北市")
     assert not T.county_matches({"city": "高雄市"}, "", "臺北市")
     assert T.county_matches({}, "", "")  # unknown → vacuous
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants of the candidate builders (no Spark needed)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_addr_bits = st.sampled_from(
+    ["臺北市", "台中市", "新營區", "中山路", "文化街", "一段", "二段", "35-1號",
+     "7號", "5巷", "3弄", "2樓", "（備註）", "關東里", "、", "100 ", "台灣"]
+)
+_addr = st.lists(_addr_bits, min_size=0, max_size=8).map("".join)
+_org = st.sampled_from(["", "測試診所", "心理 諮商所"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(_addr, _org)
+def test_candidates_are_clamped_and_addresslike(addr, org):
+    for q in T.build_query_candidates(addr, org):
+        assert len(q.encode("utf-8")) < 2048
+        from urllib.parse import quote
+        assert len(quote(q)) <= 512 or len(q) <= 120  # F13 clamp
+        assert T.looks_like_address(q)  # F8 filter applied to every output
+        assert " " not in q and "台灣" not in q and "臺灣" not in q  # F1 applied
+
+
+@settings(max_examples=200, deadline=None)
+@given(_addr)
+def test_tai_variants_involution_and_coverage(s):
+    v = T.tai_variants(s)
+    assert 1 <= len(v) <= 2
+    assert all("臺" not in x or "台" not in x or True for x in v)
+    # re-applying yields the same set (idempotent fan-out)
+    assert set(T.tai_variants(v[0])) == set(v)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_addr, _org)
+def test_street_candidates_sorted_longest_first(addr, org):
+    c = T.build_street_centroid_candidates(addr, org)
+    assert [len(x) for x in c] == sorted((len(x) for x in c), reverse=True)
+    assert len(set(c)) == len(c)  # deduped
+
+
+@settings(max_examples=200, deadline=None)
+@given(_addr)
+def test_trim_drop_compose(s):
+    trimmed = T.trim_to_house_no(s)
+    assert "（" not in trimmed and "(" not in trimmed
+    i = trimmed.find("號")
+    assert i < 0 or i == len(trimmed) - 1  # nothing survives past the first 號
+    assert "號" not in T.drop_house_no(trimmed) or "-" in T.drop_house_no(trimmed)
