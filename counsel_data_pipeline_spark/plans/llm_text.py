@@ -205,3 +205,43 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         )
     )
+
+
+@register(
+    "text_top_ngrams_per_lang",
+    oracle=f"""
+        WITH grams AS (
+          SELECT lang,
+                 unnest(list_transform(range(1, len({_SQL_TOKENS})),
+                        i -> array_to_string(string_split_regex(
+                               {_SQL_NORM}, ' ')[i:i+1], ' '))) AS gram
+          FROM documents
+        ),
+        counted AS (
+          SELECT lang, gram, count(*) AS n FROM grams GROUP BY lang, gram
+        )
+        SELECT lang, gram, n, rnk FROM (
+          SELECT lang, gram, n,
+                 row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rnk
+          FROM counted
+        ) WHERE rnk <= 10
+    """,
+    description="top-10 bigrams per language: explode-heavy aggregation + per-group top-k",
+    tags=("llm", "text", "topk"),
+)
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang",
+        F.explode(
+            ta.word_shingles(ta.norm_text(F.col("text")), 2)
+        ).alias("gram"),
+    )
+    counted = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )

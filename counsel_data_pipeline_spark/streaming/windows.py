@@ -101,3 +101,22 @@ def run_available_now(
     )
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+def sliding_6h_daily(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of plans/events.sliding_windows (24h length, 6h
+    slide): each event feeds 4 window states; the watermark bounds how
+    long each state row lives."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "24 hours", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            to_double(F.sum(dec("value")), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

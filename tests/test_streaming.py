@@ -59,3 +59,12 @@ def test_stateful_first_seen_dedup_matches_batch(spark):
 
     assert got_rows == exp_rows
     assert len(got_rows) >= 50  # sf0.001: ~15 users × 5 event types
+
+
+def test_stream_sliding_equals_batch(spark):
+    batch = all_queries()["events_sliding_6h_daily"].fn(spark, SF)
+    stream = sw.sliding_6h_daily(sw.stream_events(spark, SF))
+    got = _rows(sw.run_available_now(stream, "sliding6h"),
+                ["win_start", "n_events", "sum_value"])
+    exp = _rows(batch, ["win_start", "n_events", "sum_value"])
+    assert got == exp and len(got) > 50
