@@ -10,6 +10,7 @@ variant is approximate by construction → rows-only + pytest recall check.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from counsel_data_pipeline_spark.catalog import register
 from counsel_data_pipeline_spark.io.sources import load_table
@@ -75,3 +76,64 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K,
         n_centroids=16, n_probe=4,
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_neighbor_doc_quality",
+    oracle=f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        ),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv, nrm AS qn
+          FROM n WHERE vec_id < {len(QUERY_IDS)}
+        ),
+        s AS (
+          SELECT query_id, a.vec_id AS neighbor_id,
+                 list_dot_product(qv, a.v) / (qn * a.nrm) AS cosine
+          FROM n a, q WHERE a.vec_id <> query_id
+        ),
+        topk AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                   ) AS rank
+            FROM s
+          ) WHERE rank <= {K}
+        ),
+        toks AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tok
+          FROM documents
+        )
+        SELECT query_id,
+               count(*) AS n_neighbors,
+               sum(n_tok) AS neighbor_tokens,
+               CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_neighbor_tokens
+        FROM topk JOIN toks ON doc_id = neighbor_id
+        GROUP BY query_id
+    """,
+    description="cross-modal composite: ANN neighbors joined to their documents' token stats",
+    tags=("llm", "similarity", "multimodal-join"),
+)
+def neighbor_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops import text_analysis as ta
+
+    topk = sim.cosine_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K).select(
+        "query_id", "neighbor_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), ta.token_count(F.col("text")).alias("n_tok")
+    )
+    return (
+        topk.join(docs, topk.neighbor_id == docs.doc_id)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum("n_tok").alias("neighbor_tokens"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_neighbor_tokens"),
+        )
+    )
