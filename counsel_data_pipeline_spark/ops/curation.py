@@ -1,0 +1,108 @@
+"""Training-data curation operators (north-star extension): deterministic
+hash-based dataset splits, PII redaction, boilerplate/repetition scoring,
+benchmark decontamination.
+
+Scale design:
+  - Splits are STATELESS functions of the document id (md5 bucket), so
+    they need no shuffle, no global ordering, and stay stable when the
+    corpus grows — a doc's split never changes as rows are added, which is
+    the property a 100 TB incremental pipeline needs (random() or
+    row_number() splits have neither).
+  - PII redaction is pure regexp column work — whole-stage codegen, scales
+    with the scan.
+  - Repetition scoring is per-row array algebra (no shuffle at all).
+  - Decontamination is the shingle-join pattern from ops/text_dedup: the
+    benchmark side is tiny and broadcast, so contaminated docs are found
+    without shuffling the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from counsel_data_pipeline_spark.ops.sketches import md5_bucket
+from counsel_data_pipeline_spark.ops.text_analysis import norm_text, word_shingles
+
+SPLIT_SEED = 42
+
+# Conservative patterns that parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+DIGITS_RE = "[0-9]"
+
+
+def split_assign(id_col: Column, train_pct: int = 80, val_pct: int = 10) -> Column:
+    """Deterministic train/val/test label from a stable id hash.
+
+    bucket = md5("42:<id>")[0:8] % 100 — reproducible in any engine (see
+    ops/sketches.md5_bucket), independent of row order and partitioning.
+    """
+    b = md5_bucket(id_col, SPLIT_SEED, 100)
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def email_count(c: Column) -> Column:
+    return F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace emails/phone-number-ish runs with fixed placeholders."""
+    no_mail = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_mail, PHONE_RE, "<PHONE>")
+
+
+def digit_scrub_stats(c: Column) -> tuple[Column, Column]:
+    """(n_digit_chars, masked) — count of digit characters and the text with
+    every digit RUN collapsed to '#' (shape-preserving mask)."""
+    n_digits = F.length(c) - F.length(F.regexp_replace(c, DIGITS_RE, ""))
+    masked = F.regexp_replace(c, "[0-9]+", "#")
+    return n_digits, masked
+
+
+def repetition_ratio(c: Column, n: int = 3) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier n-gram
+    within the same document: 1 - distinct/total. 0 for docs shorter than
+    n tokens; near-1 flags boilerplate/looping text."""
+    sh = word_shingles(norm_text(c), n)
+    return F.when(
+        F.size(sh) > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Find corpus docs that share ≥1 n-gram shingle with any benchmark doc
+    (the standard train-set decontamination check).
+
+    Returns (doc_id, n_shared_shingles, n_benchmark_docs). The benchmark
+    side is assumed small (eval sets are) → broadcast; the corpus never
+    shuffles, it only streams through the shingle join.
+    """
+    def shingled(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode_outer(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
+        ).filter(F.col("shingle").isNotNull()).distinct()
+
+    corpus_sh = shingled(corpus, "doc_id")
+    bench_sh = shingled(benchmark, "bench_id")
+    hits = corpus_sh.join(F.broadcast(bench_sh), "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shared_shingles"),
+        F.countDistinct("bench_id").alias("n_benchmark_docs"),
+    )

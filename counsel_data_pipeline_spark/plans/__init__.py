@@ -3,6 +3,7 @@ counsel_data_pipeline_spark.catalog.QUERIES."""
 
 from counsel_data_pipeline_spark.plans import (  # noqa: F401
     events,
+    llm_curation,
     llm_dedup,
     llm_multimodal,
     llm_similarity,
@@ -10,6 +11,7 @@ from counsel_data_pipeline_spark.plans import (  # noqa: F401
     reference_ops,
     rollup,
     setops,
+    sketches,
     tpch,
     window,
 )

@@ -1,0 +1,162 @@
+"""Training-data curation query plans — ops/curation.py surfaced through
+the driver contract with exact DuckDB oracles.
+
+The split/repetition/decontamination math is integer or int/int-double
+arithmetic only (see plans/_parity.py), and the split hash is the
+cross-engine md5 bucket from ops/sketches.py — every query here is fully
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from counsel_data_pipeline_spark.catalog import register
+from counsel_data_pipeline_spark.io.sources import load_table
+from counsel_data_pipeline_spark.ops import curation as cu
+from counsel_data_pipeline_spark.ops import text_analysis as ta
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_SQL_SPLIT_BUCKET = (
+    "CAST(concat('0x', substr(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8)) "
+    "AS UBIGINT) % 100"
+)
+
+
+@register(
+    "curation_hash_split",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len({_SQL_TOKENS}) AS n_tok,
+                 {_SQL_SPLIT_BUCKET} AS b
+          FROM documents
+        )
+        SELECT CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               sum(n_tok) AS total_tokens,
+               CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_tokens,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM t GROUP BY 1
+    """,
+    description="deterministic md5-hash train/val/test split (80/10/10) with per-split token stats",
+    tags=("llm", "curation"),
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            cu.split_assign(F.col("doc_id")).alias("split"),
+            ta.token_count(F.col("text")).alias("n_tok"),
+            "doc_id",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "curation_repetition_scores",
+    oracle=f"""
+        WITH g AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(string_split_regex({_SQL_NORM}, ' ')) - 1),
+                                i -> array_to_string(
+                                       string_split_regex({_SQL_NORM}, ' ')[i:i+2], ' '))
+                   AS grams
+          FROM documents
+        )
+        SELECT doc_id,
+               len(grams) AS n_grams,
+               len(list_distinct(grams)) AS n_distinct,
+               CASE WHEN len(grams) > 0
+                    THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                               / len(grams), 6)
+                    ELSE 0.0 END AS repetition
+        FROM g
+    """,
+    description="per-doc boilerplate score: repeated-trigram ratio (1 - distinct/total)",
+    tags=("llm", "curation", "text"),
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = ta.word_shingles(ta.norm_text(F.col("text")), 3)
+    return docs.select(
+        "doc_id",
+        F.size(sh).alias("n_grams"),
+        F.size(F.array_distinct(sh)).alias("n_distinct"),
+        cu.repetition_ratio(F.col("text"), 3).alias("repetition"),
+    )
+
+
+@register(
+    "curation_decontam_overlap",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, source, string_split_regex({_SQL_NORM}, ' ') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, source,
+                 unnest(list_transform(range(1, len(t) - 6),
+                        i -> array_to_string(t[i:i+7], ' '))) AS shingle
+          FROM tok
+        ),
+        c AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+        b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE source = 'src0')
+        SELECT c.doc_id,
+               count(DISTINCT shingle) AS n_shared_shingles,
+               count(DISTINCT bench_id) AS n_benchmark_docs
+        FROM c JOIN b USING (shingle)
+        GROUP BY c.doc_id
+    """,
+    description="benchmark decontamination: corpus docs sharing 8-gram shingles with the 'src0' eval set",
+    tags=("llm", "curation", "dedup"),
+)
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.decontaminate(
+        corpus=docs.filter(F.col("source") != "src0"),
+        benchmark=docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+@register(
+    "curation_numeric_scrub_props",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')))
+                 AS digit_chars,
+               count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))
+                 AS n_masked_forms
+        FROM events
+        GROUP BY event_type
+    """,
+    description="scrub/anonymize numeric payloads: digit-char volume and distinct masked shapes per event type",
+    tags=("llm", "curation", "events"),
+)
+def numeric_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n_digits, masked = cu.digit_scrub_stats(F.col("props"))
+    return (
+        ev.select("event_type", n_digits.alias("nd"), masked.alias("masked"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("nd").alias("digit_chars"),
+            F.countDistinct("masked").alias("n_masked_forms"),
+        )
+    )

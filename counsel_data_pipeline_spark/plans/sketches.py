@@ -1,0 +1,141 @@
+"""Sketch query plans — ops/sketches.py surfaced through the driver
+contract.
+
+Count-min and Bloom use the cross-engine md5 bucket hash, so the ENTIRE
+sketch (counters / bitmap words) is reproduced bit-for-bit by DuckDB and
+the estimates are fully oracle-checked — including the approximation
+error columns. HLL and quantile sketches are engine-internal
+(HyperLogLog++ / percentile_approx) and register rows-only; their error
+bounds are asserted in tests/test_sketches.py against exact answers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from counsel_data_pipeline_spark.catalog import register
+from counsel_data_pipeline_spark.io.sources import load_table
+from counsel_data_pipeline_spark.ops import sketches as sk
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+_BLOOM_K, _BLOOM_M = 3, 4096
+
+
+def _bucket_sql(key_sql: str, width: int) -> str:
+    """DuckDB twin of ops/sketches.md5_bucket with a `seed` COLUMN in scope."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), ':', "
+        f"CAST({key_sql} AS VARCHAR))), 1, 8)) AS UBIGINT) % {width}"
+    )
+
+
+@register(
+    "sketch_cms_user_counts",
+    oracle=f"""
+        WITH seeds AS (SELECT unnest(range({_CMS_DEPTH})) AS seed),
+        cms AS (
+          SELECT seed, {_bucket_sql('user_id', _CMS_WIDTH)} AS bucket,
+                 count(*) AS cnt
+          FROM events CROSS JOIN seeds
+          GROUP BY 1, 2
+        ),
+        probes AS (SELECT DISTINCT user_id AS key FROM events),
+        est AS (
+          SELECT key, min(cnt) AS est_cnt
+          FROM (SELECT key, seed, {_bucket_sql('key', _CMS_WIDTH)} AS bucket
+                FROM probes CROSS JOIN seeds) p
+          JOIN cms USING (seed, bucket)
+          GROUP BY key
+        ),
+        tru AS (SELECT user_id AS key, count(*) AS true_cnt FROM events GROUP BY 1)
+        SELECT key, est_cnt, true_cnt, est_cnt - true_cnt AS overestimate
+        FROM est JOIN tru USING (key)
+    """,
+    description=f"count-min sketch ({_CMS_DEPTH}x{_CMS_WIDTH}) frequency estimates per user vs true counts",
+    tags=("sketch", "events"),
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sketch = sk.cms_build(ev, "user_id", _CMS_DEPTH, _CMS_WIDTH)
+    probes = ev.select("user_id").distinct()
+    est = sk.cms_estimate(sketch, probes, "user_id", _CMS_DEPTH, _CMS_WIDTH)
+    true = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    return est.join(true, "key").select(
+        "key", "est_cnt", "true_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).alias("overestimate"),
+    )
+
+
+@register(
+    "sketch_bloom_custkey_probe",
+    oracle=f"""
+        WITH seeds AS (SELECT unnest(range({_BLOOM_K})) AS seed),
+        pos AS (
+          SELECT DISTINCT {_bucket_sql('o_custkey', _BLOOM_M)} AS pos
+          FROM orders CROSS JOIN seeds
+        ),
+        words AS (
+          SELECT pos // 32 AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+          FROM pos GROUP BY 1
+        ),
+        probe_pos AS (
+          SELECT c_custkey AS key, {_bucket_sql('c_custkey', _BLOOM_M)} AS pos
+          FROM customer CROSS JOIN seeds
+        ),
+        hits AS (
+          SELECT key,
+                 coalesce((bits >> CAST(pos % 32 AS INT)) & 1, 0) = 1 AS bit_set
+          FROM probe_pos LEFT JOIN words ON (pos // 32) = word
+        ),
+        may AS (SELECT key, bool_and(bit_set) AS may_contain FROM hits GROUP BY key),
+        members AS (SELECT DISTINCT o_custkey AS key FROM orders)
+        SELECT may.key, may_contain,
+               members.key IS NOT NULL AS is_member
+        FROM may LEFT JOIN members USING (key)
+    """,
+    description=f"Bloom filter ({_BLOOM_M} bits, k={_BLOOM_K}) over ordering customers, probed by every customer",
+    tags=("sketch", "join-prefilter"),
+)
+def bloom_custkey_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    bloom = sk.bloom_build(orders, "o_custkey", _BLOOM_K, _BLOOM_M)
+    probed = sk.bloom_probe(bloom, customer, "c_custkey", _BLOOM_K, _BLOOM_M)
+    members = orders.select(F.col("o_custkey").alias("key")).distinct().withColumn(
+        "is_member", F.lit(True)
+    )
+    return probed.join(members, "key", "left").select(
+        "key", "may_contain", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+
+
+@register(
+    "sketch_hll_distinct_users",
+    oracle=None,  # HyperLogLog++ internals are engine-specific; error bound pytest-checked
+    description="approx_count_distinct (HLL++) users per event type — the no-shuffle COUNT(DISTINCT) at scale",
+    tags=("sketch", "events"),
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sk.hll_distinct(ev, ["event_type"], "user_id", rsd=0.02).orderBy("event_type")
+
+
+@register(
+    "sketch_value_quantiles",
+    oracle=None,  # percentile_approx sketch is engine-specific; error bound pytest-checked
+    description="approximate p50/p90/p99 of event value per type (single-pass mergeable quantile sketch)",
+    tags=("sketch", "events"),
+)
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = sk.approx_quantiles(ev, ["event_type"], "value", [0.5, 0.9, 0.99])
+    return out.select(
+        "event_type",
+        F.col("approx_quantiles")[0].alias("p50"),
+        F.col("approx_quantiles")[1].alias("p90"),
+        F.col("approx_quantiles")[2].alias("p99"),
+    ).orderBy("event_type")

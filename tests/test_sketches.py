@@ -1,0 +1,191 @@
+"""Sketch + curation operators: approximation guarantees and semantic
+properties that the DuckDB oracle can't express (error bounds of
+engine-internal sketches; determinism/stability of hash splits; PII
+redaction on planted fixtures)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from counsel_data_pipeline_spark.ops import curation as cu
+from counsel_data_pipeline_spark.ops import sketches as sk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from counsel_data_pipeline_spark.io.sources import load_table
+
+    return load_table(spark, SF, "events").cache()
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates(events):
+    sketch = sk.cms_build(events, "user_id", depth=4, width=64)
+    probes = events.select("user_id").distinct()
+    est = sk.cms_estimate(sketch, probes, "user_id", depth=4, width=64)
+    true = events.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    joined = est.join(true, "key").collect()
+    assert len(joined) > 0
+    assert all(r.est_cnt >= r.true_cnt for r in joined)
+
+
+def test_cms_error_bound(events):
+    # Standard CM guarantee: err <= e/width * N with prob 1 - e^-depth per
+    # key; assert the MEDIAN overestimate stays within 2N/width (loose).
+    n = events.count()
+    sketch = sk.cms_build(events, "user_id", depth=4, width=64)
+    probes = events.select("user_id").distinct()
+    est = sk.cms_estimate(sketch, probes, "user_id", depth=4, width=64)
+    true = events.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    errs = sorted(
+        r.est_cnt - r.true_cnt for r in est.join(true, "key").collect()
+    )
+    assert errs[len(errs) // 2] <= 2 * n / 64
+
+
+def test_cms_sketch_size_bounded(events):
+    sketch = sk.cms_build(events, "user_id", depth=4, width=64)
+    assert sketch.count() <= 4 * 64
+
+
+# ---------------------------------------------------------------------------
+# bloom
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark, events):
+    members = events.filter(F.col("event_type") == "purchase")
+    bloom = sk.bloom_build(members, "user_id", n_hashes=3, m_bits=4096)
+    probes = events.select("user_id").distinct()
+    probed = sk.bloom_probe(bloom, probes, "user_id", n_hashes=3, m_bits=4096)
+    actual = members.select(F.col("user_id").alias("key")).distinct()
+    missed = actual.join(probed.filter(~F.col("may_contain")), "key").count()
+    assert missed == 0
+
+
+def test_bloom_filters_some_nonmembers(spark):
+    # Disjoint probe set far from the member keys: most must be rejected.
+    members = spark.range(0, 500).select(F.col("id").alias("k"))
+    bloom = sk.bloom_build(members, "k", n_hashes=3, m_bits=8192)
+    probes = spark.range(1_000_000, 1_001_000).select(F.col("id").alias("k"))
+    probed = sk.bloom_probe(bloom, probes, "k", n_hashes=3, m_bits=8192)
+    fp = probed.filter(F.col("may_contain")).count()
+    # designed fp rate ~ (1-exp(-3*500/8192))^3 ~ 0.5% ; allow 5%
+    assert fp <= 50
+
+
+# ---------------------------------------------------------------------------
+# engine-native sketches vs exact
+# ---------------------------------------------------------------------------
+
+
+def test_hll_within_relative_error(events):
+    approx = {
+        r.event_type: r.approx_distinct
+        for r in sk.hll_distinct(events, ["event_type"], "user_id", rsd=0.02).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(2, 0.1 * exact[k])
+
+
+def test_approx_quantiles_bracket_exact(events):
+    out = sk.approx_quantiles(events, ["event_type"], "value", [0.5], accuracy=10000)
+    approx = {r.event_type: r.approx_quantiles[0] for r in out.collect()}
+    exact = {
+        r.event_type: r.m
+        for r in events.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    for k in exact:
+        lo, hi = (
+            events.filter(F.col("event_type") == k)
+            .agg(F.min("value"), F.max("value"))
+            .first()
+        )
+        assert lo <= approx[k] <= hi
+        # high accuracy on a small table: approx median ~ exact median
+        assert abs(approx[k] - exact[k]) <= 0.05 * max(1.0, abs(exact[k]))
+
+
+# ---------------------------------------------------------------------------
+# curation
+# ---------------------------------------------------------------------------
+
+
+def test_split_deterministic_and_proportional(spark):
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    a = df.select("doc_id", cu.split_assign(F.col("doc_id")).alias("s"))
+    counts = {r.s: r.n for r in a.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 0.80) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.10) < 0.02
+    # stability: same ids → same split on re-evaluation and under reshuffle
+    b = df.repartition(13).select("doc_id", cu.split_assign(F.col("doc_id")).alias("s"))
+    assert a.exceptAll(b).count() == 0
+
+
+def test_pii_redaction(spark):
+    rows = [
+        ("contact me at alice@example.com or +1 (555) 123-4567", 1),
+        ("no pii here", 0),
+        ("bob.smith+tag@sub.domain.org wrote", 1),
+    ]
+    df = spark.createDataFrame(rows, ["text", "has_mail"])
+    out = df.select(
+        "text", "has_mail",
+        cu.email_count(F.col("text")).alias("n_mail"),
+        cu.redact_pii(F.col("text")).alias("red"),
+    ).collect()
+    for r in out:
+        assert r.n_mail == r.has_mail
+        assert "@" not in r.red
+        assert "555" not in r.red
+
+
+def test_repetition_ratio_extremes(spark):
+    df = spark.createDataFrame(
+        [("a b c a b c a b c a b c",), ("one two three four five six",), ("hi",)],
+        ["text"],
+    )
+    vals = [
+        r.rep
+        for r in df.select(cu.repetition_ratio(F.col("text"), 3).alias("rep")).collect()
+    ]
+    looped, unique, short = vals
+    assert looped > 0.5          # period-3 loop: almost every trigram repeats
+    assert unique == 0.0         # all trigrams distinct
+    assert short == 0.0          # shorter than n → defined as 0
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog today suffix"),
+            (2, "completely different content with no overlap at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = cu.decontaminate(corpus, bench, n=8).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].n_benchmark_docs == 1
+    assert out[0].n_shared_shingles >= 3
