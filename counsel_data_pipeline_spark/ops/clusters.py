@@ -1,0 +1,85 @@
+"""Connected components over near-duplicate pairs — pairs → dedup CLUSTERS.
+
+Pairwise near-dup output (ops/text_dedup) is not yet a dedup decision: if
+A~B and B~C, all three must collapse to ONE canonical doc even when A~C
+scored below threshold. That closure is a connected-components problem —
+inherently iterative, the one operator in the dedup family that a single
+SQL query can't express (the DuckDB oracle uses a recursive CTE instead).
+
+Algorithm: min-label propagation. Every node starts labeled with its own
+id; each round a node takes the min of its label and its neighbors'
+labels; fixpoint = component id (the component's minimum node id — a
+deterministic canonical representative, same rule as exact_dedup's
+min(doc_id) survivor).
+
+Scale design:
+  - Each round is one shuffle (join on node id + min-aggregate); rounds
+    needed = graph diameter, and near-dup graphs are shallow (clusters of
+    copies, diameter ≲ 5-6), so the loop is short.
+  - localCheckpoint() every round truncates the lineage — without it the
+    plan doubles per iteration and the driver, not the data, becomes the
+    bottleneck.
+  - Convergence is detected with a count of changed labels (one cheap
+    action per round); max_rounds bounds the worst case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Components of the undirected graph given as (src, dst) pairs.
+
+    Returns (id, component): one row per node appearing in any edge,
+    component = min node id reachable from it.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.select("id", "comp")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Near-dup pairs → (doc_id, cluster_id, cluster_size). cluster_id is
+    the min doc id of the component (the canonical survivor)."""
+    cc = connected_components(pairs, src, dst)
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )

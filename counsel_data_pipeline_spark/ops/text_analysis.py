@@ -75,6 +75,23 @@ def lang_id(c: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer, lookahead-free so Java regex (Spark) and RE2
+# (DuckDB) agree: contraction suffixes, optional-space letter runs, digit
+# runs, punctuation runs, whitespace runs.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_tokens(c: Column) -> Column:
+    """BPE-ish pre-tokenization (subword-boundary candidates). Whitespace
+    runs are dropped — they never become standalone BPE tokens."""
+    raw = F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), F.lit(0))
+    return F.filter(raw, lambda t: ~t.rlike(r"^\s+$"))
+
+
+def bpe_token_count(c: Column) -> Column:
+    return F.size(bpe_tokens(c))
+
+
 def norm_text(c: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, whitespace collapsed."""
     return F.lower(F.regexp_replace(F.trim(c), WS, " "))

@@ -103,6 +103,63 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_connected_clusters",
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS t FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs
+        ),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        comp AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        )
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
+    """,
+    description="near-dup pairs closed into dedup clusters: iterative min-label "
+    "connected components (oracle: recursive-CTE transitive closure)",
+    tags=("llm", "dedup", "iterative"),
+)
+def connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.clusters import dedup_clusters
+
+    pairs = td.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_df=None
+    ).select("id_a", "id_b")
+    return dedup_clusters(pairs)
+
+
+@register(
     "dedup_embedding_cosine_topn",
     oracle="""
         WITH emb AS (

@@ -208,6 +208,39 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_token_counts",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 len(list_filter(
+                       regexp_extract_all(text,
+                         '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'),
+                       x -> NOT regexp_matches(x, '^\\s+$')))
+                   AS n_bpe,
+                 len({_SQL_TOKENS}) AS n_ws
+          FROM documents
+        )
+        SELECT doc_id, lang, n_bpe, n_ws,
+               round(CAST(n_bpe AS DOUBLE) / n_ws, 6) AS fertility
+        FROM t
+    """,
+    description="BPE-ish regex token counts (GPT-2 pre-tokenizer, lookahead-free) vs whitespace tokens",
+    tags=("llm", "text"),
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_bpe = ta.bpe_token_count(text)
+    n_ws = ta.token_count(text)
+    return docs.select(
+        "doc_id", "lang",
+        n_bpe.alias("n_bpe"),
+        n_ws.alias("n_ws"),
+        F.round(n_bpe.cast("double") / n_ws, 6).alias("fertility"),
+    )
+
+
+@register(
     "text_top_ngrams_per_lang",
     oracle=f"""
         WITH grams AS (
