@@ -46,6 +46,7 @@ _SQL_SPLIT_BUCKET = (
     """,
     description="deterministic md5-hash train/val/test split (80/10/10) with per-split token stats",
     tags=("llm", "curation"),
+    bench=True,
 )
 def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -54,6 +54,7 @@ def _bucket_sql(key_sql: str, width: int) -> str:
     """,
     description=f"count-min sketch ({_CMS_DEPTH}x{_CMS_WIDTH}) frequency estimates per user vs true counts",
     tags=("sketch", "events"),
+    bench=True,
 )
 def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
