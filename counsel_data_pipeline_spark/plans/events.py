@@ -359,3 +359,43 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
     )
+
+
+@register(
+    "events_weekly_cohort_retention",
+    oracle="""
+        -- classic cohort triangle: users grouped by first-activity week,
+        -- counted in each subsequent week they return.
+        WITH first_seen AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        activity AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+          FROM events
+        )
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+               CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+               count(*) AS n_active_users
+        FROM activity JOIN first_seen USING (user_id)
+        GROUP BY 1, 2
+    """,
+    description="weekly cohort retention triangle (first-activity cohort x return-week offset)",
+    tags=("events", "cohort"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

@@ -753,3 +753,44 @@ def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.90D)").alias("p90"),
         F.expr("percentile(o_totalprice, 0.99D)").alias("p99"),
     )
+
+
+@register(
+    "tpch_q19_like_disjunctive",
+    oracle=f"""
+        -- q19's shape with the columns this schema has: an OR of AND-blocks
+        -- mixing part attributes and lineitem ranges. Catalyst must push the
+        -- partkey-joinable disjunction through the join (no cross product).
+        SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 35)
+           OR (p_size BETWEEN 40 AND 50 AND l_quantity >= 40)
+    """,
+    description="q19-style disjunction of conjunctive predicate blocks across the part join",
+    tags=("tpch", "filter"),
+)
+def q19_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (F.col("p_size").between(40, 50) & (F.col("l_quantity") >= 40))
+    )
+    return joined.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

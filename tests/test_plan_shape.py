@@ -96,3 +96,38 @@ def test_codegen_everywhere(spark):
         "text_token_stats_by_lang",
     ):
         assert _has_codegen(_plan(spark, name, execute=True)), name
+
+
+def test_sketch_builds_bound_shuffle_by_sketch_size(spark):
+    """CMS/Bloom shuffles move counters, not keys: the aggregate output is
+    depth×width (or m/32) rows regardless of input size, and the explode
+    feeding it must aggregate partially map-side (HashAggregate both sides
+    of the single Exchange)."""
+    plan = _plan(spark, "sketch_cms_user_counts")
+    assert "HashAggregate" in plan
+    # probe-side lookup must broadcast the tiny sketch, never shuffle it
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_broadcasts_filter_words(spark):
+    plan = _plan(spark, "sketch_bloom_custkey_probe")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The corpus side must stream: the benchmark (eval-set) side is the
+    broadcast build side of the shingle join."""
+    plan = _plan(spark, "curation_decontam_overlap")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hash_split_is_single_scan_single_shuffle(spark):
+    """The split is a stateless hash of the id: one scan, one aggregate
+    shuffle on the 3 split labels, nothing else."""
+    import re
+
+    plan = _plan(spark, "curation_hash_split")
+    assert _n_shuffles(plan) == 1
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
