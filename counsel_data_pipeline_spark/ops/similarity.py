@@ -116,6 +116,67 @@ def near_dup_pairs_topn(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) centroid training for IVF — the
+    'drop-in upgrade' over lowest-id seeding.
+
+    Each iteration: assign every vector to its max-cosine centroid (one
+    broadcast of the tiny centroid table — the corpus never shuffles),
+    then recompute each cell's mean vector (one hash aggregate with dim
+    partial-avg columns, map-side combined). localCheckpoint() truncates
+    the per-iteration lineage, same discipline as ops/clusters.py. Cells
+    that lose all members drop out (n_centroids is an upper bound).
+
+    Deterministic: seed = lowest-id vectors, assignment ties broken by
+    struct comparison — reruns converge identically.
+
+    Returns (__cid, __cv, __cn) ready for ``ivf_topk(centroids_df=...)``.
+    """
+    emb = corpus.select(
+        F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
+    ).withColumn("__norm", l2_norm(F.col("__v")))
+
+    cents = (
+        emb.orderBy("__id")
+        .limit(n_centroids)
+        .select(
+            F.col("__id").alias("__cid"),
+            F.col("__v").alias("__cv"),
+            F.col("__norm").alias("__cn"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iters):
+        sim = emb.crossJoin(F.broadcast(cents)).select(
+            "__id",
+            F.struct(
+                (
+                    dot(F.col("__v"), F.col("__cv"))
+                    / (F.col("__norm") * F.col("__cn"))
+                ).alias("csim"),
+                F.col("__cid").alias("cid"),
+                F.col("__v").alias("v"),
+            ).alias("s"),
+        )
+        best = sim.groupBy("__id").agg(F.max("s").alias("s"))
+        assigned = best.select(F.col("s.cid").alias("__cid"), F.col("s.v").alias("__v"))
+        new_cv = F.array(*[F.avg(F.col("__v")[d]) for d in range(dim)])
+        cents = (
+            assigned.groupBy("__cid")
+            .agg(new_cv.alias("__cv"))
+            .withColumn("__cn", l2_norm(F.col("__cv")))
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_ids: list[int],
@@ -124,6 +185,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids_df: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) lists — the classic ANN
     scale path: partition the corpus into ``n_centroids`` Voronoi cells,
@@ -141,7 +203,7 @@ def ivf_topk(
         F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
     ).withColumn("__norm", l2_norm(F.col("__v")))
 
-    centroids = (
+    centroids = centroids_df if centroids_df is not None else (
         emb.orderBy("__id")
         .limit(n_centroids)
         .select(

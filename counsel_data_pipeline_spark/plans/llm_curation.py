@@ -161,3 +161,38 @@ def numeric_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("masked").alias("n_masked_forms"),
         )
     )
+
+
+_SQL_STRATA_PCT = (
+    "CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30 ELSE 10 END"
+)
+
+
+@register(
+    "curation_stratified_sample",
+    oracle=f"""
+        -- deterministic hash-thresholded stratified sampling: per-language
+        -- rates (en 50%, zh 30%, rest 10%), stable under growth/reshuffle
+        -- (a doc's membership never changes as the corpus grows — the
+        -- property random()-based sampling lacks at scale).
+        SELECT doc_id, lang,
+               {_SQL_SPLIT_BUCKET.replace("'42:'", "'7:'")} AS bucket
+        FROM documents
+        WHERE {_SQL_SPLIT_BUCKET.replace("'42:'", "'7:'")} < {_SQL_STRATA_PCT}
+    """,
+    description="deterministic stratified sample: per-language md5-hash thresholds",
+    tags=("llm", "curation", "sampling"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.sketches import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = md5_bucket(F.col("doc_id"), 7, 100)
+    pct = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "zh", 30)
+        .otherwise(10)
+    )
+    return docs.select("doc_id", "lang", b.alias("bucket")).filter(
+        F.col("bucket") < pct
+    )

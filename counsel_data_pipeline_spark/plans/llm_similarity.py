@@ -137,3 +137,17 @@ def neighbor_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_neighbor_tokens"),
         )
     )
+
+
+@register(
+    "sim_ivf_kmeans_topk",
+    oracle=None,  # trained-centroid ANN is approximate by construction; recall floor pytest-checked
+    description="IVF top-k with spherical k-means trained centroids (Lloyd's, 3 iterations)",
+    tags=("llm", "similarity", "ann", "iterative"),
+)
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, n_centroids=16, n_iters=3)
+    return sim.ivf_topk(
+        emb, QUERY_IDS, k=K, n_probe=4, centroids_df=cents
+    ).orderBy("query_id", "rank")

@@ -171,3 +171,37 @@ def balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "window_rolling_7day_user_value",
+    oracle="""
+        -- event-time RANGE frame: per user, sum of value over the trailing
+        -- 7 days (inclusive) at each event. Decimal sum keeps the rolling
+        -- total exact and engine-independent.
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               CAST(round(sum(CAST(value AS DECIMAL(30,6))) OVER (
+                      PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+                    ), 6) AS DOUBLE) AS rolling_7d_value
+        FROM events
+    """,
+    description="time-RANGE window frame: trailing-7-day rolling sum per user",
+    tags=("events", "window", "window-time"),
+)
+def rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # RANGE frames need a numeric ordering column in Spark: order by epoch
+    # microseconds, frame = [-7 days, 0] in the same unit.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        to_double(F.sum(dec("value")).over(w), 6).alias("rolling_7d_value"),
+    )

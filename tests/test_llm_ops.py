@@ -112,3 +112,52 @@ def test_embedding_near_dup_topn_matches_bruteforce(spark):
         assert a["cosine"] >= b["cosine"]
     for r in got:
         assert r["id_a"] < r["id_b"]
+
+
+def test_kmeans_ivf_recall_floor_and_balance(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = list(range(8))
+    exact = sim.cosine_topk(emb, queries, k=10).collect()
+    cents = sim.kmeans_centroids(emb, n_centroids=16, n_iters=3)
+    approx = sim.ivf_topk(emb, queries, k=10, n_probe=4, centroids_df=cents).collect()
+    exn, apn = defaultdict(set), defaultdict(set)
+    for r in exact:
+        exn[r["query_id"]].add(r["neighbor_id"])
+    for r in approx:
+        apn[r["query_id"]].add(r["neighbor_id"])
+    recall = sum(len(exn[q] & apn[q]) for q in exn) / (10 * len(exn))
+    assert recall >= 0.4, f"k-means IVF recall@10 degraded: {recall}"
+
+
+def test_kmeans_improves_objective(spark):
+    """Lloyd's iterations must not worsen the spherical k-means objective
+    (mean max-cosine of vectors to their centroid)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+
+    def objective(cents):
+        e = emb.select(
+            F.col("vec_id").alias("rid"),
+            sim.as_double_array(F.col("embedding")).alias("__v"),
+        ).withColumn("__norm", sim.l2_norm(F.col("__v")))
+        s = e.crossJoin(F.broadcast(cents)).select(
+            "rid",
+            (sim.dot(F.col("__v"), F.col("__cv")) / (F.col("__norm") * F.col("__cn"))).alias("c"),
+        )
+        return (
+            s.groupBy("rid").agg(F.max("c").alias("mc")).agg(F.avg("mc")).first()[0]
+        )
+
+    seed = sim.kmeans_centroids(emb, n_centroids=16, n_iters=0)
+    trained = sim.kmeans_centroids(emb, n_centroids=16, n_iters=3)
+    assert objective(trained) >= objective(seed) - 1e-9
+
+
+def test_kmeans_deterministic(spark):
+    emb = load_table(spark, SF, "embeddings")
+    a = sim.kmeans_centroids(emb, n_centroids=8, n_iters=2).collect()
+    b = sim.kmeans_centroids(emb, n_centroids=8, n_iters=2).collect()
+    ka = sorted((r["__cid"], tuple(r["__cv"])) for r in a)
+    kb = sorted((r["__cid"], tuple(r["__cv"])) for r in b)
+    assert ka == kb
