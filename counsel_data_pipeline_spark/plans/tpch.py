@@ -794,3 +794,40 @@ def q19_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "tpch_copurchase_part_pairs",
+    oracle="""
+        -- co-occurrence analytics: the 20 part pairs most often appearing
+        -- in the same order (lineitem self-join on orderkey).
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 20
+    """,
+    description="top-20 co-purchased part pairs via orderkey self-join (deterministic tiebreak)",
+    tags=("tpch", "co-occurrence"),
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("l_orderkey"),
+        F.col("l_partkey").alias("part_b"),
+    )
+    pairs = (
+        li.withColumnRenamed("l_partkey", "part_a")
+        .join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b").limit(20)

@@ -120,3 +120,21 @@ def sliding_6h_daily(events: DataFrame, watermark: str = "2 hours") -> DataFrame
             "sum_value",
         )
     )
+
+
+def stream_static_enriched_hourly(events: DataFrame, user_dim: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-static join: enrich the event stream with a static dimension
+    (no state needed on the static side — each micro-batch joins against
+    the table as-of that batch; at scale the dim is broadcast), then a
+    watermarked tumbling count per (hour, dim attribute)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .join(user_dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "tier",
+            "n_events",
+        )
+    )

@@ -3,6 +3,8 @@ aggregations must produce exactly the batch plans' results when run with
 Trigger.AvailableNow over the same files (the reference's cron-micro-batch
 execution model, SURVEY §2.10 T4)."""
 
+from pyspark.sql import functions as F
+
 from counsel_data_pipeline_spark.catalog import all_queries
 from counsel_data_pipeline_spark.streaming import windows as sw
 
@@ -68,3 +70,27 @@ def test_stream_sliding_equals_batch(spark):
                 ["win_start", "n_events", "sum_value"])
     exp = _rows(batch, ["win_start", "n_events", "sum_value"])
     assert got == exp and len(got) > 50
+
+
+def test_stream_static_join_matches_batch(spark):
+    """Stream-static dimension enrichment: streamed result ≡ the same plan
+    over the batch reader."""
+    from counsel_data_pipeline_spark.io.sources import load_table
+
+    user_dim = (
+        load_table(spark, SF, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std"))
+    )
+    stream = sw.stream_events(spark, SF)
+    cols = ["hour_start", "tier", "n_events"]
+    got = _rows(
+        sw.run_available_now(
+            sw.stream_static_enriched_hourly(stream, user_dim), "stream_static"
+        ),
+        cols,
+    )
+    batch_events = load_table(spark, SF, "events")
+    want = _rows(sw.stream_static_enriched_hourly(batch_events, user_dim), cols)
+    assert got == want
