@@ -278,3 +278,58 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+        -- distinctive-term extraction. idf is the exact ratio N/df rather
+        -- than log(N/df): ranking is identical (log is monotone) and the
+        -- arithmetic stays integer-exact across engines (no libm log).
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex({_SQL_NORM}, ' ')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf, df,
+                 CAST(tf * n AS DOUBLE) / df AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n
+          WHERE doc_id < 100
+        )
+        SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+          FROM scored
+        ) WHERE rnk <= 3
+    """,
+    description="top-3 distinctive terms per doc by tf-idf (exact ratio idf — rank-equivalent to log idf)",
+    tags=("llm", "text", "topk"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(ta.norm_text(F.col("text")), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.filter(F.col("doc_id") < 100)
+        .join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            ((F.col("tf") * F.col("n")).cast("double") / F.col("df")).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
