@@ -31,8 +31,13 @@ def main() -> None:
     spark = get_spark("bench")
     queries = {n: q for n, q in all_queries().items() if q.bench}
 
-    # Warm up the JVM / parquet footer cache so q1 doesn't pay session startup.
+    # Warm up the JVM / parquet footer cache so the first timed query doesn't
+    # pay session startup: touch both fact tables (events goes through
+    # load_table for the nanos-timestamp conf).
+    from counsel_data_pipeline_spark.io.sources import load_table
+
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    load_table(spark, sf_dir, "events").count()
 
     per_query: dict[str, float] = {}
     t_all = time.time()

@@ -188,3 +188,60 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from counsel_data_pipeline_spark.ops import similarity as sim
 
     return sim.near_dup_pairs_topn(load_table(spark, sf_dir, "embeddings"), top_n=50)
+
+
+@register(
+    "dedup_fuzzy_fingerprint_block",
+    oracle=f"""
+        -- fuzzy dedup: winnowing-fingerprint blocking (docs sharing their
+        -- minimum 5-gram md5) then exact edit-distance verification —
+        -- blocking makes the quadratic levenshtein run on O(candidates).
+        WITH t AS (
+          SELECT doc_id, {_SQL_NORM} AS norm,
+                 string_split_regex({_SQL_NORM}, ' ') AS tok
+          FROM documents
+        ),
+        fp AS (
+          SELECT doc_id, norm,
+                 list_min(list_transform(range(1, len(tok) - 3),
+                          i -> md5(array_to_string(tok[i:i+4], ' ')))) AS fp
+          FROM t
+        ),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.norm AS na, b.norm AS nb
+          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               levenshtein(na, nb) AS edit_dist,
+               length(na) AS len_a, length(nb) AS len_b
+        FROM cand
+        WHERE levenshtein(na, nb) <= 40
+    """,
+    description="fuzzy near-dup pairs: min-shingle fingerprint blocking + levenshtein verify",
+    tags=("llm", "dedup", "fuzzy"),
+)
+def fuzzy_fingerprint_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops import text_analysis as ta
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = ta.norm_text(F.col("text"))
+    fp = docs.select(
+        "doc_id",
+        norm.alias("norm"),
+        ta.shingle_fingerprint(norm, n=5).alias("fp"),
+    )
+    a = fp.select(
+        F.col("doc_id").alias("id_a"), F.col("norm").alias("na"), "fp"
+    )
+    b = fp.select(
+        F.col("doc_id").alias("id_b"), F.col("norm").alias("nb"), "fp"
+    )
+    cand = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("na", "nb"))
+        .filter(F.col("edit_dist") <= 40)
+        .select(
+            "id_a", "id_b", "edit_dist",
+            F.length("na").alias("len_a"), F.length("nb").alias("len_b"),
+        )
+    )
