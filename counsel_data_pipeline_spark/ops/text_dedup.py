@@ -122,8 +122,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) — sig[i] = min over shingles of
     xxhash64(i, shingle). One explode + one groupBy computing all H mins
-    map-side (partial aggregation), i.e. a single shuffle of H longs per doc."""
-    sh = _doc_shingles(df, id_col, text_col, n)
+    map-side (partial aggregation), i.e. a single shuffle of H longs per doc.
+
+    No distinct() on the shingle stream: duplicate shingles cannot change a
+    min, and skipping the dedup drops an entire extra shuffle of the raw
+    (id, shingle) pairs — at 100 TB that shuffle IS the cost."""
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
+    )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(n_hashes)
