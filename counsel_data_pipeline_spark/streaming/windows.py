@@ -138,3 +138,16 @@ def stream_static_enriched_hourly(events: DataFrame, user_dim: DataFrame, waterm
             "n_events",
         )
     )
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once ingestion: drop duplicate events by key with
+    state bounded by the watermark (dropDuplicatesWithinWatermark keeps a
+    key's dedup state only until the watermark passes it — infinite streams,
+    finite state; plain dropDuplicates on a stream would grow state
+    forever). The at-least-once → exactly-once bridge for replayed sources."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
