@@ -399,3 +399,57 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@register(
+    "events_zscore_anomalies",
+    oracle="""
+        -- outlier detection with cross-engine-exact moments: sums of value
+        -- and value^2 in DECIMAL (exact), then mean/variance/z in identical
+        -- double expressions (sqrt is IEEE-correctly-rounded in both).
+        WITH m AS (
+          SELECT event_type,
+                 count(*) AS n,
+                 CAST(round(sum(CAST(value AS DECIMAL(15,6))), 6) AS DOUBLE) AS s,
+                 CAST(round(sum(CAST(value AS DECIMAL(15,6))
+                                * CAST(value AS DECIMAL(15,6))), 6) AS DOUBLE) AS sq
+          FROM events GROUP BY event_type
+        ),
+        stats AS (
+          SELECT event_type, s / n AS mean,
+                 sqrt(sq / n - (s / n) * (s / n)) AS std
+          FROM m
+        )
+        SELECT event_id, e.event_type, value,
+               round((value - mean) / std, 6) AS z
+        FROM events e JOIN stats USING (event_type)
+        ORDER BY abs((value - mean) / std) DESC, event_id
+        LIMIT 20
+    """,
+    description="top-20 value outliers by per-type z-score (decimal-exact moments)",
+    tags=("events", "stats", "anomaly"),
+)
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(15,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(d), 6).cast("double").alias("s"),
+        F.round(F.sum(d * d), 6).cast("double").alias("sq"),
+    )
+    stats = m.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.col("sq") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        ).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"), z.alias("__z"))
+        .orderBy(F.abs(F.col("__z")).desc(), "event_id")
+        .limit(20)
+        .drop("__z")
+    )
