@@ -831,3 +831,55 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     return pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b").limit(20)
+
+
+@register(
+    "tpch_quantity_discount_correlation",
+    oracle="""
+        -- Pearson r per group without the engine's corr() (whose float
+        -- accumulation order is engine-specific): decimal-exact sums of
+        -- x, y, x^2, y^2, xy, then one identical double expression.
+        -- DECIMAL(15,2) casts are exact (2-dp source values) and keep every
+        -- unscaled sum far below 2^53, so the decimal->double conversions
+        -- are bit-identical (plans/_parity.py rules).
+        WITH m AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 CAST(round(sum(CAST(l_quantity AS DECIMAL(15,2))), 4) AS DOUBLE) AS sx,
+                 CAST(round(sum(CAST(l_discount AS DECIMAL(15,2))), 4) AS DOUBLE) AS sy,
+                 CAST(round(sum(CAST(l_quantity AS DECIMAL(15,2))
+                                * CAST(l_quantity AS DECIMAL(15,2))), 4) AS DOUBLE) AS sxx,
+                 CAST(round(sum(CAST(l_discount AS DECIMAL(15,2))
+                                * CAST(l_discount AS DECIMAL(15,2))), 4) AS DOUBLE) AS syy,
+                 CAST(round(sum(CAST(l_quantity AS DECIMAL(15,2))
+                                * CAST(l_discount AS DECIMAL(15,2))), 4) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                 AS corr_qty_discount
+        FROM m
+    """,
+    description="per-flag Pearson correlation of quantity vs discount, decimal-exact moments",
+    tags=("tpch", "stats"),
+)
+def quantity_discount_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(15,2)")
+    y = F.col("l_discount").cast("decimal(15,2)")
+
+    def d(c):
+        return F.round(F.sum(c), 4).cast("double")
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        d(x).alias("sx"), d(y).alias("sy"),
+        d(x * x).alias("sxx"), d(y * y).alias("syy"),
+        d(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return m.select("l_returnflag", "n", F.round(r, 6).alias("corr_qty_discount"))
