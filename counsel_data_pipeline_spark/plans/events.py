@@ -453,3 +453,58 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("__z")
     )
+
+
+@register(
+    "events_daily_type_pivot",
+    oracle="""
+        -- pivot via conditional aggregation (the relational twin of
+        -- DataFrame.pivot with an explicit value list — one pass, no
+        -- values-discovery scan).
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+               sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+               sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+               sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+        FROM events
+        GROUP BY 1
+    """,
+    description="day x event-type count matrix via pivot with explicit values (single pass)",
+    tags=("events", "pivot"),
+)
+def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "events_pivot_roundtrip_unpivot",
+    oracle="""
+        -- unpivot (melt) back to long form: the wide day x type matrix
+        -- restacked to (day, event_type, n) — only nonzero cells, matching
+        -- the original long-form counts exactly.
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type, count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description="unpivot/melt of the pivoted matrix back to long form (round-trip identity)",
+    tags=("events", "pivot"),
+)
+def pivot_roundtrip_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = daily_type_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        "day",
+        ["click", "error", "purchase", "signup", "view"],
+        "event_type",
+        "n",
+    )
+    # drop structurally-zero cells so the round trip equals the original
+    # long-form aggregate (count(*) never emits zero groups)
+    return long.filter(F.col("n") > 0)

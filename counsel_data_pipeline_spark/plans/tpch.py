@@ -883,3 +883,67 @@ def quantity_discount_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
     )
     return m.select("l_returnflag", "n", F.round(r, 6).alias("corr_qty_discount"))
+
+
+@register(
+    "tpch_top_customer_per_nation",
+    oracle="""
+        -- arg-max without a window: max_by over a unique integer ordering
+        -- (balance-cents * 10^7 + custkey), deterministic even when
+        -- balances tie. One aggregate instead of window+filter.
+        SELECT n_name,
+               max_by(c_name,
+                      CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+                 AS top_customer,
+               max(c_acctbal) AS top_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    description="arg-max per nation via max_by over a unique composite ordering (no window)",
+    tags=("tpch", "argmax"),
+)
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ordv = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * 10_000_000
+        + F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", ordv).alias("top_customer"),
+            F.max("c_acctbal").alias("top_acctbal"),
+        )
+    )
+
+
+@register(
+    "tpch_order_value_histogram",
+    oracle="""
+        -- fixed-width histogram: integer bin arithmetic (no engine
+        -- width_bucket dependency), map-side combinable, 20 bins.
+        SELECT least(CAST(floor(o_totalprice / 25000) AS INT), 19) AS bin,
+               count(*) AS n_orders,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY 1
+    """,
+    description="20-bin fixed-width histogram of order value via integer bin arithmetic",
+    tags=("tpch", "histogram"),
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.floor(F.col("o_totalprice") / 25000).cast("int"), F.lit(19)
+    )
+    return (
+        o.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
