@@ -205,3 +205,37 @@ def rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         to_double(F.sum(dec("value")).over(w), 6).alias("rolling_7d_value"),
     )
+
+
+@register(
+    "window_fill_forward_last_purchase",
+    oracle="""
+        -- gap-fill: carry each user's last purchase value forward across
+        -- their subsequent events (last_value IGNORE NULLS over an
+        -- unbounded-preceding frame, deterministic (ts, event_id) order).
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_purchase_value
+        FROM events
+    """,
+    description="fill-forward imputation: last purchase value carried across each user's events",
+    tags=("events", "window", "gap-fill"),
+)
+def fill_forward_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
