@@ -56,3 +56,67 @@ def _col_sql(c: str) -> str:
 )
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(load_table(spark, sf_dir, "lineitem"), _COLS, exact=True)
+
+
+@register(
+    "quality_referential_integrity",
+    oracle="""
+        -- FK orphan audit across the star schema: one row per relation,
+        -- counting child rows whose key has no parent (anti-join shape).
+        SELECT 'lineitem.l_orderkey -> orders' AS relation,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+               (SELECT count(*) FROM lineitem) AS n_child_rows
+        UNION ALL
+        SELECT 'lineitem.l_partkey -> part',
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey)),
+               (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)),
+               (SELECT count(*) FROM orders)
+        UNION ALL
+        SELECT 'customer.c_nationkey -> nation',
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey)),
+               (SELECT count(*) FROM customer)
+    """,
+    description="FK orphan audit (anti-join counts) across the star schema",
+    tags=("quality", "integrity"),
+)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, label: str) -> DataFrame:
+        orphans = child.join(
+            parent.select(F.col(pkey).alias(ckey)), ckey, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        return (
+            orphans.crossJoin(total)
+            .select(
+                F.lit(label).alias("relation"), "n_orphans", "n_child_rows"
+            )
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    checks = [
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey -> orders"),
+        audit(li, "l_partkey", part, "p_partkey", "lineitem.l_partkey -> part"),
+        audit(orders, "o_custkey", customer, "c_custkey", "orders.o_custkey -> customer"),
+        audit(customer, "c_nationkey", nation, "n_nationkey", "customer.c_nationkey -> nation"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
