@@ -151,3 +151,33 @@ def stream_dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def stream_stream_click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks in the preceding 10 minutes. Both sides carry watermarks and the
+    join condition bounds event-time distance, so Spark can expire buffered
+    state on both sides (unbounded-state stream joins are rejected by the
+    engine — the time bound IS the scale contract)."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts_s"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
+    )

@@ -113,3 +113,27 @@ def test_stream_dedup_within_watermark_removes_replays(spark, tmp_path):
     )
     assert deduped.count() == events.count()
     assert deduped.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream join (purchases x preceding clicks within
+    10 min) must equal the identical batch join."""
+    from counsel_data_pipeline_spark.io.sources import load_table
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    s = sw.stream_events(spark, SF)
+    got_df = sw.run_available_now(
+        sw.stream_stream_click_purchase_join(*split(s)), "ss_join", output_mode="append"
+    )
+    cols = ["purchase_id", "user_id", "purchase_ts_s", "click_ts_s"]
+    got = _rows(got_df, cols)
+
+    b = load_table(spark, SF, "events")
+    want = _rows(sw.stream_stream_click_purchase_join(*split(b)), cols)
+    assert len(want) > 0
+    assert got == want
