@@ -17,12 +17,12 @@ from counsel_data_pipeline_spark.io.sources import load_table
 from counsel_data_pipeline_spark.ops import curation as cu
 from counsel_data_pipeline_spark.ops import text_analysis as ta
 
+from counsel_data_pipeline_spark.ops.sketches import md5_bucket_sql
+
 _SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
 _SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
-_SQL_SPLIT_BUCKET = (
-    "CAST(concat('0x', substr(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8)) "
-    "AS UBIGINT) % 100"
-)
+# DuckDB twin of ops/curation.split_assign's bucket (seed 42, width 100)
+_SQL_SPLIT_BUCKET = md5_bucket_sql("doc_id", 42, 100)
 
 
 @register(
@@ -176,9 +176,9 @@ _SQL_STRATA_PCT = (
         -- (a doc's membership never changes as the corpus grows — the
         -- property random()-based sampling lacks at scale).
         SELECT doc_id, lang,
-               {_SQL_SPLIT_BUCKET.replace("'42:'", "'7:'")} AS bucket
+               {md5_bucket_sql("doc_id", 7, 100)} AS bucket
         FROM documents
-        WHERE {_SQL_SPLIT_BUCKET.replace("'42:'", "'7:'")} < {_SQL_STRATA_PCT}
+        WHERE {md5_bucket_sql("doc_id", 7, 100)} < {_SQL_STRATA_PCT}
     """,
     description="deterministic stratified sample: per-language md5-hash thresholds",
     tags=("llm", "curation", "sampling"),
