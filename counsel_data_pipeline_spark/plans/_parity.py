@@ -21,6 +21,16 @@ disagreed by 1 ulp. So: ROUND the exact decimal sum to a coarse scale
 (money→2, ratios→6) before the double cast — rounding is exact decimal
 arithmetic (half-away-from-zero in both engines), and the result converts
 identically.
+
+Integer sums have their own trap: DuckDB widens ``sum(int/bigint)`` to
+HUGEINT (int128). A fetch path that materializes through pandas/Arrow
+renders HUGEINT as float ("150.0") while Spark's bigint renders as int
+("150") — same value, different canonical string, hash mismatch (this was
+exactly the set of 9 driver-hash-red queries in round 1: every one had a
+HUGEINT oracle column, no green one did). Oracle SQL must therefore wrap
+every integer sum in ``CAST(... AS BIGINT)`` — use :func:`sql_bsum`. The
+same applies to any UBIGINT/HUGEINT-producing expression in an oracle's
+output columns.
 """
 
 from __future__ import annotations
@@ -69,3 +79,8 @@ def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:
 
 def sql_davg(expr: str, alias: str) -> str:
     return f"({sql_to_double(f'sum({sql_dec(expr)})', 6)} / count({expr})) AS {alias}"
+
+
+def sql_bsum(expr: str, alias: str) -> str:
+    """Integer sum pinned to BIGINT (DuckDB widens to HUGEINT otherwise)."""
+    return f"CAST(sum({expr}) AS BIGINT) AS {alias}"

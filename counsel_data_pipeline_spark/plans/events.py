@@ -139,7 +139,7 @@ def json_prop_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                count(*) AS n_sessions,
                max(session_events) AS max_session_events,
-               sum(session_events) AS n_events
+               CAST(sum(session_events) AS BIGINT) AS n_events
         FROM per_session GROUP BY user_id
     """,
     description="gap-based sessionization (30 min idle) via lag + running flag-sum",
@@ -467,11 +467,11 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- DataFrame.pivot with an explicit value list — one pass, no
         -- values-discovery scan).
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-               sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-               sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-               sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-               sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+               CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
         FROM events
         GROUP BY 1
     """,

@@ -38,7 +38,7 @@ _SQL_SPLIT_BUCKET = md5_bucket_sql("doc_id", 42, 100)
                     WHEN b < 90 THEN 'val'
                     ELSE 'test' END AS split,
                count(*) AS n_docs,
-               sum(n_tok) AS total_tokens,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
                CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_tokens,
                min(doc_id) AS min_doc_id,
                max(doc_id) AS max_doc_id
@@ -139,8 +139,8 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*) AS n_events,
-               sum(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')))
-                 AS digit_chars,
+               CAST(sum(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')))
+                 AS BIGINT) AS digit_chars,
                count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))
                  AS n_masked_forms
         FROM events
@@ -176,7 +176,7 @@ _SQL_STRATA_PCT = (
         -- (a doc's membership never changes as the corpus grows — the
         -- property random()-based sampling lacks at scale).
         SELECT doc_id, lang,
-               {md5_bucket_sql("doc_id", 7, 100)} AS bucket
+               CAST({md5_bucket_sql("doc_id", 7, 100)} AS BIGINT) AS bucket
         FROM documents
         WHERE {md5_bucket_sql("doc_id", 7, 100)} < {_SQL_STRATA_PCT}
     """,

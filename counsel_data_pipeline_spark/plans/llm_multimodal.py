@@ -23,7 +23,7 @@ from counsel_data_pipeline_spark.ops import multimodal as mm
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS media_type,
                count(*) AS n_items,
-               sum(octet_length(encode(text))) AS total_bytes,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                count(DISTINCT md5(text)) AS n_distinct_payloads,
                max(octet_length(encode(text))) AS max_bytes
         FROM documents

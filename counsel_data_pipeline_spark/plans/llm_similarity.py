@@ -111,7 +111,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT query_id,
                count(*) AS n_neighbors,
-               sum(n_tok) AS neighbor_tokens,
+               CAST(sum(n_tok) AS BIGINT) AS neighbor_tokens,
                CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_neighbor_tokens
         FROM topk JOIN toks ON doc_id = neighbor_id
         GROUP BY query_id

@@ -29,7 +29,7 @@ _SQL_STOPS = "['" + "','".join(ta.STOPWORDS) + "']"
         )
         SELECT lang, source,
                count(*) AS n_docs,
-               sum(n_tok) AS total_tokens,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
                CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_tokens,
                max(n_tok) AS max_tokens
         FROM t GROUP BY lang, source
@@ -174,7 +174,7 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT g.lang,
                count(*) AS n_docs,
-               sum(g.n_tok) AS total_tokens,
+               CAST(sum(g.n_tok) AS BIGINT) AS total_tokens,
                CAST(sum(g.n_tok) AS DOUBLE) / count(*) AS avg_tokens
         FROM gated g JOIN survivors s USING (doc_id)
         GROUP BY g.lang

@@ -41,7 +41,7 @@ def _col_sql(c: str) -> str:
         WITH a AS (
           SELECT count(*) AS n,
                  {", ".join(
-                     f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_{c}, "
+                     f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_{c}, "
                      f"count(DISTINCT {c}) AS dist_{c}, "
                      f"CAST(min({c}) AS VARCHAR) AS min_{c}, "
                      f"CAST(max({c}) AS VARCHAR) AS max_{c}"

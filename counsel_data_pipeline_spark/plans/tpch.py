@@ -134,8 +134,14 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
     ).select("l_orderkey", "l_extendedprice", "l_discount")
+    # Broadcast ONLY the dimension-sized side (the BUILDING-segment customer
+    # keys, ~1/5 of customer). The date filter keeps nearly all of `orders`,
+    # so orders⋈lineitem stays a shuffle join — broadcasting the orders side
+    # would build a fact-sized hash table on every executor and OOM at scale
+    # (round-1 verdict "What's wrong" #2). AQE is free to pick better at
+    # runtime; plan-shape test asserts no fact-side BroadcastExchange.
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_disc_price()).alias("rev_exact"))
@@ -289,7 +295,7 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT c_custkey, c_name,
                CAST(round(sum({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
-               {sql_dec('c_acctbal')} AS acctbal,
+               c_acctbal AS acctbal,
                n_name
         FROM customer, orders, lineitem, nation
         WHERE c_custkey = o_custkey
@@ -326,7 +332,10 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey", "c_name",
             to_double(F.col("rev_exact")).alias("revenue"),
-            dec("c_acctbal").alias("acctbal"),
+            # grouping key, not an aggregate: the raw parquet double is
+            # bit-identical in both engines (a DECIMAL cast here would print
+            # trailing zeros under a pandas/Decimal fetch and flip the hash)
+            F.col("c_acctbal").alias("acctbal"),
             "n_name", "rev_exact",
         )
         .orderBy(F.col("rev_exact").desc(), F.col("c_custkey"))

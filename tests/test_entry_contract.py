@@ -47,3 +47,32 @@ def test_queries_survive_non_utc_driver_session(spark):
 
     # and the session the wrapper ran on is now pinned to UTC
     assert s2.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_oracle_output_types_are_driver_safe():
+    """No oracle may emit HUGEINT/UBIGINT or a fine-scaled DECIMAL.
+
+    The driver's fetch path renders DuckDB HUGEINT (what sum(int) widens
+    to) as float ("150.0") while Spark's bigint renders "150" — in round 1
+    the set of hash-red queries was EXACTLY the set of oracles with a
+    HUGEINT output column. DECIMAL(p, s>1) prints trailing zeros under a
+    Decimal fetch ("1234.560000" vs double "1234.56"). Guard the whole
+    catalog so a new query can't reintroduce the mismatch.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    bad = {}
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
+            if typ in ("HUGEINT", "UBIGINT") or (
+                typ.startswith("DECIMAL") and int(typ.rstrip(")").split(",")[1]) > 1
+            ):
+                bad.setdefault(name, []).append((col, typ))
+    assert not bad, f"driver-unsafe oracle output types: {bad}"

@@ -131,3 +131,54 @@ def test_hash_split_is_single_scan_single_shuffle(spark):
     plan = _plan(spark, "curation_hash_split")
     assert _n_shuffles(plan) == 1
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_no_tpch_plan_forces_a_fact_side_broadcast(spark):
+    """No tpch plan may broadcast a build side that is an UNREDUCED read of
+    a fact table (orders/lineitem). At sf0.01 Catalyst would happily
+    auto-broadcast everything, so isolate the plans' own F.broadcast hints:
+    auto-broadcast off, AQE off — any BroadcastExchange left comes from the
+    code. A broadcast side that passed through an aggregation (e.g. q18's
+    >200-qty orderkey set) is reduced and allowed; a raw/filtered fact scan
+    on the build side (round-1 q3 defect) OOMs executors at scale and fails
+    here.
+    """
+    fact_files = ("orders.parquet", "lineitem.parquet")
+    agg_nodes = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+
+    def offending(node, inside_broadcast):
+        name = node.nodeName()
+        if inside_broadcast:
+            if any(name.startswith(a) for a in agg_nodes):
+                return []  # side is reduced below here — fine at scale
+            if name.startswith("Scan") and any(
+                f in node.toString() for f in fact_files
+            ):
+                return [node.toString().splitlines()[0]]
+        if "BroadcastExchange" in name:
+            inside_broadcast = True
+        out = []
+        for i in range(node.children().size()):
+            out += offending(node.children().apply(i), inside_broadcast)
+        return out
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        bad = {}
+        for name, q in all_queries().items():
+            if not name.startswith("tpch_"):
+                continue
+            plan = q.fn(spark, SF)._jdf.queryExecution().executedPlan()
+            hits = offending(plan, False)
+            if hits:
+                bad[name] = hits
+        assert not bad, f"fact-side broadcast in: {bad}"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
