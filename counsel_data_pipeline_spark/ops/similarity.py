@@ -78,25 +78,84 @@ def near_dup_pairs_topn(
     top_n: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_threshold: int | None = 100_000,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection: the ``top_n`` most
     similar (id_a < id_b) pairs, globally ranked by cosine desc with a
     deterministic id tiebreak.
 
-    Shape: normalized self-join with the smaller side broadcast, then a
-    global top-n (Catalyst compiles orderBy+limit to TakeOrderedAndProject
-    — per-partition partial top-n, no full sort). All-pairs is the exact
-    small-corpus baseline; at 100 TB the candidate generator must become
-    LSH buckets (``lsh_bucketed_topk``'s hash) or IVF lists (``ivf_topk``)
-    so the join degree drops from O(n²) to O(n·bucket).
+    Two physical strategies behind one result contract:
+
+    - corpus ≤ ``exact_threshold`` rows → exact all-pairs: normalized
+      self-join with the smaller side broadcast, then a global top-n
+      (Catalyst compiles orderBy+limit to TakeOrderedAndProject —
+      per-partition partial top-n, no full sort).
+    - larger → banded sign-LSH candidates (the MinHash-banding shape
+      applied to hyperplane signs): ``n_tables`` independent plane sets,
+      a row hashes to one bucket PER table, candidates are rows agreeing
+      exactly in at least one table — a (table, bucket) equi-self-join, a
+      plain shuffle join with NO broadcast of the corpus anywhere — and
+      the exact cosine runs only on candidates. For a pair at angle θ,
+      P(candidate) = 1-(1-(1-θ/π)^planes)^tables — steep around the
+      near-dup regime; recall < 1 by design (asserted against the exact
+      path in tests). Shuffle volume is n_tables× the corpus width-wise,
+      bounded and tunable.
+
+    The gate exists because round 1 shipped the exact path unguarded —
+    ``F.broadcast`` of the whole corpus OOMs every executor the moment the
+    table outgrows the driver. Pass ``exact_threshold=None`` to force the
+    exact plan (the oracle twin does, at sf scales where it's safe), or
+    ``0`` to force the LSH plan.
     """
     emb = corpus.select(
         F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
     ).withColumn("__norm", l2_norm(F.col("__v")))
-    right = emb.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__norm").alias("__nb")
-    )
-    pairs = emb.join(F.broadcast(right), F.col("__id") < F.col("id_b"))
+
+    use_exact = exact_threshold is None or corpus.count() <= exact_threshold
+    if use_exact:
+        right = emb.select(
+            F.col("__id").alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__norm").alias("__nb"),
+        )
+        pairs = emb.join(F.broadcast(right), F.col("__id") < F.col("id_b"))
+    else:
+        # (n_planes, n_tables) tune to the target similarity: defaults are
+        # sized for the near-dup regime (cos ≥ 0.9 → sign-agreement prob
+        # ≥ 0.86/plane → pair recall ≈ 0.87). Pairs at cos ≈ 0.5 are NOT
+        # near-dups and are deliberately unlikely candidates.
+        banded = emb.select(
+            "__id",
+            "__v",
+            "__norm",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            hyperplane_lsh_bucket(
+                                F.col("__v"), n_planes, dim, seed=t
+                            ).alias("b"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("__tb"),
+        )
+        right = banded.select(
+            F.col("__id").alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__norm").alias("__nb"),
+            F.col("__tb").alias("__tbb"),
+        )
+        pairs = banded.join(
+            right,
+            (F.col("__tb") == F.col("__tbb")) & (F.col("__id") < F.col("id_b")),
+        ).dropDuplicates(["__id", "id_b"])
+
     scored = pairs.select(
         F.col("__id").alias("id_a"),
         "id_b",
@@ -253,18 +312,21 @@ def ivf_topk(
 
 
 def hyperplane_lsh_bucket(
-    vec: Column, n_planes: int = 16, dim: int = 64
+    vec: Column, n_planes: int = 16, dim: int = 64, seed: int | None = None
 ) -> Column:
     """Sign-LSH bucket id from ``n_planes`` deterministic pseudo-random
     hyperplanes. Plane p's component d is derived from md5(p:d) — a uniform
     value in [-0.5, 0.5) — so the partitioning is stable across runs and
-    engines without storing a model."""
+    engines without storing a model. ``seed`` derives an independent plane
+    set per hash table (banded LSH); None keeps the original single-table
+    plane values."""
     bits = []
     for p in range(n_planes):
+        label = f"{seed}:{p}" if seed is not None else f"{p}"
         comps = F.array(
             *[
                 (
-                    F.conv(F.substring(F.md5(F.lit(f"{p}:{d}")), 1, 8), 16, 10).cast(
+                    F.conv(F.substring(F.md5(F.lit(f"{label}:{d}")), 1, 8), 16, 10).cast(
                         "double"
                     )
                     / F.lit(float(16**8))

@@ -161,3 +161,61 @@ def test_kmeans_deterministic(spark):
     ka = sorted((r["__cid"], tuple(r["__cv"])) for r in a)
     kb = sorted((r["__cid"], tuple(r["__cv"])) for r in b)
     assert ka == kb
+
+
+def test_near_dup_lsh_scale_path_recall_and_no_broadcast(spark):
+    """Above the size gate the near-dup candidate generator must be the
+    banded-LSH bucket self-join: no BroadcastExchange of the corpus
+    anywhere in the plan (the round-1 defect), and planted true near-dups
+    (cos ≈ 0.999 — the regime the operator exists for; the raw test
+    vectors are random, their top pairs sit at cos ≈ 0.5) must be found
+    with high recall and bit-identical cosines."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    # plant 20 near-duplicates: copies of the 20 lowest-id vectors with a
+    # deterministic ~2% perturbation on every 8th component
+    planted = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i % 8 == 0, x * 1.02).otherwise(x),
+            ).alias("embedding"),
+        )
+    )
+    corpus = emb.unionByName(planted)
+    expected_pairs = {(i, i + 100000) for i in range(20)}
+
+    lsh_df = sim.near_dup_pairs_topn(corpus, top_n=20, exact_threshold=0)
+    # At sf0.01 Catalyst auto-broadcasts any tiny side (fine — its call,
+    # size-driven). The scale property under test is that the LSH path
+    # FORCES no broadcast: with auto-broadcast off, none may remain.
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    exact = sim.near_dup_pairs_topn(corpus, top_n=20, exact_threshold=None).collect()
+    lsh = lsh_df.collect()
+    exact_pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact}
+    lsh_pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in lsh}
+    # the exact top-20 must be exactly the planted pairs (cos ≈ 0.9996 ≫ 0.51)
+    assert set(exact_pairs) == expected_pairs
+    recall = len(expected_pairs & set(lsh_pairs)) / len(expected_pairs)
+    assert recall >= 0.85, f"LSH near-dup recall on planted dups too low: {recall}"
+    for p in exact_pairs.keys() & lsh_pairs.keys():
+        assert lsh_pairs[p] == exact_pairs[p]  # same exact fold on candidates
+
+
+def test_near_dup_gate_picks_exact_below_threshold(spark):
+    """At corpus sizes below the gate the plan is the exact broadcast
+    all-pairs join (the oracle-checked baseline)."""
+    emb = load_table(spark, SF, "embeddings")
+    df = sim.near_dup_pairs_topn(emb, top_n=5)  # default threshold ≫ sf0.01
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
