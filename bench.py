@@ -44,9 +44,14 @@ def main() -> None:
     for name, q in queries.items():
         t0 = time.time()
         df = q.fn(spark, sf_dir)
-        n = df.count() if len(df.columns) > 8 else len(df.collect())
+        # Force FULL evaluation uniformly via the noop sink: count() on wide
+        # results would let Catalyst prune unused aggregate expressions
+        # (under-measuring wide queries), and collect() adds driver-transfer
+        # cost only for narrow ones. The noop write executes every operator
+        # JVM-side and discards rows.
+        df.write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {per_query[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {per_query[name]}s", file=sys.stderr)
     total = round(time.time() - t_all, 3)
 
     print(json.dumps({

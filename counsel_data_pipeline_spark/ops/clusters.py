@@ -39,6 +39,12 @@ def connected_components(
 
     Returns (id, component): one row per node appearing in any edge,
     component = min node id reachable from it.
+
+    Label propagation converges in O(diameter) rounds; if ``max_rounds``
+    is exhausted while labels are still changing the result would be
+    silently wrong (long chains split into several components), so that
+    case raises instead. Raise ``max_rounds`` for graphs whose diameter
+    can exceed it — near-dup clusters are almost always shallow.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -52,6 +58,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("id", "v"), "v")
@@ -70,6 +77,12 @@ def connected_components(
         labels = new_labels.select("id", "comp")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing) — graph diameter exceeds "
+            f"max_rounds; raise it"
+        )
     return labels
 
 

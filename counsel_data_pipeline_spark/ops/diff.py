@@ -180,6 +180,13 @@ def recombine(
 
     carried lookup keeps the FIRST row per key3 (clean-order: carried rows
     preserve it); newly lookup keeps the LAST per key3 (JS Map ctor).
+
+    On a carried hit the reference pushes the ENTIRE carried row —
+    including its descriptive fields, not the current clean row's
+    (geocode-diff-merge.js:148-149 ``finalRows.push(carried)``), so a
+    clean row whose key3 matches a carried row is replaced wholesale. On
+    a newly hit only the geo columns come from the lookup
+    (``{...r, ...pickGeo(n)}``, :152).
     """
     key3 = lambda df: F.concat(F.col("__phone_k"), F.lit("|"), F.col("__domain_k"))  # noqa: E731
 
@@ -187,10 +194,12 @@ def recombine(
     carried_k = with_diff_keys(ensure_geo_cols(carried)).withColumn("__k3", key3(None))
     newly_k = with_diff_keys(ensure_geo_cols(newly)).withColumn("__k3", key3(None))
 
+    clean_cols = clean.columns
+    full_struct = F.struct(*[F.col(c) for c in clean_cols + GEO_COLS])
     geo_struct = F.struct(*[F.col(c) for c in GEO_COLS])
     first_carried = (
         carried_k.groupBy("__k3")
-        .agg(F.min_by(geo_struct, F.col(clean_order)).alias("__g"))
+        .agg(F.min_by(full_struct, F.col(clean_order)).alias("__g"))
         .select("__k3", F.lit(True).alias("__carried_hit"), "__g")
     )
     last_newly = (
@@ -205,10 +214,16 @@ def recombine(
         )
         .join(F.broadcast(last_newly.withColumnRenamed("__g", "__ng")), "__k3", "left")
     )
-    pick = lambda c: (  # noqa: E731
+    pick_clean = lambda c: (  # noqa: E731
+        F.when(F.col("__carried_hit").isNotNull(), F.col(f"__cg.{c}"))
+        .otherwise(F.col(c))
+    )
+    pick_geo = lambda c: (  # noqa: E731
         F.when(F.col("__carried_hit").isNotNull(), F.col(f"__cg.{c}"))
         .when(F.col("__newly_hit").isNotNull(), F.col(f"__ng.{c}"))
         .otherwise(F.lit(None))
     )
-    clean_cols = clean.columns
-    return out.select(*clean_cols, *[pick(c).alias(c) for c in GEO_COLS])
+    return out.select(
+        *[pick_clean(c).alias(c) for c in clean_cols],
+        *[pick_geo(c).alias(c) for c in GEO_COLS],
+    )

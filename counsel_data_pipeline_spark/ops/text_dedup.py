@@ -82,9 +82,13 @@ def jaccard_pairs(
     Returns (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
     ``max_shingle_df`` drops ubiquitous shingles before the self-join —
     the skew guard that keeps the candidate blow-up bounded at scale.
+    With the cap active, sizes are computed over the SAME capped shingle
+    universe as the intersections, so ``jaccard`` is the exact Jaccard of
+    the rare-shingle sets (a consistent universe — mixing full-universe
+    sizes with capped intersections would systematically underestimate).
+    With ``max_shingle_df=None`` it is plain exact Jaccard.
     """
     sh = _doc_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -93,6 +97,7 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (

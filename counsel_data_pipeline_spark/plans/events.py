@@ -54,7 +54,9 @@ def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("hour_start", "event_type").agg(
         F.sum("__n").alias("n_events"),
         to_double(F.sum("__sd"), 6).alias("sum_value"),
-        F.count(F.lit(1)).alias("n_users"),
+        # count(user_id), not count(1): the oracle's count(DISTINCT user_id)
+        # ignores NULLs, so a NULL-user group must not add to n_users
+        F.count(F.col("user_id")).alias("n_users"),
     )
 
 

@@ -180,9 +180,10 @@ def connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="embedding-cosine near-dup: top-50 most-similar pairs, exact all-pairs baseline",
     tags=("llm", "dedup", "similarity"),
-    # not in the bench set: the exact all-pairs fold is the ORACLE baseline
-    # (correctness anchor); the benchable scale path for embedding near-dup
-    # is the LSH/IVF-prefiltered family.
+    # benched since r2 so regressions in the exact fold are visible
+    # per-query (r1 note: ~15 s at sf0.1 — the cost is the genuine
+    # all-pairs O(n²·dim) fold; the gated LSH path is the scale answer)
+    bench=True,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from counsel_data_pipeline_spark.ops import similarity as sim

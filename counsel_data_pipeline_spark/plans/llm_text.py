@@ -307,6 +307,7 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="top-3 distinctive terms per doc by tf-idf (exact ratio idf — rank-equivalent to log idf)",
     tags=("llm", "text", "topk"),
+    bench=True,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -53,6 +53,7 @@ def _col_sql(c: str) -> str:
     """,
     description="single-pass column profile of lineitem: null rate, distincts, extremes per column",
     tags=("quality", "profiling"),
+    bench=True,
 )
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(load_table(spark, sf_dir, "lineitem"), _COLS, exact=True)

@@ -147,3 +147,31 @@ def test_synthetic_edge_matrix(spark):
     assert carried_map["dom"]["lat"] == 5.0
     assert carried_map["mapdom"]["lat"] == 7.0  # via map_url, www. stripped
     assert need_names == {"blocked", "new"}  # null-coord phone bucket blocks domain
+
+
+def test_recombine_duplicate_key3_takes_first_carried_row_wholesale(spark):
+    """Reference: finalRows.push(carried) pushes the ENTIRE first matching
+    carryFromPrev entry (geocode-diff-merge.js:148-149) — so of two clean
+    rows sharing key3, the second is replaced wholesale by the first's
+    carried row, descriptive fields included."""
+    from pyspark.sql import functions as F
+
+    clean = _mk_clean(spark, [
+        ("A", "first", "02-111", "https://dup.com/", None, "addr-1"),
+        ("A", "second", "02-111", "https://dup.com/", None, "addr-2"),
+        ("A", "other", "02-999", None, None, "addr-3"),
+    ])
+    prev = _mk_prev(spark, [
+        ("A", "p-dup", "02 111", "https://dup.com/", None, 1.5, 2.5),
+    ])
+    carried, need = snapshot_split(clean, prev)
+    newly = need.withColumn("lat", F.lit(99.0)).withColumn("lng", F.lit(98.0))
+    final = recombine(clean, carried, newly)
+    rows = [r.asDict() for r in final.orderBy("ingest_order").collect()]
+    assert len(rows) == 3
+    # both dup-key rows collapse to the FIRST carried row's full contents
+    assert rows[0]["org_name"] == "first" and rows[0]["address"] == "addr-1"
+    assert rows[1]["org_name"] == "first" and rows[1]["address"] == "addr-1"
+    assert rows[0]["lat"] == 1.5 and rows[1]["lat"] == 1.5
+    # the unmatched row keeps its own fields + newly geo
+    assert rows[2]["org_name"] == "other" and rows[2]["lat"] == 99.0
