@@ -112,6 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_part_price_rank",
     "window_order_gap_days",
     "window_customer_balance_quartiles",
+    "window_balance_quartiles_distributed",
     "window_rolling_7day_user_value",
     "window_fill_forward_last_purchase",
     # -- round-1 hash-red, oracles fixed (HUGEINT → BIGINT) — re-verify --
@@ -124,9 +125,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_token_stats_by_lang",
     "llm_corpus_prep",
     "quality_profile_lineitem",
-    # -- oracle changed this round (UBIGINT → BIGINT) — re-verify --
-    "curation_stratified_sample",
 )
+# curation_stratified_sample's oracle also changed (UBIGINT → BIGINT cast,
+# value-preserving) but yields its window slot to the new distributed-
+# quartiles query — rotate it back in next round.
 
 
 def all_queries() -> dict[str, Query]:

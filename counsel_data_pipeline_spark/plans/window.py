@@ -174,6 +174,91 @@ def balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_balance_quartiles_distributed",
+    oracle="""
+        SELECT c_custkey,
+               ntile(4)      OVER w AS balance_quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist()    OVER w AS cume
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    description="global ranking WITHOUT a single-partition window: range-partition + local ranks + offset prefix-sum",
+    tags=("relational", "window", "scale"),
+)
+def balance_quartiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of ``window_customer_balance_quartiles``.
+
+    The global `Window.orderBy(...)` variant funnels every row through ONE
+    task (Exchange SinglePartition → WindowExec) — correct, but a 100 TB
+    non-starter. This plan computes identical values with bounded
+    parallelism:
+
+    1. ``repartitionByRange`` on the sort key (P parallel sorted ranges),
+       pinned with ``localCheckpoint`` — range sampling is per-job
+       nondeterministic, and the offsets job and the main job MUST see
+       the same partitioning.
+    2. per-partition ``row_number`` windows keyed on
+       ``spark_partition_id()`` — P independent sorts, no global funnel.
+    3. per-partition counts (P rows) → driver prefix-sum → literal CASE
+       mapping pid → rank offset. global rank = offset + local rank.
+    4. ntile/percent_rank/cume_dist are pure arithmetic on (rank, n):
+       unique (c_acctbal, c_custkey) ordering ⇒ rank() = row_number(),
+       so pct_rank = (r-1)/(n-1), cume = r/n, and ntile(4) is the ANSI
+       first-(n mod 4)-buckets-get-one-extra split.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    n_parts = max(2, spark.sparkContext.defaultParallelism // 4)
+    dfp = (
+        customer.repartitionByRange(n_parts, "c_acctbal", "c_custkey")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in dfp.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n = sum(c for _, c in counts)
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+
+    w = Window.partitionBy("__pid").orderBy("c_acctbal", "c_custkey")
+    offset_col = reduce(
+        lambda e, kv: e.when(F.col("__pid") == kv[0], F.lit(kv[1])),
+        offsets.items(),
+        F.when(F.lit(False), F.lit(0)),
+    ).otherwise(F.lit(0))
+    rank = (F.row_number().over(w) + offset_col).alias("__r")
+
+    base, rem = divmod(n, 4)
+    r = F.col("__r")
+    big = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
+    quartile = (
+        F.when(r <= big, F.floor((r - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((r - big - 1) / base) + 1)
+        .cast("int")
+        if base > 0
+        else F.least(r, F.lit(4)).cast("int")  # n < 4: one row per bucket
+    )
+    pct = ((r - 1) / F.lit(n - 1)) if n > 1 else F.lit(0.0)
+    return (
+        dfp.select("c_custkey", rank)
+        .select(
+            "c_custkey",
+            quartile.alias("balance_quartile"),
+            pct.alias("pct_rank"),
+            (r / F.lit(n)).alias("cume"),
+        )
+    )
+
+
+@register(
     "window_rolling_7day_user_value",
     oracle="""
         -- event-time RANGE frame: per user, sum of value over the trailing

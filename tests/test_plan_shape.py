@@ -182,3 +182,13 @@ def test_no_tpch_plan_forces_a_fact_side_broadcast(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_distributed_quartiles_have_no_single_partition_funnel(spark):
+    """The distributed ranking variant must not move all rows through one
+    task: no SinglePartition exchange anywhere in its plan (the global
+    oracle twin keeps one, by design — that's the pair's point)."""
+    dist = _plan(spark, "window_balance_quartiles_distributed")
+    assert "SinglePartition" not in dist, dist
+    glob = _plan(spark, "window_customer_balance_quartiles")
+    assert "SinglePartition" in glob
