@@ -19,6 +19,8 @@ Scale design (the point of each variant):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -27,6 +29,48 @@ from counsel_data_pipeline_spark.ops.text_analysis import (
     norm_text,
     word_shingles,
 )
+
+# --------------------------------------------------------------------------
+# md5-affine hash family — reproducible bit-for-bit in DuckDB, so the
+# MinHash/SimHash queries are ORACLE-checkable (xxhash64 has no DuckDB
+# twin; round-1 left this family rows-only). Per shingle: ONE md5, split
+# into two 32-bit words; h_i = (A_i·w1 + B_i·w2 + C_i) mod 2^32 with
+# A,B odd 20-bit constants — every product stays < 2^53, exact in BIGINT
+# in both engines (and in any double-backed fetch path). The constants
+# themselves derive from md5 of a tag string, so both engines embed
+# identical literals with no shared RNG.
+# --------------------------------------------------------------------------
+
+
+def mh_const(tag: str, i: int, bits: int, odd: bool = False) -> int:
+    v = int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:8], 16) % (1 << bits)
+    return (v | 1) if odd else v
+
+
+def mh_coeffs(n_hashes: int) -> list[tuple[int, int, int]]:
+    """(A_i, B_i, C_i) for the affine family, shared with the SQL oracle."""
+    return [
+        (mh_const("mha", i, 20, odd=True), mh_const("mhb", i, 20, odd=True),
+         mh_const("mhc", i, 32))
+        for i in range(n_hashes)
+    ]
+
+
+def md5_words(c: Column) -> tuple[Column, Column]:
+    """Two 32-bit words from one md5 of the (UTF-8) column."""
+    m = F.md5(F.encode(c, "UTF-8"))
+    w1 = F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint")
+    w2 = F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint")
+    return w1, w2
+
+
+def sql_md5_words(expr: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`md5_words`."""
+    m = f"md5({expr})"
+    return (
+        f"CAST(CAST(concat('0x', substr({m}, 1, 8)) AS UBIGINT) AS BIGINT)",
+        f"CAST(CAST(concat('0x', substr({m}, 9, 8)) AS UBIGINT) AS BIGINT)",
+    )
 
 
 def exact_dedup(
@@ -125,9 +169,11 @@ def minhash_signatures(
     n: int = 3,
     n_hashes: int = 16,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — sig[i] = min over shingles of
-    xxhash64(i, shingle). One explode + one groupBy computing all H mins
-    map-side (partial aggregation), i.e. a single shuffle of H longs per doc.
+    """(id, sig: array<bigint>) — sig[i] = min over shingles of the i-th
+    md5-affine hash (see module header; one md5 per shingle feeds all H
+    hashes, and the family is reproducible in the DuckDB oracle). One
+    explode + one groupBy computing all H mins map-side (partial
+    aggregation), i.e. a single shuffle of H longs per doc.
 
     No distinct() on the shingle stream: duplicate shingles cannot change a
     min, and skipping the dedup drops an entire extra shuffle of the raw
@@ -136,9 +182,14 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
     )
+    w1, w2 = md5_words(F.col("shingle"))
+    sh = sh.select("id", w1.alias("__w1"), w2.alias("__w2"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(n_hashes)
+        F.min(
+            (F.lit(a) * F.col("__w1") + F.lit(b) * F.col("__w2") + F.lit(c))
+            % F.lit(1 << 32)
+        ).alias(f"h{i}")
+        for i, (a, b, c) in enumerate(mh_coeffs(n_hashes))
     ]
     sigs = sh.groupBy("id").agg(*aggs)
     return sigs.select(
@@ -163,6 +214,10 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, n_hashes)
+    # band bucket = the band's signature rows joined textually — identical
+    # rendering in the SQL oracle (an xxhash64 of the rows would be opaque
+    # to DuckDB); candidates require EXACT agreement on the whole band
+    # either way, the key encoding only affects shuffle width (~40 B).
     banded = sigs.select(
         "id",
         "sig",
@@ -171,8 +226,12 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -230,9 +289,12 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 1
 ) -> DataFrame:
-    """(id, sig) — 64-bit SimHash: each shingle's xxhash64 votes ±1 on every
-    bit (weighted by term frequency — shingles NOT deduped); the signature
-    takes the sign of each bit's tally.
+    """(id, sig_lo, sig_hi) — 64-bit SimHash as two 32-bit halves: each
+    shingle's md5 words vote ±1 on every bit (weighted by term frequency —
+    shingles NOT deduped); each signature bit takes the sign of its tally.
+    Halves keep every value positive and < 2^32 — no two's-complement
+    sign-bit games, and the md5 base makes the whole signature
+    reproducible in the DuckDB oracle (xxhash64 wasn't).
 
     Shape: one explode + one groupBy with 64 integer tally aggregates, all
     partial (map-side combine) — a single shuffle of 64 ints per doc."""
@@ -240,21 +302,29 @@ def simhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
     )
-    h = F.xxhash64(F.col("shingle"))
+    w1, w2 = md5_words(F.col("shingle"))
+    sh = sh.select("id", w1.alias("__w1"), w2.alias("__w2"))
+
+    def bit(b: int) -> Column:
+        src = F.col("__w1") if b < 32 else F.col("__w2")
+        return F.shiftrightunsigned(src, b % 32).bitwiseAND(F.lit(1))
+
     tallies = sh.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"__t{b}")
+            F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"__t{b}")
             for b in range(64)
         ]
     )
-    # Assemble the signature: bit 63 is the sign bit in two's complement.
-    sig = F.lit(0).cast("bigint")
-    for b in range(64):
-        bit_val = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("bigint")
-        sig = sig.bitwiseOR(F.when(F.col(f"__t{b}") > 0, bit_val).otherwise(F.lit(0).cast("bigint")))
-    return tallies.select("id", sig.alias("sig"))
+
+    def half(lo_bit: int) -> Column:
+        sig = F.lit(0).cast("bigint")
+        for b in range(32):
+            sig = sig + F.when(
+                F.col(f"__t{lo_bit + b}") > 0, F.lit(1 << b).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return sig
+
+    return tallies.select("id", half(0).alias("sig_lo"), half(32).alias("sig_hi"))
 
 
 def simhash_pairs(
@@ -270,31 +340,57 @@ def simhash_pairs(
     chunks = max_hamming + 1
     width = 64 // chunks
     sigs = simhash_signatures(df, id_col, text_col)
+
+    def chunk_val(c: int) -> Column:
+        """Bits [c·width, (c+1)·width) out of the (lo, hi) halves."""
+        lo_bit, hi_bit = c * width, (c + 1) * width
+        mask = (1 << width) - 1
+        if hi_bit <= 32:
+            return F.shiftrightunsigned(F.col("sig_lo"), lo_bit).bitwiseAND(F.lit(mask))
+        if lo_bit >= 32:
+            return F.shiftrightunsigned(F.col("sig_hi"), lo_bit - 32).bitwiseAND(
+                F.lit(mask)
+            )
+        n_lo = 32 - lo_bit  # chunk straddles the halves
+        return F.shiftrightunsigned(F.col("sig_lo"), lo_bit).bitwiseAND(
+            F.lit((1 << n_lo) - 1)
+        ) + F.col("sig_hi").bitwiseAND(F.lit((1 << (width - n_lo)) - 1)) * F.lit(
+            1 << n_lo
+        )
+
     banded = sigs.select(
         "id",
-        "sig",
+        "sig_lo",
+        "sig_hi",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sig"), c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("bucket"),
-                    )
+                    F.struct(F.lit(c).alias("chunk"), chunk_val(c).alias("bucket"))
                     for c in range(chunks)
                 ]
             )
         ).alias("cb"),
-    ).select("id", "sig", "cb.chunk", "cb.bucket")
-    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "chunk", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "chunk", "bucket")
+    ).select("id", "sig_lo", "sig_hi", "cb.chunk", "cb.bucket")
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig_lo").alias("__la"),
+        F.col("sig_hi").alias("__ha"), "chunk", "bucket",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig_lo").alias("__lb"),
+        F.col("sig_hi").alias("__hb"), "chunk", "bucket",
+    )
     cand = (
         a.join(b, ["chunk", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b", "__la", "__ha", "__lb", "__hb")
         .distinct()
     )
-    return cand.withColumn(
-        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb")))
+            + F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

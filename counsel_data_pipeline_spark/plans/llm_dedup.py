@@ -1,11 +1,13 @@
 """Deduplication query plans over `documents` — ops/text_dedup.py surfaced
 through the driver contract.
 
-Exact-hash and n-gram-Jaccard have full DuckDB oracles. MinHash-LSH and
-SimHash use engine hash functions (xxhash64) DuckDB doesn't provide, so
-they register rows-only; their CORRECTNESS comes from pytest instead
-(tests/test_text_dedup.py asserts LSH candidates ⊇ high-jaccard truth set
-and simhash distance properties).
+Every family is fully ORACLE-checked since round 2: MinHash-LSH and
+SimHash moved from xxhash64 (no DuckDB twin — they registered rows-only
+in round 1) to the md5-affine hash family in ops/text_dedup.py, whose
+every step — md5 word extraction, affine mod-2^32 hashes, band keys,
+tallies, popcounts — is exact integer arithmetic both engines reproduce
+bit-for-bit. The SQL twins are generated below from the SAME coefficient
+table the Spark plans use (td.mh_coeffs), so the two sides cannot drift.
 """
 
 from __future__ import annotations
@@ -18,6 +20,128 @@ from counsel_data_pipeline_spark.io.sources import load_table
 from counsel_data_pipeline_spark.ops import text_dedup as td
 
 _SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+def _minhash_lsh_oracle(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """DuckDB twin of td.minhash_lsh_pairs (3-gram shingles, md5-affine)."""
+    rows = n_hashes // bands
+    w1, w2 = td.sql_md5_words("shingle")
+    hs = ",\n                 ".join(
+        f"min(({a} * w1 + {b} * w2 + {c}) % 4294967296) AS h{i}"
+        for i, (a, b, c) in enumerate(td.mh_coeffs(n_hashes))
+    )
+    band_rows = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(','"
+        + "".join(f", h{b * rows + r}" for r in range(rows))
+        + f") AS bucket, {', '.join(f'h{i}' for i in range(n_hashes))} FROM sig"
+        for b in range(bands)
+    )
+    est = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS t FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks
+        ),
+        w AS (SELECT doc_id, {w1} AS w1, {w2} AS w2 FROM sh),
+        sig AS (
+          SELECT doc_id,
+                 {hs}
+          FROM w GROUP BY doc_id
+        ),
+        banded AS (
+          {band_rows}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 ({est}) / {float(n_hashes)} AS est_jaccard
+          FROM banded a JOIN banded b USING (band, bucket)
+          WHERE a.doc_id < b.doc_id
+        ),
+        shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM shd a JOIN shd b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.id_a, c.id_b, c.est_jaccard,
+               CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+        FROM cand c
+        JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= {threshold}
+    """
+
+
+def _simhash_oracle(max_hamming: int = 5) -> str:
+    """DuckDB twin of td.simhash_pairs (1-gram tokens, md5-word voting)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    w1, w2 = td.sql_md5_words("shingle")
+    tallies = ",\n                 ".join(
+        "sum(CASE WHEN ({src} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS t{b}".format(
+            src="w1" if b < 32 else "w2", sh=b % 32, b=b
+        )
+        for b in range(64)
+    )
+    lo = " + ".join(f"(CASE WHEN t{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    hi = " + ".join(
+        f"(CASE WHEN t{32 + b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+
+    def chunk_expr(c: int) -> str:
+        lo_bit, hi_bit = c * width, (c + 1) * width
+        mask = (1 << width) - 1
+        if hi_bit <= 32:
+            return f"(sig_lo >> {lo_bit}) & {mask}"
+        if lo_bit >= 32:
+            return f"(sig_hi >> {lo_bit - 32}) & {mask}"
+        n_lo = 32 - lo_bit
+        return (
+            f"((sig_lo >> {lo_bit}) & {(1 << n_lo) - 1})"
+            f" + ((sig_hi & {(1 << (width - n_lo)) - 1}) * {1 << n_lo})"
+        )
+
+    band_rows = "\n          UNION ALL ".join(
+        f"SELECT doc_id, sig_lo, sig_hi, {c} AS chunk, {chunk_expr(c)} AS bucket FROM sig"
+        for c in range(chunks)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS t FROM documents
+        ),
+        sh AS (SELECT doc_id, unnest(t) AS shingle FROM toks),
+        w AS (SELECT doc_id, {w1} AS w1, {w2} AS w2 FROM sh),
+        t AS (
+          SELECT doc_id,
+                 {tallies}
+          FROM w GROUP BY doc_id
+        ),
+        sig AS (SELECT doc_id, {lo} AS sig_lo, {hi} AS sig_hi FROM t),
+        banded AS (
+          {band_rows}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.sig_lo AS la, a.sig_hi AS ha, b.sig_lo AS lb, b.sig_hi AS hb
+          FROM banded a JOIN banded b USING (chunk, bucket)
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM (
+          SELECT id_a, id_b,
+                 bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS hamming
+          FROM cand
+        ) WHERE hamming <= {max_hamming}
+    """
 
 
 @register(
@@ -78,8 +202,8 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh_pairs",
-    oracle=None,  # xxhash64 signatures: not DuckDB-expressible; pytest-verified
-    description="MinHash(16)+LSH(4 bands) candidate pairs, exact-jaccard verified ≥ 0.5",
+    oracle=_minhash_lsh_oracle(n_hashes=16, bands=4, threshold=0.5),
+    description="MinHash(16)+LSH(4 bands) candidate pairs, exact-jaccard verified ≥ 0.5 (md5-affine family, full oracle)",
     tags=("llm", "dedup"),
     bench=True,
 )
@@ -92,8 +216,8 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    oracle=None,  # xxhash64-based signature: not DuckDB-expressible; pytest-verified
-    description="64-bit SimHash near-dup pairs within Hamming distance 5 (pigeonhole banding)",
+    oracle=_simhash_oracle(max_hamming=5),
+    description="64-bit SimHash near-dup pairs within Hamming distance 5 (pigeonhole banding, md5-word voting, full oracle)",
     tags=("llm", "dedup"),
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
