@@ -20,6 +20,101 @@ QUERY_IDS = list(range(8))
 K = 10
 
 
+def _lsh_plane_literal(p: int, dim: int = 64) -> str:
+    """DuckDB DOUBLE[] literal of hyperplane p, bit-identical to
+    ops.similarity.hyperplane_lsh_bucket's md5-derived components: the
+    Spark side constant-folds conv(substr(md5('p:d'),1,8),16,10)/16^8-0.5,
+    and Python computes the exact same double (int→double exact below
+    2^53, division by 2^32 and the 0.5 subtraction correctly rounded the
+    same way); repr() round-trips it through DuckDB's literal parser."""
+    import hashlib
+
+    comps = [
+        int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) / float(16**8) - 0.5
+        for d in range(dim)
+    ]
+    return "[" + ", ".join(repr(x) for x in comps) + "]::DOUBLE[]"
+
+
+def _lsh_topk_oracle(n_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of sim.lsh_bucketed_topk (multiprobe, k=K)."""
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product({_lsh_plane_literal(p, dim)}, v) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_planes)])
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        ),
+        b AS (
+          SELECT vec_id, v, nrm, {bucket} AS bucket FROM n
+        ),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+                 unnest([{probes}]) AS qbucket
+          FROM b WHERE vec_id < {len(QUERY_IDS)}
+        ),
+        s AS (
+          SELECT query_id, a.vec_id AS neighbor_id,
+                 list_dot_product(qv, a.v) / (qn * a.nrm) AS cosine
+          FROM b a JOIN q ON a.bucket = qbucket AND a.vec_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                 ) AS rank
+          FROM s
+        ) WHERE rank <= {K}
+    """
+
+
+def _ivf_topk_oracle(n_centroids: int = 16, n_probe: int = 4) -> str:
+    """DuckDB twin of sim.ivf_topk with lowest-id centroid seeding."""
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        ),
+        c AS (
+          SELECT vec_id AS cid, v AS cv, nrm AS cn
+          FROM n WHERE vec_id < {n_centroids}
+        ),
+        ranked AS (
+          SELECT vec_id, v, nrm, cid,
+                 row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid
+                 ) AS crank
+          FROM n, c
+        ),
+        assigned AS (
+          SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE crank = 1
+        ),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS qcell
+          FROM ranked WHERE vec_id < {len(QUERY_IDS)} AND crank <= {n_probe}
+        ),
+        s AS (
+          SELECT query_id, a.vec_id AS neighbor_id,
+                 list_dot_product(qv, a.v) / (qn * a.nrm) AS cosine
+          FROM assigned a JOIN q ON a.cell = qcell AND a.vec_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                 ) AS rank
+          FROM s
+        ) WHERE rank <= {K}
+    """
+
+
 @register(
     "sim_cosine_topk_bruteforce",
     oracle=f"""
@@ -55,7 +150,10 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_lsh_bucketed_topk",
-    oracle=None,  # approximate (bucket-restricted); recall checked in pytest
+    # deterministic md5-derived hyperplanes → the bucketing itself is
+    # oracle-expressible (plane literals embedded above); recall vs exact
+    # additionally checked in pytest
+    oracle=_lsh_topk_oracle(n_planes=4),
     description="ANN top-10 via 4-plane sign-LSH multi-probe bucketing + in-bucket exact cosine",
     tags=("llm", "similarity"),
 )
@@ -67,7 +165,9 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_topk",
-    oracle=None,  # approximate (probe-restricted); recall checked in pytest
+    # lowest-id centroid seeding is deterministic → cell assignment, probe
+    # lists and in-cell ranking are all oracle-expressible
+    oracle=_ivf_topk_oracle(n_centroids=16, n_probe=4),
     description="ANN top-10 via IVF: 16 deterministic centroid cells, 4-probe search",
     tags=("llm", "similarity"),
 )
