@@ -42,6 +42,8 @@ behind the same two-method protocol.
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import time
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
@@ -173,6 +175,151 @@ class StubResolver:
             "formatted": query,
             "components": {k: v for k, v in (("county", county), ("town", district)) if v},
             "source": self.name,
+        }
+
+
+TAIWAN_BOUNDS = "119.5,21.5,122.5,25.5"  # minLon,minLat,maxLon,maxLat (geocode.js:40)
+
+
+def _urllib_transport(
+    url: str, params: dict[str, str], headers: dict[str, str], timeout_s: float
+) -> tuple[int, bytes]:
+    """Default HTTP GET via stdlib (the container has no requests/httpx).
+
+    Returns (status, body); network-level failures surface as Retryable,
+    matching the reference's axios timeout/ECONNRESET retry class."""
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    full = f"{url}?{urllib.parse.urlencode(params)}"
+    req = urllib.request.Request(full, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:  # non-2xx WITH a status code
+        return e.code, e.read()
+    except urllib.error.URLError as e:  # DNS/conn/timeout — transient
+        raise Retryable(str(e)) from e
+    except TimeoutError as e:
+        raise Retryable(str(e)) from e
+
+
+def _classify_status(status: int, body: bytes) -> None:
+    """HTTP status → retry class (reference withRetry: 429/5xx/timeouts
+    retry, other 4xx = permanent no-result, geocode.js:381-389)."""
+    if status in (408, 429) or status >= 500:
+        raise Retryable(f"HTTP {status}")
+    if status >= 400:
+        raise NonRetryable(f"HTTP {status}: {body[:200]!r}")
+
+
+@dataclass
+class OpenCageResolver:
+    """E1 — OpenCage forward geocode (reference src/geocode.js:317-342).
+
+    Parameters mirror the reference exactly: countrycode=tw, zh-TW,
+    limit 1, no_annotations, Taiwan bounds box, optional county-centroid
+    ``proximity`` as "lat,lng". Key from ``OPENCAGE_API_KEY`` (same env
+    var the reference requires, geocode.js:16). ``transport`` is
+    injectable so tests run against a mocked HTTP layer.
+    """
+
+    api_key: str | None = None
+    timeout_s: float = 15.0
+    transport: Callable[..., tuple[int, bytes]] = _urllib_transport
+    name: str = "opencage"
+
+    URL = "https://api.opencagedata.com/geocode/v1/json"
+
+    def __post_init__(self):
+        if self.api_key is None:
+            self.api_key = os.environ.get("OPENCAGE_API_KEY")
+        if not self.api_key:
+            raise ValueError(
+                "OpenCageResolver needs an API key (OPENCAGE_API_KEY env var)"
+            )
+
+    def resolve(self, query, proximity=None):
+        params = {
+            "key": self.api_key,
+            "q": query,
+            "countrycode": "tw",
+            "language": "zh-TW",
+            "limit": "1",
+            "no_annotations": "1",
+            "bounds": TAIWAN_BOUNDS,
+        }
+        if proximity:
+            params["proximity"] = f"{proximity[0]},{proximity[1]}"  # lat,lng
+        status, body = self.transport(self.URL, params, {}, self.timeout_s)
+        _classify_status(status, body)
+        data = json.loads(body)
+        results = (data or {}).get("results") or []
+        if not results:
+            return None
+        best = results[0]
+        return {
+            "lat": best["geometry"]["lat"],
+            "lng": best["geometry"]["lng"],
+            "confidence": best.get("confidence"),
+            "formatted": best.get("formatted"),
+            "components": {
+                k: str(v) for k, v in (best.get("components") or {}).items()
+            },
+            "source": "opencage",
+        }
+
+
+@dataclass
+class NominatimResolver:
+    """E2 — Nominatim fallback (reference src/geocode.js:344-372).
+
+    jsonv2, limit 1, addressdetails, countrycodes=tw, bounded viewbox
+    (note the reference's viewbox is lon-lat corner order '119.5,25.5,
+    122.5,21.5' — reproduced verbatim), User-Agent from
+    ``NOMINATIM_USER_AGENT`` with the reference's default.
+    """
+
+    timeout_s: float = 15.0
+    transport: Callable[..., tuple[int, bytes]] = _urllib_transport
+    user_agent: str | None = None
+    name: str = "nominatim"
+
+    URL = "https://nominatim.openstreetmap.org/search"
+
+    def __post_init__(self):
+        if self.user_agent is None:
+            self.user_agent = os.environ.get(
+                "NOMINATIM_USER_AGENT",
+                "crawler_counseling_geocoder/1.5 (+https://example.com)",
+            )
+
+    def resolve(self, query, proximity=None):
+        params = {
+            "format": "jsonv2",
+            "q": query,
+            "limit": "1",
+            "addressdetails": "1",
+            "countrycodes": "tw",
+            "bounded": "1",
+            "viewbox": "119.5,25.5,122.5,21.5",
+        }
+        status, body = self.transport(
+            self.URL, params, {"User-Agent": self.user_agent}, self.timeout_s
+        )
+        _classify_status(status, body)
+        arr = json.loads(body)
+        if not isinstance(arr, list) or not arr:
+            return None
+        best = arr[0]
+        return {
+            "lat": float(best["lat"]),
+            "lng": float(best["lon"]),
+            "confidence": None,
+            "formatted": best.get("display_name"),
+            "components": {k: str(v) for k, v in (best.get("address") or {}).items()},
+            "source": "nominatim",
         }
 
 

@@ -224,3 +224,127 @@ def test_nominatim_fallback_when_primary_dry(spark):
     assert r.source == "nominatim" and r.approx is None
     entries = res.new_cache_entries.collect()
     assert len(entries) == 1 and entries[0].source == "nominatim"
+
+
+# ---------------------------------------------------------------------------
+# Real HTTP adapters (E1/E2) against a mocked transport
+# ---------------------------------------------------------------------------
+
+
+class _MockTransport:
+    """Records every request; replies from a (url-substring → (status,
+    payload)) table. Payload may be an Exception to raise."""
+
+    def __init__(self, replies):
+        self.replies = replies
+        self.requests = []
+
+    def __call__(self, url, params, headers, timeout_s):
+        self.requests.append((url, dict(params), dict(headers), timeout_s))
+        for frag, (status, payload) in self.replies.items():
+            if frag in url:
+                if isinstance(payload, Exception):
+                    raise payload
+                return status, json.dumps(payload).encode()
+        raise AssertionError(f"unexpected url {url}")
+
+
+_OC_OK = {
+    "results": [
+        {
+            "geometry": {"lat": 25.04, "lng": 121.56},
+            "confidence": 9,
+            "formatted": "臺北市信義區市府路45號",
+            "components": {"city": "臺北市", "town": "信義區"},
+        }
+    ]
+}
+_NOMI_OK = [
+    {
+        "lat": "24.15",
+        "lon": "120.66",
+        "display_name": "臺中市西屯區市政北二路",
+        "address": {"city": "臺中市"},
+    }
+]
+
+
+def test_opencage_adapter_sends_reference_params_and_parses():
+    t = _MockTransport({"opencagedata": (200, _OC_OK)})
+    r = E.OpenCageResolver(api_key="k123", transport=t)
+    got = r.resolve("臺北市信義區市府路45號", proximity=(25.0375, 121.5637))
+    (url, params, headers, timeout) = t.requests[0]
+    # exact parameter parity with src/geocode.js:318-326
+    assert params == {
+        "key": "k123", "q": "臺北市信義區市府路45號", "countrycode": "tw",
+        "language": "zh-TW", "limit": "1", "no_annotations": "1",
+        "bounds": "119.5,21.5,122.5,25.5", "proximity": "25.0375,121.5637",
+    }
+    assert timeout == 15.0
+    assert got["lat"] == 25.04 and got["lng"] == 121.56
+    assert got["confidence"] == 9 and got["source"] == "opencage"
+    assert got["components"]["town"] == "信義區"
+
+
+def test_opencage_adapter_requires_key(monkeypatch):
+    monkeypatch.delenv("OPENCAGE_API_KEY", raising=False)
+    with pytest.raises(ValueError):
+        E.OpenCageResolver()
+
+
+def test_nominatim_adapter_sends_reference_params_and_parses():
+    t = _MockTransport({"nominatim": (200, _NOMI_OK)})
+    r = E.NominatimResolver(transport=t)
+    got = r.resolve("臺中市西屯區市政北二路")
+    (url, params, headers, timeout) = t.requests[0]
+    # exact parameter parity with src/geocode.js:345-353 (incl. the
+    # reference's corner-order viewbox quirk) + UA header
+    assert params == {
+        "format": "jsonv2", "q": "臺中市西屯區市政北二路", "limit": "1",
+        "addressdetails": "1", "countrycodes": "tw", "bounded": "1",
+        "viewbox": "119.5,25.5,122.5,21.5",
+    }
+    assert headers["User-Agent"].startswith("crawler_counseling_geocoder/")
+    assert got == {
+        "lat": 24.15, "lng": 120.66, "confidence": None,
+        "formatted": "臺中市西屯區市政北二路", "components": {"city": "臺中市"},
+        "source": "nominatim",
+    }
+
+
+def test_adapter_status_retry_classes():
+    for status, exc in ((429, E.Retryable), (503, E.Retryable), (403, E.NonRetryable)):
+        t = _MockTransport({"opencagedata": (status, {})})
+        r = E.OpenCageResolver(api_key="k", transport=t)
+        with pytest.raises(exc):
+            r.resolve("q")
+    # empty result set is a normal miss, not an error
+    t = _MockTransport({"opencagedata": (200, {"results": []})})
+    assert E.OpenCageResolver(api_key="k", transport=t).resolve("q") is None
+
+
+def test_waterfall_with_mocked_real_adapters(spark):
+    """End-to-end E5 with the REAL adapter classes in the waterfall (mock
+    transport): primary OpenCage dries up (empty results) → Nominatim
+    fallback supplies the hit, provenance records it."""
+    oc = _MockTransport({"opencagedata": (200, {"results": []})})
+    nomi_payload = [
+        {"lat": "25.04", "lon": "121.56",
+         "display_name": "臺北市信義區市府路45號",
+         "address": {"city": "臺北市"}}
+    ]
+    nm = _MockTransport({"nominatim": (200, nomi_payload)})
+    rows = spark.createDataFrame(
+        [{"county": "臺北市", "org_name": "測試診所", "address": "臺北市信義區市府路45號"}]
+    )
+    res = E.enrich(
+        rows, None,
+        E.OpenCageResolver(api_key="k", transport=oc),
+        nominatim=E.NominatimResolver(transport=nm),
+    )
+    [r] = res.enriched.collect()
+    # source == nominatim proves the primary was consulted and came up dry
+    # (the waterfall only reaches the fallback after the OpenCage stages);
+    # oc.requests can't be asserted here — the resolver executes in a
+    # cloudpickled executor copy, not this driver-side object.
+    assert r["lat"] == 25.04 and r["source"] == "nominatim"
