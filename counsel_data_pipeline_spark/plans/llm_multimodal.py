@@ -1,9 +1,14 @@
 """Multimodal plumbing surfaced through the driver contract.
 
-The binary-stats plan is fully oracle-matched (pure JVM-side blob exprs:
-Spark md5(binary) ≡ DuckDB md5(varchar) — both hash the UTF-8 bytes). The
-decode plan exercises the Arrow mapInPandas path; its pseudo-decode is
-deterministic but not SQL-expressible → rows-only + pytest.
+All three plans are fully oracle-matched since round 2. binary-stats is
+pure JVM-side blob exprs (Spark md5(binary) ≡ DuckDB md5(varchar) — both
+hash the UTF-8 bytes). The decode and frame-sample plans exercise the
+Arrow mapInPandas path; their pseudo-decode derives entirely from
+sha256(payload) bytes, which DuckDB reproduces (sha256 hex identical to
+hashlib; round(k/24.0, 6) verified bit-identical over the whole duration
+domain), so even the stubbed codec path is cross-engine checked. Only
+the real-codec integration point (codec='real') stays NotImplemented —
+pillow/ffmpeg are absent from this container.
 """
 
 from __future__ import annotations
@@ -42,9 +47,33 @@ def binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_MEDIA_TYPE = """CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END"""
+# bytes 0/1/2 of sha256(payload) — the pseudo-decode's entire entropy
+# source (ops/multimodal._fake_decode); DuckDB's sha256 hex matches
+# hashlib's, and round(k/24.0, 6) was verified bit-identical to Python's
+# round across the whole k ∈ [1, 121] duration domain.
+_SQL_B = [
+    f"CAST(concat('0x', substr(sha256(text), {1 + 2 * i}, 2)) AS INT)" for i in range(3)
+]
+_SQL_N_FRAMES = f"CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + {_SQL_B[2]} % 120 END"
+
+
 @register(
     "multimodal_decode_metadata",
-    oracle=None,  # pseudo-decode (sha256-derived dims): pytest-verified determinism
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               {_SQL_MEDIA_TYPE} AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_hash,
+               CAST(16 + {_SQL_B[0]} % 240 AS INT) AS width,
+               CAST(16 + {_SQL_B[1]} % 240 AS INT) AS height,
+               CAST({_SQL_N_FRAMES} AS INT) AS n_frames,
+               CASE WHEN doc_id % 3 = 0 THEN 0.0
+                    ELSE round(({_SQL_N_FRAMES}) / 24.0, 6) END AS duration_s
+        FROM documents
+    """,
     description="Arrow mapInPandas decode stub → typed media metadata rows",
     tags=("llm", "multimodal"),
 )
@@ -55,7 +84,19 @@ def decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample_stats",
-    oracle=None,  # frame counts derive from the pseudo-decode; pytest-verified
+    oracle=f"""
+        WITH f AS (
+          SELECT doc_id AS media_id,
+                 {_SQL_MEDIA_TYPE} AS media_type,
+                 {_SQL_N_FRAMES} AS n_frames
+          FROM documents
+        )
+        SELECT media_type,
+               CAST(sum((n_frames - 1) // 24 + 1) AS BIGINT) AS n_sampled_frames,
+               count(DISTINCT media_id) AS n_media,
+               CAST(max(((n_frames - 1) // 24) * 24) AS INT) AS max_frame_idx
+        FROM f GROUP BY media_type
+    """,
     description="video/audio frame sampling fan-out (explode over sampled indices), per-type stats",
     tags=("llm", "multimodal"),
 )

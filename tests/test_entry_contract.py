@@ -26,7 +26,10 @@ def test_every_oracle_key_has_a_query():
     # the vast majority of the catalog is oracle-checked; only the
     # hash-function-dependent / approximate ops are rows-only
     rows_only = set(qs) - set(oracles)
-    assert len(rows_only) <= 9, sorted(rows_only)
+    # exactly the engine-internal trio: k-means IVF (iterative float
+    # averaging — not bit-reproducible in SQL), HLL and KLL sketch
+    # internals. Everything else in the catalog is oracle-checked.
+    assert len(rows_only) <= 3, sorted(rows_only)
     for sql in oracles.values():
         assert sql.strip()
 
