@@ -192,3 +192,40 @@ def test_distributed_quartiles_have_no_single_partition_funnel(spark):
     assert "SinglePartition" not in dist, dist
     glob = _plan(spark, "window_customer_balance_quartiles")
     assert "SinglePartition" in glob
+
+
+def test_catalog_fleet_plan_audit(spark):
+    """Fleet-wide scale audit over EVERY catalog query's physical plan
+    (pre-AQE): no CartesianProduct anywhere, and no unpartitioned Window
+    (the every-row-through-one-task shape) outside the explicit
+    allowlist. Catches a new query shipping a scale anti-pattern long
+    before any driver run."""
+    allow_global_window = {
+        # the oracle twin of the distributed ranking variant — global by
+        # design, kept as the correctness anchor
+        "window_customer_balance_quartiles",
+    }
+
+    def walk(node):
+        yield node
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+
+    bad = {}
+    for name, q in all_queries().items():
+        plan = q.fn(spark, SF)._jdf.queryExecution().sparkPlan()
+        issues = []
+        for node in walk(plan):
+            nn = node.nodeName()
+            if "CartesianProduct" in nn:
+                issues.append(nn)
+            if nn == "Window" or nn.startswith("WindowGroupLimit"):
+                try:
+                    empty = node.partitionSpec().isEmpty()
+                except Exception:
+                    continue
+                if empty and name not in allow_global_window:
+                    issues.append(f"unpartitioned {nn}")
+        if issues:
+            bad[name] = issues
+    assert not bad, f"scale anti-patterns: {bad}"
