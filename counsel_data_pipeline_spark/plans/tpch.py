@@ -589,8 +589,6 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "subquery", "agg"),
 )
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
@@ -598,11 +596,13 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy("l_suppkey").agg(
         F.sum(_disc_price().cast("decimal(30,6)")).alias("rev_exact")
     )
-    # global max over the tiny per-supplier aggregate (100 rows) — an
-    # unpartitioned window here is a 100-row exchange, not a bottleneck
-    best = revenue.withColumn(
-        "__mx", F.max("rev_exact").over(Window.partitionBy())
-    ).filter(F.col("rev_exact") == F.col("__mx"))
+    # global max as a 1-row aggregate joined back (keeps ties) — no
+    # WindowExec, so the per-supplier aggregate never funnels through a
+    # single task; the broadcast side is exactly one row
+    best = revenue.join(
+        F.broadcast(revenue.agg(F.max("rev_exact").alias("__mx"))),
+        F.col("rev_exact") == F.col("__mx"),
+    ).drop("__mx")
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         best.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))

@@ -213,9 +213,12 @@ def test_near_dup_lsh_scale_path_recall_and_no_broadcast(spark):
 
 
 def test_near_dup_gate_picks_exact_below_threshold(spark):
-    """At corpus sizes below the gate the plan is the exact broadcast
-    all-pairs join (the oracle-checked baseline)."""
+    """At corpus sizes below the gate the plan is the blocked exact
+    all-pairs path (applyInPandas over block-pair groups — the
+    oracle-checked baseline), not the LSH candidate join."""
     emb = load_table(spark, SF, "embeddings")
     df = sim.near_dup_pairs_topn(emb, top_n=5)  # default threshold ≫ sf0.01
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastExchange" in plan
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInBatch" in plan, plan
+    # and no corpus-side broadcast anywhere (the round-1 defect shape)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
