@@ -68,67 +68,27 @@ def register(
 # registration order. Rotate per round: once a family has its green
 # CORRECTNESS row, swap the next unverified family in.
 #
-# Round 2 window: the 40 queries the round-1 driver never reached
-# (tpch/window/setop/join/sketch/grouping-sets families) + the 10 whose
-# oracles changed this round (the 9 round-1 hash-red fixes, re-verified, and
-# curation_stratified_sample whose bucket column was pinned to BIGINT).
+# Round 3 window: the 6 dedup/ANN/multimodal queries whose oracles landed in
+# round 2 AFTER their round-1 slot (local PASS, never driver-attested),
+# curation_stratified_sample (oracle changed post-green: UBIGINT → BIGINT),
+# and the 2 queries whose plans changed this round (blocked exact near-dup;
+# q15 window → aggregate-join rewrite) so the driver re-attests the current
+# commit. The remaining ~41 slots fall to registration order — early
+# families (clean/dedup/merge/events/text) get their regression re-check.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never driver-checked in round 1 (registration positions 50..89) --
-    "grouping_sets_lineitem",
-    "setop_repeat_buyers_intersect",
-    "setop_lapsed_buyers_except",
-    "setop_union_priority_buckets",
-    "join_anti_customers_without_orders",
-    "join_semi_suppliers_of_big_items",
-    "join_outer_nation_customer_counts",
-    "sketch_cms_user_counts",
-    "sketch_bloom_custkey_probe",
-    "sketch_hll_distinct_users",
-    "sketch_value_quantiles",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_order_priority",
-    "tpch_q10_returned_customers",
-    "agg_brand_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
+    # -- oracle-complete in r2, no driver row yet --
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "sim_lsh_bucketed_topk",
+    "sim_ivf_topk",
+    "multimodal_decode_metadata",
+    "multimodal_frame_sample_stats",
+    # -- oracle changed after its r1 green row --
+    "curation_stratified_sample",
+    # -- plan rewritten in r3, re-attest --
+    "dedup_embedding_cosine_topn",
     "tpch_q15_top_supplier",
-    "tpch_q18_large_volume",
-    "tpch_q17_small_quantity",
-    "tpch_q16_part_supplier_diversity",
-    "agg_order_value_percentiles",
-    "tpch_q19_like_disjunctive",
-    "tpch_copurchase_part_pairs",
-    "tpch_quantity_discount_correlation",
-    "tpch_top_customer_per_nation",
-    "tpch_order_value_histogram",
-    "window_top3_orders_per_customer",
-    "window_running_customer_spend",
-    "window_event_value_delta",
-    "window_part_price_rank",
-    "window_order_gap_days",
-    "window_customer_balance_quartiles",
-    "window_balance_quartiles_distributed",
-    "window_rolling_7day_user_value",
-    "window_fill_forward_last_purchase",
-    # -- round-1 hash-red, oracles fixed (HUGEINT → BIGINT) — re-verify --
-    "events_sessionize_30m",
-    "events_daily_type_pivot",
-    "curation_hash_split",
-    "curation_numeric_scrub_props",
-    "multimodal_binary_stats",
-    "sim_neighbor_doc_quality",
-    "text_token_stats_by_lang",
-    "llm_corpus_prep",
-    "quality_profile_lineitem",
 )
-# curation_stratified_sample's oracle also changed (UBIGINT → BIGINT cast,
-# value-preserving) but yields its window slot to the new distributed-
-# quartiles query — rotate it back in next round.
 
 
 def all_queries() -> dict[str, Query]:
