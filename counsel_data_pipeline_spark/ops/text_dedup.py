@@ -261,13 +261,16 @@ def minhash_lsh_pairs(
         return est
     # Exact-Jaccard verification over CANDIDATES ONLY — the whole point of
     # LSH is that the exact similarity runs on O(candidates), not on every
-    # shingle-sharing pair. Shingle sets ride along as arrays (distinct by
-    # construction), candidates join them twice, and the set algebra stays
-    # JVM-side (array_intersect/array_union).
-    sets = (
-        _doc_shingles(df, id_col, text_col, n)
-        .groupBy("id")
-        .agg(F.collect_list("shingle").alias("shingles"))
+    # shingle-sharing pair. Shingle sets are built per-doc as
+    # array_distinct over the scan itself — no explode, no distinct
+    # shuffle, no collect_list re-grouping (round 2 paid both); candidates
+    # join the arrays twice and the set algebra stays JVM-side
+    # (array_intersect/array_union return distinct elements).
+    sets = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(norm_text(F.col(text_col)), n)).alias(
+            "shingles"
+        ),
     )
     verified = (
         est.join(

@@ -184,7 +184,12 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from counsel_data_pipeline_spark.ops.text_dedup import _spread
+
+    # the scoring projection is several regex passes per document — fan the
+    # single-file scan out before it so the work parallelizes (no-op when
+    # the input already has enough splits)
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     text = F.col("text")
     scored = docs.select(
         "doc_id", "lang",
