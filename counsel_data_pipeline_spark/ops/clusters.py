@@ -78,11 +78,26 @@ def connected_components(
         if changed == 0:
             break
     if changed != 0:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds "
-            f"({changed} labels still changing) — graph diameter exceeds "
-            f"max_rounds; raise it"
+        # The final round may have written the fixpoint labels (changed
+        # counts updates MADE, not updates REMAINING) — one extra check
+        # distinguishes "converged on the last round" from truly
+        # unfinished before raising.
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("comp").alias("nmin"))
         )
+        still = (
+            labels.join(neighbor_min, "id", "left")
+            .filter(F.col("nmin") < F.col("comp"))
+            .count()
+        )
+        if still != 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} rounds "
+                f"({still} labels still changing) — graph diameter exceeds "
+                f"max_rounds; raise it"
+            )
     return labels
 
 

@@ -43,3 +43,17 @@ def test_edge_direction_irrelevant(spark):
     a = connected_components(_edges(spark, [(2, 1), (3, 2)])).collect()
     b = connected_components(_edges(spark, [(1, 2), (2, 3)])).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_convergence_on_final_round_is_not_an_error(spark):
+    """A path that reaches its fixpoint exactly on round max_rounds used to
+    raise (the changed counter counts updates MADE, not REMAINING): the
+    post-loop re-check must recognize the labels as final."""
+    import pytest
+
+    edges = _edges(spark, [(i, i + 1) for i in range(3)])  # diameter 3
+    cc = connected_components(edges, max_rounds=3)
+    assert {r.comp for r in cc.collect()} == {0}
+    # one round short of the diameter must still raise
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=2)
