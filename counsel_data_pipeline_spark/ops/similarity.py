@@ -18,6 +18,9 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -96,8 +99,6 @@ def _exact_pairs_blocked(
     O(groups × top_n) rows, not O(n²). Measured on local[32] at 64 dims:
     ~2M pairs/s per task (sf0.1: 2M pairs in 2.1 s end-to-end vs 29.9 s
     for the round-2 BroadcastNestedLoop Catalyst fold, ~14×)."""
-    import numpy as np
-    import pandas as pd
 
     n_blocks = max(1, math.ceil(n_rows / block_rows))
     partners = F.array(
@@ -179,8 +180,6 @@ def _rank_bounded(top: DataFrame, order_cols: list[str]) -> DataFrame:
     re-sorts the handful of rows and numbers them. Scale-safe because the
     input is bounded by construction (≤ top_n rows), which is exactly the
     proof the fleet plan audit demands in place of a global WindowExec."""
-    import numpy as np
-    import pandas as pd
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in top.schema.fields)
 
@@ -365,6 +364,136 @@ def kmeans_centroids(
     return cents
 
 
+def _nearest_cells(
+    df: DataFrame, centroids: DataFrame, n: int, out_col: str
+) -> DataFrame:
+    """Rank centroids by cosine for each row; keep the n nearest. One
+    broadcast of the tiny centroid table; the per-row window is
+    partitioned by row id (no global exchange)."""
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        df["*"],
+        F.col("__cid"),
+        (dot(F.col("__v"), F.col("__cv")) / (F.col("__norm") * F.col("__cn"))).alias(
+            "__csim"
+        ),
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__csim").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= n)
+        .withColumnRenamed("__cid", out_col)
+        .drop("__csim", "__crank")
+    )
+
+
+def lowest_id_centroids(emb: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic centroid seeding shared by the IVF paths: the
+    ``n_centroids`` lowest-id vectors (reproducible across runs/engines
+    without a stored model)."""
+    return (
+        emb.orderBy("__id")
+        .limit(n_centroids)
+        .select(
+            F.col("__id").alias("__cid"),
+            F.col("__v").alias("__cv"),
+            F.col("__norm").alias("__cn"),
+        )
+    )
+
+
+def semantic_blocked_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.55,
+    n_centroids: int = 16,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids_df: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic-blocked embedding near-dup pairs (the SemDeDup-style scale
+    path): every vector is assigned to its ``probes`` nearest IVF cells,
+    candidate pairs are vectors sharing ANY cell, and the exact fold
+    cosine verifies candidates against ``threshold``.
+
+    Blocking by semantic cell bounds the quadratic: candidate volume is
+    Σ_cell |cell|·probes² instead of n², and true near-dups (cos ≈ 1)
+    land in the same nearest cell with near-certainty — multi-assignment
+    (``probes`` > 1) covers pairs straddling a Voronoi boundary
+    (recall floor asserted in pytest on planted duplicates).
+
+    Scale shape: centroids broadcast (tiny); the corpus shuffles ONCE by
+    cell id into per-cell ``applyInPandas`` groups — vectors cross the
+    Arrow boundary O(corpus × probes) times, never O(pairs) (a pair-level
+    join shipping both vectors per candidate measured 3× slower), and the
+    numpy fold inside each group is chunked so task memory is bounded by
+    chunk × |cell|. A hot cell bounds a task: raise ``n_centroids`` (or
+    pre-train balanced cells with :func:`kmeans_centroids` and pass
+    ``centroids_df``) when one cell dominates.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b — a deterministic SET
+    (no top-n), so the output is directly oracle-comparable.
+    """
+    from counsel_data_pipeline_spark.ops.text_dedup import _spread
+
+    # a small single-file scan would otherwise run every candidate's fold
+    # cosine in ONE task (no-op when the input already has enough splits)
+    emb = _spread(corpus).select(
+        F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
+    ).withColumn("__norm", l2_norm(F.col("__v")))
+    centroids = centroids_df if centroids_df is not None else lowest_id_centroids(
+        emb, n_centroids
+    )
+
+    assigned = _nearest_cells(emb, centroids, probes, "__cell")
+    # Verification is ONE applyInPandas group per cell: each cell's
+    # vectors cross the Arrow boundary once (O(corpus × probes) bytes) and
+    # the quadratic pair formation happens inside numpy with the same
+    # left-to-right fold as :func:`dot` — a pair-level equi-join would
+    # instead ship BOTH vectors for every candidate pair (O(pairs) ≫
+    # O(rows) bytes), which measured 3× slower end-to-end. Pairs sharing
+    # several probe cells are verified once per cell (identical values);
+    # the final distinct keeps the survivor set only.
+    def cell_pairs(key, pdf):
+        ids = pdf["__id"].to_numpy()
+        if ids.size < 2:
+            return pd.DataFrame(
+                {"id_a": np.array([], dtype=np.int64),
+                 "id_b": np.array([], dtype=np.int64),
+                 "cosine": np.array([], dtype=np.float64)}
+            )
+        V = np.stack(pdf["__v"].to_numpy()).astype(np.float64, copy=False)
+        dim = V.shape[1]
+        nsq = np.zeros(ids.size)
+        for d in range(dim):
+            nsq += V[:, d] * V[:, d]
+        nrm = np.sqrt(nsq)
+        out_a, out_b, out_c = [], [], []
+        # row-chunked so a hot cell bounds task memory at chunk × |cell|
+        chunk = 2048
+        for lo in range(0, ids.size, chunk):
+            hi = min(lo + chunk, ids.size)
+            acc = np.zeros((hi - lo, ids.size))
+            for d in range(dim):
+                acc += np.multiply.outer(V[lo:hi, d], V[:, d])
+            cos = acc / np.multiply.outer(nrm[lo:hi], nrm)
+            II, JJ = np.meshgrid(ids[lo:hi], ids, indexing="ij")
+            mask = (II < JJ) & (cos >= threshold)
+            out_a.append(II[mask])
+            out_b.append(JJ[mask])
+            out_c.append(cos[mask])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+             "cosine": np.concatenate(out_c)}
+        )
+
+    return (
+        assigned.select(F.col("__id").cast("long").alias("__id"), "__v", "__cell")
+        .groupBy("__cell")
+        .applyInPandas(cell_pairs, "id_a long, id_b long, cosine double")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_ids: list[int],
@@ -391,35 +520,14 @@ def ivf_topk(
         F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
     ).withColumn("__norm", l2_norm(F.col("__v")))
 
-    centroids = centroids_df if centroids_df is not None else (
-        emb.orderBy("__id")
-        .limit(n_centroids)
-        .select(
-            F.col("__id").alias("__cid"),
-            F.col("__v").alias("__cv"),
-            F.col("__norm").alias("__cn"),
-        )
+    centroids = centroids_df if centroids_df is not None else lowest_id_centroids(
+        emb, n_centroids
     )
 
-    def nearest_cells(df: DataFrame, n: int, out_col: str) -> DataFrame:
-        """Rank centroids by cosine for each row; keep the n nearest."""
-        sim = df.crossJoin(F.broadcast(centroids)).select(
-            df["*"],
-            F.col("__cid"),
-            (dot(F.col("__v"), F.col("__cv")) / (F.col("__norm") * F.col("__cn"))).alias(
-                "__csim"
-            ),
-        )
-        w = Window.partitionBy("__id").orderBy(F.col("__csim").desc(), F.col("__cid"))
-        return (
-            sim.withColumn("__crank", F.row_number().over(w))
-            .filter(F.col("__crank") <= n)
-            .withColumnRenamed("__cid", out_col)
-            .drop("__csim", "__crank")
-        )
-
-    assigned = nearest_cells(emb, 1, "__cell")
-    queries = nearest_cells(emb.filter(F.col("__id").isin(query_ids)), n_probe, "__qcell").select(
+    assigned = _nearest_cells(emb, centroids, 1, "__cell")
+    queries = _nearest_cells(
+        emb.filter(F.col("__id").isin(query_ids)), centroids, n_probe, "__qcell"
+    ).select(
         F.col("__id").alias("query_id"),
         F.col("__v").alias("__qv"),
         F.col("__norm").alias("__qnorm"),

@@ -240,6 +240,57 @@ def neighbor_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_blocked_pairs",
+    # blocking AND verification are deterministic (lowest-id cells,
+    # 2-probe multi-assignment, exact fold cosine) → the full pipeline
+    # incl. which pairs the blocking surfaces is oracle-expressible
+    oracle="""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        ),
+        c AS (
+          SELECT vec_id AS cid, v AS cv, nrm AS cn
+          FROM n WHERE vec_id < 16
+        ),
+        ranked AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid
+                 ) AS crank
+          FROM n, c
+        ),
+        assigned AS (
+          SELECT vec_id, cid AS cell FROM ranked WHERE crank <= 2
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+        FROM cand
+        JOIN n x ON x.vec_id = id_a
+        JOIN n y ON y.vec_id = id_b
+        WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.45
+    """,
+    description="semantic-blocked near-dup pairs: 2-probe IVF cell blocking "
+    "bounds the quadratic, exact fold cosine verifies candidates (SemDeDup-style scale path)",
+    tags=("llm", "dedup", "similarity", "blocking"),
+    bench=True,
+)
+def semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.semantic_blocked_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.45, n_centroids=16, probes=2,
+    )
+
+
+@register(
     "sim_ivf_kmeans_topk",
     oracle=None,  # trained-centroid ANN is approximate by construction; recall floor pytest-checked
     description="IVF top-k with spherical k-means trained centroids (Lloyd's, 3 iterations)",

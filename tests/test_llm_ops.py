@@ -222,3 +222,55 @@ def test_near_dup_gate_picks_exact_below_threshold(spark):
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInBatch" in plan, plan
     # and no corpus-side broadcast anywhere (the round-1 defect shape)
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_near_dup_blocked_exact_multiblock_matches_single_block(spark):
+    """The triangular block decomposition must be invariant to block_rows:
+    forcing multiple blocks (cross-block p≠q groups + diagonal p==q
+    groups) yields exactly the single-block result, bit-for-bit. The
+    default tests never leave one block at sf0.01, so this pins the
+    block-boundary logic (orientation, local top-n cut, dedup-free
+    partner enumeration)."""
+    emb = load_table(spark, SF, "embeddings")
+    one = sim.near_dup_pairs_topn(emb, top_n=20, exact_threshold=None).collect()
+    many = sim.near_dup_pairs_topn(
+        emb, top_n=20, exact_threshold=None, block_rows=120  # 500 rows → 5 blocks
+    ).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_semantic_blocked_pairs_finds_planted_dups(spark):
+    """True near-dups (cos ≈ 0.999) must land in a shared IVF cell and be
+    verified; the blocking only prunes mid-similarity noise. Also pins the
+    scale shape: candidate generation is an equi-join on cell id — no
+    cartesian, no nested-loop fallback."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    planted = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i % 8 == 0, x * 1.02).otherwise(x),
+            ).alias("embedding"),
+        )
+    )
+    corpus = emb.unionByName(planted)
+    expected = {(i, i + 100000) for i in range(20)}
+
+    df = sim.semantic_blocked_pairs(corpus, threshold=0.9, probes=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the 16-row centroid fan-out;
+    # pair verification must be the per-cell grouped Arrow pass (vectors
+    # cross the Python boundary once per cell, not once per pair)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInBatch" in plan, plan
+
+    got = {(r["id_a"], r["id_b"]) for r in df.collect()}
+    recall = len(expected & got) / len(expected)
+    assert recall >= 0.9, f"semantic blocking lost planted near-dups: {recall}"
+    # nothing below the verify threshold leaks through
+    assert all(r["cosine"] >= 0.9 for r in df.collect())
