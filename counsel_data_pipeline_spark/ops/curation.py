@@ -106,3 +106,20 @@ def decontaminate(
         F.countDistinct("shingle").alias("n_shared_shingles"),
         F.countDistinct("bench_id").alias("n_benchmark_docs"),
     )
+
+
+def chunk_texts(c: Column, size: int = 40) -> Column:
+    """Fixed-size token-window chunks of normalized text — the
+    sub-document granularity for chunk-level dedup (RefinedWeb line-dedup
+    generalized to token windows). Chunk i covers tokens
+    [i·size, (i+1)·size); the last chunk keeps the remainder. Always ≥ 1
+    chunk (split of '' yields ['']), mirroring the DuckDB twin's
+    ``ceil(len/size)`` windows. Pure per-row array algebra — no shuffle."""
+    from counsel_data_pipeline_spark.ops.text_analysis import tokens
+
+    tok = tokens(norm_text(c))
+    n_chunks = F.ceil(F.size(tok) / F.lit(float(size))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(tok, i * size + 1, size)),
+    )

@@ -339,3 +339,103 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
     )
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+        -- corpus-level boilerplate mining (C4/RefinedWeb-style): the 50
+        -- trigrams shared by the most documents. Per-doc DISTINCT first so
+        -- a phrase repeated inside one doc counts once toward its reach.
+        WITH t AS (
+          SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS tok
+          FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT doc_id, ngram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tok) - 1),
+                          i -> array_to_string(tok[i:i+2], ' '))) AS ngram
+            FROM t
+          )
+        )
+        SELECT ngram, count(*) AS doc_freq
+        FROM g GROUP BY ngram
+        ORDER BY doc_freq DESC, ngram
+        LIMIT 50
+    """,
+    description="corpus-wide boilerplate detection: top-50 trigrams by document "
+    "frequency (per-doc distinct explode, one count shuffle, TakeOrdered top-k)",
+    tags=("llm", "text", "dedup", "topk"),
+    bench=True,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.text_dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    # array_distinct per doc BEFORE the explode: the shuffle carries each
+    # (doc, ngram) once, and doc_freq is then a plain count — no
+    # count-distinct Expand anywhere. At 100 TB this is one map-side-
+    # combined shuffle keyed by ngram; hot boilerplate ngrams are exactly
+    # the associative-count case salting never needs.
+    sh = docs.select(
+        F.explode(
+            F.array_distinct(ta.word_shingles(ta.norm_text(F.col("text")), 3))
+        ).alias("ngram")
+    )
+    return (
+        sh.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "ngram")
+        .limit(50)
+    )
+
+
+@register(
+    "curation_chunk_dedup_stats",
+    oracle=f"""
+        -- sub-document (chunk-level) dedup audit: documents split into
+        -- fixed 40-token windows; per language, how much of the corpus is
+        -- chunk-duplicated (RefinedWeb line-dedup at chunk granularity).
+        WITH t AS (
+          SELECT doc_id, lang, string_split_regex({_SQL_NORM}, ' ') AS tok
+          FROM documents
+        ),
+        c AS (
+          SELECT lang,
+                 unnest(list_transform(range(0, CAST(ceil(len(tok) / 40.0) AS BIGINT)),
+                        i -> array_to_string(tok[i*40+1:i*40+40], ' '))) AS chunk
+          FROM t
+        ),
+        d AS (
+          SELECT lang, chunk, count(*) AS n FROM c GROUP BY lang, chunk
+        )
+        SELECT lang,
+               CAST(sum(n) AS BIGINT) AS total_chunks,
+               count(*) AS distinct_chunks,
+               CAST(sum(n) AS BIGINT) - count(*) AS dup_chunks,
+               CAST(CAST(sum(n) AS BIGINT) - count(*) AS DOUBLE)
+                 / CAST(sum(n) AS BIGINT) AS dup_ratio
+        FROM d GROUP BY lang
+    """,
+    description="chunk-level dedup stats: fixed 40-token windows, per-lang "
+    "duplicated-chunk ratio (two-level exact distinct, no Expand)",
+    tags=("llm", "curation", "dedup"),
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.curation import chunk_texts
+    from counsel_data_pipeline_spark.ops.text_dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    chunks = docs.select(
+        "lang", F.explode(chunk_texts(F.col("text"), 40)).alias("chunk")
+    )
+    d = chunks.groupBy("lang", "chunk").agg(F.count(F.lit(1)).alias("n"))
+    return d.groupBy("lang").agg(
+        F.sum("n").alias("total_chunks"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        (F.sum("n") - F.count(F.lit(1))).alias("dup_chunks"),
+        (
+            (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n")
+        ).alias("dup_ratio"),
+    )

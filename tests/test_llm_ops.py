@@ -274,3 +274,35 @@ def test_semantic_blocked_pairs_finds_planted_dups(spark):
     assert recall >= 0.9, f"semantic blocking lost planted near-dups: {recall}"
     # nothing below the verify threshold leaks through
     assert all(r["cosine"] >= 0.9 for r in df.collect())
+
+
+def test_chunk_dedup_counts_planted_duplicate_chunks(spark):
+    """Two docs sharing an exact 40-token window must register as one
+    duplicated chunk in their language bucket; the boundary chunk (the
+    short remainder) still counts."""
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.ops.curation import chunk_texts
+
+    shared = " ".join(f"w{i}" for i in range(40))          # one full window
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail-a tail-b", "en"),          # chunks: [shared, 'tail-a tail-b']
+            (2, shared + " other ending here", "en"),      # chunks: [shared, 'other ending here']
+            (3, "completely different text", "de"),        # 1 chunk, unique
+        ],
+        "doc_id long, text string, lang string",
+    )
+    chunks = docs.select("lang", F.explode(chunk_texts(F.col("text"), 40)).alias("chunk"))
+    d = chunks.groupBy("lang", "chunk").agg(F.count(F.lit(1)).alias("n"))
+    stats = {
+        r["lang"]: r
+        for r in d.groupBy("lang")
+        .agg(
+            F.sum("n").alias("total"),
+            F.count(F.lit(1)).alias("distinct"),
+        )
+        .collect()
+    }
+    assert stats["en"]["total"] == 4 and stats["en"]["distinct"] == 3  # shared counted twice
+    assert stats["de"]["total"] == 1 and stats["de"]["distinct"] == 1
