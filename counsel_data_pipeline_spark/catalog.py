@@ -88,6 +88,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- plan rewritten in r3, re-attest --
     "dedup_embedding_cosine_topn",
     "tpch_q15_top_supplier",
+    # -- new in r3 --
+    "sim_quantized_topk",
+    "curation_pack_sequences",
+    "curation_source_cap",
+    "llm_dedup_pipeline",
 )
 
 

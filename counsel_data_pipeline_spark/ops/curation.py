@@ -123,3 +123,76 @@ def chunk_texts(c: Column, size: int = 40) -> Column:
         F.sequence(F.lit(0), n_chunks - F.lit(1)),
         lambda i: F.concat_ws(" ", F.slice(tok, i * size + 1, size)),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+) -> DataFrame:
+    """Sequence-packing audit: concat-and-chunk packing of tokenized docs
+    into fixed ``ctx_len`` training windows, computed per shard.
+
+    The pretraining dataloader shape: documents are concatenated in a
+    deterministic order and the token stream is cut every ``ctx_len``
+    tokens; a document whose span crosses a cut is split across two (or
+    more) training sequences. This op reports, per shard: how many
+    sequences the shard yields, how many documents get split by a cut,
+    and how full the final ragged sequence is.
+
+    Scale design: packing is per-shard by construction (exactly how real
+    pipelines do it — each output file packs independently), so the
+    running token sum is a window PARTITIONED by shard: no global
+    ordering, no single-partition funnel, and the shard count scales with
+    the cluster. Shard assignment is the stateless md5 bucket (stable
+    under corpus growth); within a shard the order is the document id.
+    The window shuffle and the following per-shard aggregate share the
+    same hash partitioning, so Catalyst plans ONE exchange for both.
+
+    Returns one row per shard:
+      (shard, n_docs, total_tokens, n_sequences, n_split_docs,
+       tail_tokens) — all BIGINT (exact cross-engine).
+    """
+    from pyspark.sql import Window
+
+    from counsel_data_pipeline_spark.ops.text_analysis import token_count
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        md5_bucket(F.col(id_col), seed, n_shards).cast("bigint").alias("shard"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    # Doc spans tokens [cum - n_tok, cum); it is split iff its first and
+    # last token land in different ctx_len windows. Every doc has ≥ 1
+    # token (tokenizing "" yields [""]), so cum - 1 is well-defined.
+    # Split iff the doc's offset within its window plus its length
+    # overruns the window: (start % ctx) + n_tok > ctx.
+    split = (
+        ((F.col("cum") - F.col("n_tok")) % ctx_len) + F.col("n_tok")
+        > F.lit(ctx_len)
+    ).cast("bigint")
+    total = F.sum("n_tok")
+    tail = total % ctx_len
+    # (total - tail) is an exact multiple of ctx_len, so the double
+    # division below is exact for any ctx_len (no floor-of-inexact risk).
+    n_seq = ((total - tail) / ctx_len).cast("bigint") + (tail > 0).cast("bigint")
+    return (
+        c.select("shard", "n_tok", "cum", split.alias("is_split"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            total.alias("total_tokens"),
+            n_seq.alias("n_sequences"),
+            F.sum("is_split").alias("n_split_docs"),
+            tail.alias("tail_tokens"),
+        )
+    )

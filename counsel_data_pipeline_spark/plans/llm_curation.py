@@ -196,3 +196,107 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", b.alias("bucket")).filter(
         F.col("bucket") < pct
     )
+
+
+@register(
+    "curation_pack_sequences",
+    oracle=f"""
+        -- concat-and-chunk sequence packing audit, per md5 shard: how many
+        -- ctx-len training windows the shard yields, how many docs a window
+        -- cut splits, and the fill of the final ragged window. All-integer
+        -- outputs (exact cross-engine).
+        WITH t AS (
+          SELECT doc_id,
+                 CAST({md5_bucket_sql("doc_id", 7, 8)} AS BIGINT) AS shard,
+                 CAST(len({{tokens}}) AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        c AS (
+          SELECT shard, n_tok,
+                 sum(n_tok) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum
+          FROM t
+        )
+        SELECT shard,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(n_tok) AS BIGINT) // 256
+                 + CASE WHEN CAST(sum(n_tok) AS BIGINT) % 256 > 0
+                        THEN 1 ELSE 0 END AS n_sequences,
+               CAST(sum(CASE WHEN (cum - n_tok) % 256 + n_tok > 256
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+               CAST(sum(n_tok) AS BIGINT) % 256 AS tail_tokens
+        FROM c GROUP BY shard
+    """.replace("{tokens}", "string_split_regex(trim(text), '\\s+')"),
+    description="sequence-packing audit: per-shard concat-and-chunk into "
+    "256-token windows — sequences yielded, boundary-split docs, tail fill "
+    "(window partitioned by shard; one exchange serves window + aggregate)",
+    tags=("llm", "curation"),
+)
+def pack_sequences_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cu.pack_sequences(
+        load_table(spark, sf_dir, "documents"), ctx_len=256, n_shards=8
+    )
+
+
+@register(
+    "curation_source_cap",
+    oracle=f"""
+        -- per-domain document cap (the "no domain dominates the corpus"
+        -- curation rule): keep at most 15 docs per source, chosen by a
+        -- deterministic md5 shuffle order so the subset is stable under
+        -- corpus growth and independent of scan order.
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tok,
+                 CAST({md5_bucket_sql("doc_id", 13, 1000000)} AS BIGINT) AS r
+          FROM documents
+        ),
+        k AS (
+          SELECT source, n_tok,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY r, doc_id
+                 ) AS rk
+          FROM t
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(sum(CASE WHEN rk <= 15 THEN n_tok ELSE 0 END) AS BIGINT)
+                 AS kept_tokens,
+               CAST(sum(CASE WHEN rk > 15 THEN n_tok ELSE 0 END) AS BIGINT)
+                 AS dropped_tokens
+        FROM k GROUP BY source
+    """,
+    description="per-source document cap: ≤15 docs per domain by "
+    "deterministic md5 order (partitioned window, stable under growth)",
+    tags=("llm", "curation"),
+)
+def source_cap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from counsel_data_pipeline_spark.ops.sketches import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 15
+    t = docs.select(
+        "doc_id",
+        "source",
+        ta.token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        md5_bucket(F.col("doc_id"), 13, 1_000_000).cast("bigint").alias("r"),
+    )
+    w = Window.partitionBy("source").orderBy("r", "doc_id")
+    k = t.withColumn("rk", F.row_number().over(w))
+    kept = F.col("rk") <= cap
+    return k.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(F.lit(0))).alias("kept_tokens"),
+        F.sum(F.when(~kept, F.col("n_tok")).otherwise(F.lit(0))).alias(
+            "dropped_tokens"
+        ),
+    )

@@ -370,3 +370,123 @@ def fuzzy_fingerprint_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("na").alias("len_a"), F.length("nb").alias("len_b"),
         )
     )
+
+
+@register(
+    "llm_dedup_pipeline",
+    oracle=f"""
+        -- the complete dedup chain as one statement: exact dedup by
+        -- normalized-content md5 (min-id survivor), then near-dup
+        -- clustering (3-gram Jaccard >= 0.5, transitive closure) over the
+        -- exact survivors, then per-lang corpus accounting.
+        WITH RECURSIVE docs0 AS (
+          SELECT doc_id, lang, {_SQL_NORM} AS nt FROM documents
+        ),
+        exact AS (
+          SELECT min(doc_id) AS doc_id FROM docs0 GROUP BY md5(nt)
+        ),
+        surv AS (
+          SELECT d.doc_id, d.lang, string_split_regex(d.nt, ' ') AS t
+          FROM docs0 d JOIN exact USING (doc_id)
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM surv
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs
+        ),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        comp AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        ),
+        dropped AS (
+          -- min-label cluster_id IS the component's min doc id, i.e. the
+          -- canonical survivor; every other member is removed.
+          SELECT s.lang, count(*) AS n_near_dropped
+          FROM comp c JOIN surv s USING (doc_id)
+          WHERE c.doc_id <> c.cluster_id
+          GROUP BY s.lang
+        ),
+        base AS (
+          SELECT lang, count(*) AS n_docs FROM docs0 GROUP BY lang
+        ),
+        ex AS (
+          SELECT lang, count(*) AS n_exact_unique FROM surv GROUP BY lang
+        )
+        SELECT b.lang, b.n_docs, e.n_exact_unique,
+               COALESCE(d.n_near_dropped, 0) AS n_near_dropped,
+               e.n_exact_unique - COALESCE(d.n_near_dropped, 0) AS n_final
+        FROM base b
+        JOIN ex e ON e.lang = b.lang
+        LEFT JOIN dropped d ON d.lang = b.lang
+    """,
+    description="end-to-end dedup pipeline: exact md5 dedup → 3-gram-Jaccard "
+    "near-dup clusters over survivors → per-lang in/exact/final accounting "
+    "(oracle: recursive-CTE transitive closure)",
+    tags=("llm", "dedup", "iterative"),
+)
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.clusters import dedup_clusters
+    from counsel_data_pipeline_spark.ops.text_analysis import content_md5
+
+    docs = td._spread(load_table(spark, sf_dir, "documents"))
+    # Exact dedup: min-id survivor per normalized-content hash. min(struct)
+    # orders by the leading field (doc_id), so one aggregate carries the
+    # survivor's payload — no join back to the corpus.
+    surv = (
+        docs.groupBy(content_md5(F.col("text")).alias("__h"))
+        .agg(F.min(F.struct("doc_id", "lang", "text")).alias("s"))
+        .select("s.doc_id", "s.lang", "s.text")
+    )
+    pairs = td.jaccard_pairs(
+        surv, n=3, threshold=0.5, max_shingle_df=None
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs)
+    dropped = (
+        clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+        .join(surv.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_near_dropped"))
+    )
+    base = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    ex = surv.groupBy("lang").agg(F.count(F.lit(1)).alias("n_exact_unique"))
+    return (
+        base.join(ex, "lang")
+        .join(dropped, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_exact_unique",
+            F.coalesce(F.col("n_near_dropped"), F.lit(0).cast("long")).alias(
+                "n_near_dropped"
+            ),
+            (
+                F.col("n_exact_unique")
+                - F.coalesce(F.col("n_near_dropped"), F.lit(0).cast("long"))
+            ).alias("n_final"),
+        )
+    )

@@ -302,3 +302,48 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(
         emb, QUERY_IDS, k=K, n_probe=4, centroids_df=cents
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_quantized_topk",
+    # int8 scalar quantization ranks by an INTEGER dot product, so unlike
+    # the float paths there is no parity risk in the ranking key: the
+    # floor-based quantizer and the code dot are exact arithmetic both
+    # engines reproduce bit-for-bit (normalization itself is the same
+    # left-to-right double fold the brute-force oracle already matches).
+    oracle=f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        ),
+        coded AS (
+          SELECT vec_id,
+                 list_transform(v, x ->
+                   CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT)) AS q
+          FROM n
+        ),
+        p AS (
+          SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                 CAST(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) AS BIGINT)
+                   AS qdot
+          FROM coded a JOIN coded b
+            ON b.vec_id < {len(QUERY_IDS)} AND a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, qdot, rank FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY qdot DESC, neighbor_id
+                 ) AS rank
+          FROM p
+        ) WHERE rank <= {K}
+    """,
+    description="compressed exact search: unit-normalize, symmetric int8 "
+    "codes in [-127,127], top-10 by integer code dot (4x smaller scan, "
+    "bit-exact ranking, ~127^2·cosine)",
+    tags=("llm", "similarity"),
+)
+def quantized_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.quantized_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K
+    ).orderBy("query_id", "rank")

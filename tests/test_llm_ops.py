@@ -306,3 +306,72 @@ def test_chunk_dedup_counts_planted_duplicate_chunks(spark):
     }
     assert stats["en"]["total"] == 4 and stats["en"]["distinct"] == 3  # shared counted twice
     assert stats["de"]["total"] == 1 and stats["de"]["distinct"] == 1
+
+
+def test_quantized_topk_recall_and_code_range(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = list(range(8))
+    exact = sim.cosine_topk(emb, queries, k=10).collect()
+    quant = sim.quantized_topk(emb, queries, k=10).collect()
+    exn, qn = defaultdict(set), defaultdict(set)
+    for r in exact:
+        exn[r["query_id"]].add(r["neighbor_id"])
+    for r in quant:
+        qn[r["query_id"]].add(r["neighbor_id"])
+        assert 1 <= r["rank"] <= 10
+        # unit vectors: |qdot| ≤ 64·127²
+        assert abs(r["qdot"]) <= 64 * 127 * 127
+    # 8-bit quantization only perturbs near-ties: recall@10 stays high.
+    recalls = [len(exn[q] & qn[q]) / 10 for q in queries]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    # Codes really are bounded [-127, 127] after unit normalization.
+    from pyspark.sql import functions as F
+
+    coded = emb.select(
+        sim.as_double_array(F.col("embedding")).alias("v")
+    ).select(
+        sim.quantize_unit(F.col("v"), sim.l2_norm(F.col("v"))).alias("q")
+    )
+    mm = coded.select(
+        F.min(F.array_min("q")).alias("lo"), F.max(F.array_max("q")).alias("hi")
+    ).first()
+    assert mm["lo"] >= -127 and mm["hi"] <= 127
+
+
+def test_pack_sequences_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.ops.curation import pack_sequences
+    from counsel_data_pipeline_spark.ops.text_analysis import token_count
+
+    docs = load_table(spark, SF, "documents")
+    ctx = 256
+    out = pack_sequences(docs, ctx_len=ctx, n_shards=8).collect()
+    assert len(out) == 8  # md5 sharding reaches every bucket at 500 docs
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    total_tokens = docs.select(
+        F.sum(token_count(F.col("text"))).alias("t")
+    ).first()["t"]
+    assert sum(r["total_tokens"] for r in out) == total_tokens
+    for r in out:
+        # ceil-division contract between totals and sequence counts
+        assert r["n_sequences"] == (r["total_tokens"] + ctx - 1) // ctx
+        assert r["tail_tokens"] == r["total_tokens"] % ctx
+        # a doc can only be split if the shard has >1 sequence
+        if r["n_sequences"] <= 1:
+            assert r["n_split_docs"] == 0
+        assert 0 <= r["n_split_docs"] <= r["n_docs"]
+
+
+def test_dedup_pipeline_accounting(spark):
+    """n_final ≤ n_exact_unique ≤ n_docs per lang, totals add up, and the
+    near-dropped count equals the non-survivor membership of the clusters
+    the Jaccard+CC chain finds on the same survivors."""
+    from counsel_data_pipeline_spark.catalog import all_queries
+
+    rows = all_queries()["llm_dedup_pipeline"].fn(spark, SF).collect()
+    assert {r["lang"] for r in rows} == {"de", "en", "es", "fr", "zh"}
+    for r in rows:
+        assert r["n_final"] == r["n_exact_unique"] - r["n_near_dropped"]
+        assert r["n_final"] <= r["n_exact_unique"] <= r["n_docs"]
