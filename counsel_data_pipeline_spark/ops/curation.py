@@ -196,3 +196,51 @@ def pack_sequences(
             tail.alias("tail_tokens"),
         )
     )
+
+
+def temperature_resample(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 29,
+) -> DataFrame:
+    """Language-rebalancing resampler (temperature / mixture weighting):
+    every language is upsampled toward the largest one by the factor
+    ``sqrt(max_count / count)`` — the α = 0.5 temperature commonly used to
+    lift low-resource languages without flattening the distribution.
+
+    A document with factor f is emitted ``floor(f)`` times, plus one more
+    iff its md5 bucket falls below the fractional part — deterministic
+    "repetition with stochastic rounding", stable under corpus growth and
+    independent of scan order (no random(), no global sort).
+
+    Scale design: the per-lang counts are a tiny aggregate (one row per
+    language) broadcast back to the scan; copy expansion is a map-side
+    ``explode(sequence(...))``. Nothing about the corpus itself shuffles.
+
+    Returns the resampled corpus: input columns + ``copy_id`` (1-based).
+    """
+    counts = docs.groupBy(lang_col).agg(F.count(F.lit(1)).alias("__n"))
+    mx = counts.agg(F.max("__n").alias("__mx"))
+    fac = (
+        counts.crossJoin(F.broadcast(mx))
+        .select(
+            lang_col,
+            F.sqrt(F.col("__mx").cast("double") / F.col("__n").cast("double")).alias(
+                "__fac"
+            ),
+        )
+    )
+    b = md5_bucket(F.col(id_col), seed, 1_000_000).cast("double")
+    n_copies = (
+        F.floor(F.col("__fac")).cast("long")
+        + (b < (F.col("__fac") - F.floor(F.col("__fac"))) * F.lit(1_000_000.0)).cast(
+            "long"
+        )
+    )
+    return (
+        docs.join(F.broadcast(fac), lang_col)
+        .withColumn("__copies", n_copies)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__copies"))))
+        .drop("__fac", "__copies")
+    )

@@ -300,3 +300,55 @@ def source_cap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dropped_tokens"
         ),
     )
+
+
+@register(
+    "curation_temperature_resample",
+    oracle=f"""
+        -- α=0.5 temperature resampling audit: every language upsampled
+        -- toward the largest by sqrt(max/n), fractional repetition decided
+        -- by a deterministic md5 bucket. Ranking key is integer copy
+        -- counts; the only doubles (factor, realized ratio) follow the
+        -- parity rules (sqrt + int/int division, same expression order).
+        WITH c AS (
+          SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ),
+        m AS (SELECT max(n) AS mx FROM c),
+        f AS (
+          SELECT lang, n,
+                 sqrt(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE)) AS fac
+          FROM c, m
+        ),
+        d AS (
+          SELECT doc_id, lang,
+                 CAST({md5_bucket_sql("doc_id", 29, 1000000)} AS DOUBLE) AS b
+          FROM documents
+        ),
+        cp AS (
+          SELECT d.lang,
+                 CAST(floor(fac) AS BIGINT)
+                   + CASE WHEN b < (fac - floor(fac)) * 1000000.0
+                          THEN 1 ELSE 0 END AS copies
+          FROM d JOIN f USING (lang)
+        )
+        SELECT lang,
+               count(*) AS n_in,
+               CAST(sum(copies) AS BIGINT) AS n_out,
+               CAST(CAST(sum(copies) AS BIGINT) AS DOUBLE) / count(*)
+                 AS realized_factor
+        FROM cp GROUP BY lang
+    """,
+    description="α=0.5 temperature resampling: upsample each language toward "
+    "the largest by sqrt(max/n) with deterministic md5 fractional repetition "
+    "(tiny broadcast factor table, map-side explode — corpus never shuffles)",
+    tags=("llm", "curation"),
+)
+def temperature_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = cu.temperature_resample(load_table(spark, sf_dir, "documents"))
+    return out.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_in"),
+        F.count(F.lit(1)).alias("n_out"),
+        (
+            F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")
+        ).alias("realized_factor"),
+    )

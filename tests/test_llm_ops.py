@@ -375,3 +375,42 @@ def test_dedup_pipeline_accounting(spark):
     for r in rows:
         assert r["n_final"] == r["n_exact_unique"] - r["n_near_dropped"]
         assert r["n_final"] <= r["n_exact_unique"] <= r["n_docs"]
+
+
+def test_temperature_resample_balances_languages(spark):
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.ops.curation import temperature_resample
+
+    docs = load_table(spark, SF, "documents")
+    out = temperature_resample(docs)
+    stats = {
+        r["lang"]: r
+        for r in out.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_in"),
+            F.count(F.lit(1)).alias("n_out"),
+        )
+        .collect()
+    }
+    in_counts = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    mx = max(in_counts.values())
+    # no document is dropped (factors are >= 1), realized factor tracks
+    # sqrt(max/n) within the resolution of the fractional-repetition hash
+    for lang, n in in_counts.items():
+        s = stats[lang]
+        assert s["n_in"] == n
+        want = (mx / n) ** 0.5
+        got = s["n_out"] / n
+        assert abs(got - want) <= 0.15, (lang, want, got)
+    # the dominant language is exactly unchanged (factor 1.0)
+    dom = max(in_counts, key=in_counts.get)
+    assert stats[dom]["n_out"] == in_counts[dom]
+    # copy_id is a proper 1..k sequence per doc
+    bad = (
+        out.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k"), F.max("copy_id").alias("mx"), F.min("copy_id").alias("mn"))
+        .filter((F.col("mx") != F.col("k")) | (F.col("mn") != 1))
+        .count()
+    )
+    assert bad == 0
