@@ -88,11 +88,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- plan rewritten in r3, re-attest --
     "dedup_embedding_cosine_topn",
     "tpch_q15_top_supplier",
-    # -- new in r3 --
+    # -- new in r3 (pinned explicitly so later registrations can't push
+    #    any never-driver-checked query past the 50-entry window) --
     "sim_quantized_topk",
     "curation_pack_sequences",
     "curation_source_cap",
     "llm_dedup_pipeline",
+    "curation_temperature_resample",
+    "dedup_incremental_batch",
+    "dedup_semantic_blocked_pairs",
+    "text_boilerplate_ngrams",
+    "curation_chunk_dedup_stats",
 )
 
 

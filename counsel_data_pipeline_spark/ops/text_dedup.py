@@ -197,28 +197,14 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    n_hashes: int = 16,
-    bands: int = 4,
-    verify_threshold: float | None = 0.5,
-) -> DataFrame:
-    """MinHash banding: docs agreeing on ALL rows of some band become
-    candidate pairs; optionally verified with exact Jaccard.
-
-    Returns (id_a, id_b, est_jaccard[, jaccard]) — est_jaccard is the
-    signature agreement fraction.
-    """
+def banded_signatures(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, sig, band, bucket) — one row per (doc, band). Band bucket = the
+    band's signature rows joined textually — identical rendering in the SQL
+    oracle (an xxhash64 of the rows would be opaque to DuckDB); candidates
+    require EXACT agreement on the whole band either way, the key encoding
+    only affects shuffle width (~40 B)."""
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, n_hashes)
-    # band bucket = the band's signature rows joined textually — identical
-    # rendering in the SQL oracle (an xxhash64 of the rows would be opaque
-    # to DuckDB); candidates require EXACT agreement on the whole band
-    # either way, the key encoding only affects shuffle width (~40 B).
-    banded = sigs.select(
+    return sigs.select(
         "id",
         "sig",
         F.explode(
@@ -239,6 +225,25 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash banding: docs agreeing on ALL rows of some band become
+    candidate pairs; optionally verified with exact Jaccard.
+
+    Returns (id_a, id_b, est_jaccard[, jaccard]) — est_jaccard is the
+    signature agreement fraction.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n, n_hashes)
+    banded = banded_signatures(sigs, n_hashes, bands)
     a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
     cand = (
@@ -397,3 +402,114 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_dedup(
+    docs: DataFrame,
+    is_new: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-batch dedup verdicts: judge every NEW document against the
+    EXISTING corpus and against lower-id docs of its own batch.
+
+    This is the shape a 100 TB *incremental* pipeline actually runs — the
+    existing corpus is never re-paired against itself (that work happened
+    in earlier batches); only (new × existing) and (new × new) candidates
+    are generated, via the same band-bucket equi-join as the batch
+    MinHash path, so per-batch cost scales with the batch, not the
+    corpus. In production the existing side would be the persisted
+    signature store (id, sig, band, bucket), not recomputed — the plan
+    below recomputes it only because the driver's tables are the sole
+    storage; the join shape is identical either way.
+
+    Verdict priority (first match wins):
+      exact_existing > exact_new > near_existing > near_new > unique
+    exact = normalized-content md5 equality; near = MinHash signature
+    agreement ≥ ``est_threshold`` on band-bucket candidates (integer
+    agreement count / n_hashes — exact arithmetic, fully oracle-able).
+
+    Returns (doc_id, verdict, dup_of) for NEW docs only; dup_of = the
+    smallest matching partner id within the winning class, -1 for unique.
+    """
+    tagged = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        is_new.alias("__new"),
+    )
+    hashed = tagged.select(
+        "id", "__new", F.md5(F.encode(norm_text(F.col("__text")), "UTF-8")).alias("__h")
+    )
+    new_h = hashed.filter(F.col("__new")).select(F.col("id").alias("doc_id"), "__h")
+    ex_h = hashed.filter(~F.col("__new")).select(F.col("id").alias("__eid"), "__h")
+    exact_ex = (
+        new_h.join(ex_h, "__h")
+        .groupBy("doc_id")
+        .agg(F.min("__eid").alias("__p_exact_ex"))
+    )
+    lower_new = new_h.select(F.col("doc_id").alias("__nid"), "__h")
+    exact_new = (
+        new_h.join(lower_new, "__h")
+        .filter(F.col("__nid") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("__nid").alias("__p_exact_new"))
+    )
+    # One signature pass over the union; the candidate join is asymmetric:
+    # the right side is always a NEW doc, the left is existing OR a
+    # lower-id new doc — existing×existing pairs are never generated.
+    sigs = minhash_signatures(tagged, "id", "__text", n, n_hashes).join(
+        tagged.select("id", "__new"), "id"
+    )
+    banded = banded_signatures(sigs, n_hashes, bands).join(
+        tagged.select("id", "__new"), "id"
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+        F.col("__new").alias("new_a"), "band", "bucket",
+    )
+    b = banded.filter(F.col("__new")).select(
+        F.col("id").alias("doc_id"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(
+            (~F.col("new_a") & (F.col("id_a") != F.col("doc_id")))
+            | (F.col("new_a") & (F.col("id_a") < F.col("doc_id")))
+        )
+        .select("doc_id", "id_a", "new_a", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y), lambda e: e)
+    ) / F.lit(float(n_hashes))
+    near = (
+        cand.withColumn("__est", est)
+        .filter(F.col("__est") >= est_threshold)
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.when(~F.col("new_a"), F.col("id_a"))).alias("__p_near_ex"),
+            F.min(F.when(F.col("new_a"), F.col("id_a"))).alias("__p_near_new"),
+        )
+    )
+    out = (
+        new_h.select("doc_id")
+        .join(exact_ex, "doc_id", "left")
+        .join(exact_new, "doc_id", "left")
+        .join(near, "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("__p_exact_ex").isNotNull(), F.lit("exact_existing"))
+        .when(F.col("__p_exact_new").isNotNull(), F.lit("exact_new"))
+        .when(F.col("__p_near_ex").isNotNull(), F.lit("near_existing"))
+        .when(F.col("__p_near_new").isNotNull(), F.lit("near_new"))
+        .otherwise(F.lit("unique"))
+    )
+    dup_of = F.coalesce(
+        F.col("__p_exact_ex"), F.col("__p_exact_new"),
+        F.col("__p_near_ex"), F.col("__p_near_new"), F.lit(-1).cast("bigint"),
+    )
+    return out.select("doc_id", verdict.alias("verdict"), dup_of.alias("dup_of"))

@@ -490,3 +490,98 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_final"),
         )
     )
+
+
+def _incremental_oracle(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """DuckDB twin of td.incremental_dedup with new = odd doc_id."""
+    rows = n_hashes // bands
+    w1, w2 = td.sql_md5_words("shingle")
+    hs = ",\n                 ".join(
+        f"min(({a} * w1 + {b} * w2 + {c}) % 4294967296) AS h{i}"
+        for i, (a, b, c) in enumerate(td.mh_coeffs(n_hashes))
+    )
+    band_rows = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(','"
+        + "".join(f", h{b * rows + r}" for r in range(rows))
+        + f") AS bucket, {', '.join(f'h{i}' for i in range(n_hashes))} FROM sig"
+        for b in range(bands)
+    )
+    est = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return f"""
+        WITH docs0 AS (
+          SELECT doc_id, {_SQL_NORM} AS nt FROM documents
+        ),
+        hashes AS (SELECT doc_id, md5(nt) AS h FROM docs0),
+        nw AS (SELECT doc_id, h FROM hashes WHERE doc_id % 2 = 1),
+        ex AS (SELECT doc_id, h FROM hashes WHERE doc_id % 2 = 0),
+        exact_ex AS (
+          SELECT n.doc_id, min(e.doc_id) AS p
+          FROM nw n JOIN ex e USING (h) GROUP BY n.doc_id
+        ),
+        exact_nw AS (
+          SELECT b.doc_id, min(a.doc_id) AS p
+          FROM nw a JOIN nw b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY b.doc_id
+        ),
+        toks AS (
+          SELECT doc_id, string_split_regex(nt, ' ') AS t FROM docs0
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks
+        ),
+        w AS (SELECT doc_id, {w1} AS w1, {w2} AS w2 FROM sh),
+        sig AS (
+          SELECT doc_id,
+                 {hs}
+          FROM w GROUP BY doc_id
+        ),
+        banded AS (
+          {band_rows}
+        ),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS id_a,
+                 ({est}) / {float(n_hashes)} AS est
+          FROM banded a JOIN banded b USING (band, bucket)
+          WHERE b.doc_id % 2 = 1
+            AND ((a.doc_id % 2 = 0 AND a.doc_id <> b.doc_id)
+                 OR (a.doc_id % 2 = 1 AND a.doc_id < b.doc_id))
+        ),
+        near AS (
+          SELECT doc_id,
+                 min(CASE WHEN id_a % 2 = 0 THEN id_a END) AS pex,
+                 min(CASE WHEN id_a % 2 = 1 THEN id_a END) AS pnw
+          FROM cand WHERE est >= {threshold} GROUP BY doc_id
+        )
+        SELECT n.doc_id,
+               CASE WHEN ee.p IS NOT NULL THEN 'exact_existing'
+                    WHEN en.p IS NOT NULL THEN 'exact_new'
+                    WHEN nr.pex IS NOT NULL THEN 'near_existing'
+                    WHEN nr.pnw IS NOT NULL THEN 'near_new'
+                    ELSE 'unique' END AS verdict,
+               COALESCE(ee.p, en.p, nr.pex, nr.pnw, -1) AS dup_of
+        FROM nw n
+        LEFT JOIN exact_ex ee ON ee.doc_id = n.doc_id
+        LEFT JOIN exact_nw en ON en.doc_id = n.doc_id
+        LEFT JOIN near nr ON nr.doc_id = n.doc_id
+    """
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=_incremental_oracle(n_hashes=16, bands=4, threshold=0.5),
+    description="cross-batch incremental dedup: odd-id docs (the 'new batch') "
+    "judged against even-id docs (the 'existing corpus') + lower-id batchmates "
+    "— exact md5 + MinHash band candidates, per-batch cost, never existing x existing",
+    tags=("llm", "dedup", "incremental"),
+)
+def incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return td.incremental_dedup(
+        docs, is_new=(F.col("doc_id") % 2 == 1),
+        n=3, n_hashes=16, bands=4, est_threshold=0.5,
+    ).orderBy("doc_id")

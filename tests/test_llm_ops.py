@@ -414,3 +414,51 @@ def test_temperature_resample_balances_languages(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_incremental_dedup_verdict_classes(spark, docs):
+    """Plant one duplicate of each class and check the verdict + partner:
+    an exact copy of an existing doc, an exact copy of a new doc, a near
+    copy (one token changed) of an existing doc, and a near copy of a new
+    doc; everything else stays unique."""
+    from pyspark.sql import functions as F
+
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 100)
+
+    def copy_of(src_id, new_id, mutate=False):
+        d = base.filter(F.col("doc_id") == src_id).select(
+            F.lit(new_id).cast("bigint").alias("doc_id"),
+            (
+                F.concat(F.col("text"), F.lit(" zzzmut"))
+                if mutate
+                else F.col("text")
+            ).alias("text"),
+        )
+        return d
+
+    corpus = (
+        base
+        .unionByName(copy_of(0, 1001))               # exact copy of existing 0
+        .unionByName(copy_of(1, 1003))               # exact copy of lower-id new 1
+        .unionByName(copy_of(2, 1005, mutate=True))  # near copy of existing 2
+        .unionByName(copy_of(3, 1007, mutate=True))  # near copy of lower-id new 3
+    )
+    out = {
+        r["doc_id"]: r
+        for r in td.incremental_dedup(
+            corpus, is_new=(F.col("doc_id") % 2 == 1)
+        ).collect()
+    }
+    # 1001 (new) is an exact copy of 0 (even → existing)
+    assert out[1001]["verdict"] == "exact_existing" and out[1001]["dup_of"] == 0
+    # 1003 (new) is an exact copy of 1 (odd → a lower-id NEW doc)
+    assert out[1003]["verdict"] == "exact_new" and out[1003]["dup_of"] == 1
+    # 1005 (new) is a near copy of 2 (existing): one appended token
+    assert out[1005]["verdict"] == "near_existing" and out[1005]["dup_of"] == 2
+    # 1007 (new) is a near copy of 3 (lower-id new)
+    assert out[1007]["verdict"] == "near_new" and out[1007]["dup_of"] == 3
+    # the mutated sources themselves: 3 is new and has no lower-id match
+    assert out[3]["verdict"] == "unique" and out[3]["dup_of"] == -1
+    # every new doc got exactly one verdict row
+    n_new = corpus.filter(F.col("doc_id") % 2 == 1).count()
+    assert len(out) == n_new
