@@ -234,6 +234,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "256-token windows — sequences yielded, boundary-split docs, tail fill "
     "(window partitioned by shard; one exchange serves window + aggregate)",
     tags=("llm", "curation"),
+    bench=True,
 )
 def pack_sequences_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.pack_sequences(
@@ -342,6 +343,7 @@ def source_cap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the largest by sqrt(max/n) with deterministic md5 fractional repetition "
     "(tiny broadcast factor table, map-side explode — corpus never shuffles)",
     tags=("llm", "curation"),
+    bench=True,
 )
 def temperature_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cu.temperature_resample(load_table(spark, sf_dir, "documents"))

@@ -578,6 +578,7 @@ def _incremental_oracle(n_hashes: int = 16, bands: int = 4, threshold: float = 0
     "judged against even-id docs (the 'existing corpus') + lower-id batchmates "
     "— exact md5 + MinHash band candidates, per-batch cost, never existing x existing",
     tags=("llm", "dedup", "incremental"),
+    bench=True,
 )
 def incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

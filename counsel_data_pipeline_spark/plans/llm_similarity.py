@@ -342,6 +342,7 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codes in [-127,127], top-10 by integer code dot (4x smaller scan, "
     "bit-exact ranking, ~127^2·cosine)",
     tags=("llm", "similarity"),
+    bench=True,
 )
 def quantized_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.quantized_topk(
