@@ -99,6 +99,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_semantic_blocked_pairs",
     "text_boilerplate_ngrams",
     "curation_chunk_dedup_stats",
+    "text_oov_trigram_ratio",
+    "sim_embedding_dim_profile",
 )
 
 

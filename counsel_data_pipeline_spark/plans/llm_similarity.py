@@ -348,3 +348,65 @@ def quantized_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.quantized_topk(
         load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_embedding_dim_profile",
+    # min/max are exact; mean and E[x²] go through the decimal parity path
+    # (exact associative sums, coarse round, double cast); std is then the
+    # same double expression over those two reproducible inputs.
+    oracle="""
+        WITH emb AS (
+          SELECT embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        x AS (
+          SELECT pos, v[pos + 1] AS x
+          FROM emb, (SELECT unnest(range(64)) AS pos) d
+        ),
+        s AS (
+          SELECT pos,
+                 count(*) AS n,
+                 min(x) AS dim_min,
+                 max(x) AS dim_max,
+                 CAST(round(sum(CAST(x AS DECIMAL(30,6))), 6) AS DOUBLE)
+                   / count(*) AS dim_mean,
+                 CAST(round(sum(CAST(x * x AS DECIMAL(30,6))), 6) AS DOUBLE)
+                   / count(*) AS msq
+          FROM x GROUP BY pos
+        )
+        SELECT pos, n, dim_min, dim_max, dim_mean,
+               sqrt(greatest(msq - dim_mean * dim_mean, 0.0)) AS dim_std
+        FROM s
+    """,
+    description="per-dimension embedding profile (n/min/max/mean/std) for "
+    "drift monitoring — posexplode + 64-group aggregate, decimal-exact moments",
+    tags=("llm", "similarity", "quality"),
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.plans._parity import dec, to_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(sim.as_double_array(F.col("embedding"))).alias("pos", "x")
+    )
+    s = x.groupBy(F.col("pos").cast("bigint").alias("pos")).agg(
+        F.count("x").alias("n"),
+        F.min("x").alias("dim_min"),
+        F.max("x").alias("dim_max"),
+        (to_double(F.sum(dec("x")), 6) / F.count("x")).alias("dim_mean"),
+        (to_double(F.sum(dec(F.col("x") * F.col("x"))), 6) / F.count("x")).alias(
+            "msq"
+        ),
+    )
+    return s.select(
+        "pos",
+        "n",
+        "dim_min",
+        "dim_max",
+        "dim_mean",
+        F.sqrt(
+            F.greatest(
+                F.col("msq") - F.col("dim_mean") * F.col("dim_mean"), F.lit(0.0)
+            )
+        ).alias("dim_std"),
+    )

@@ -439,3 +439,84 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n")
         ).alias("dup_ratio"),
     )
+
+
+@register(
+    "text_oov_trigram_ratio",
+    oracle=f"""
+        -- LM-quality stand-in with exact arithmetic: per doc, the fraction
+        -- of character trigrams that fall OUTSIDE the corpus's top-100
+        -- trigram vocabulary (100, not 1000: the synthetic corpus has only
+        -- ~377 distinct trigrams — a larger vocab degenerates to ratio 0) (high ratio = unusual text: gibberish, wrong
+        -- language, encoding damage). Counts are integers; the only double
+        -- is the final int/int ratio.
+        WITH d AS (
+          SELECT doc_id, {_SQL_NORM} AS nt FROM documents
+        ),
+        tri AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(len(nt) - 2),
+                        i -> substr(nt, i + 1, 3))) AS tg
+          FROM d WHERE len(nt) >= 3
+        ),
+        top AS (
+          SELECT tg FROM (
+            SELECT tg, count(*) AS c FROM tri GROUP BY tg
+            ORDER BY c DESC, tg LIMIT 100
+          )
+        ),
+        m AS (
+          SELECT doc_id, count(*) AS n_in FROM tri JOIN top USING (tg)
+          GROUP BY doc_id
+        ),
+        tot AS (
+          SELECT doc_id, greatest(len(nt) - 2, 0) AS n_tri FROM d
+        )
+        SELECT t.doc_id,
+               CAST(t.n_tri AS BIGINT) AS n_tri,
+               CAST(t.n_tri - COALESCE(m.n_in, 0) AS BIGINT) AS n_oov,
+               CASE WHEN t.n_tri > 0
+                    THEN CAST(t.n_tri - COALESCE(m.n_in, 0) AS DOUBLE) / t.n_tri
+                    ELSE 0.0 END AS oov_ratio
+        FROM tot t LEFT JOIN m USING (doc_id)
+    """,
+    description="per-doc out-of-vocabulary char-trigram ratio vs the corpus "
+    "top-100 vocabulary (two-pass: tiny vocab aggregate broadcast back over "
+    "the trigram stream — the LM-quality filter shape with exact arithmetic)",
+    tags=("llm", "text", "quality"),
+)
+def oov_trigram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.text_dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", ta.norm_text(F.col("text")).alias("nt"))
+    # sequence(1, n) flips to a DESCENDING range when n < 1 — guard short
+    # docs to an empty trigram array instead.
+    tri_arr = F.when(
+        F.length("nt") >= 3,
+        F.expr("transform(sequence(1, length(nt) - 2), i -> substring(nt, i, 3))"),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = d.select("doc_id", F.explode(tri_arr).alias("tg"))
+    top = (
+        tri.groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tg")
+        .limit(100)
+        .select("tg")
+    )
+    m = tri.join(F.broadcast(top), "tg").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_in")
+    )
+    tot = d.select(
+        "doc_id", F.greatest(F.length("nt") - 2, F.lit(0)).cast("bigint").alias("n_tri")
+    )
+    out = tot.join(m, "doc_id", "left")
+    n_oov = (F.col("n_tri") - F.coalesce(F.col("n_in"), F.lit(0))).cast("bigint")
+    return out.select(
+        "doc_id",
+        "n_tri",
+        n_oov.alias("n_oov"),
+        F.when(F.col("n_tri") > 0, n_oov.cast("double") / F.col("n_tri"))
+        .otherwise(F.lit(0.0))
+        .alias("oov_ratio"),
+    )
