@@ -18,11 +18,16 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from counsel_data_pipeline_spark.ops.sketches import md5_bucket
-from counsel_data_pipeline_spark.ops.text_analysis import norm_text, word_shingles
+from counsel_data_pipeline_spark.ops.text_analysis import (
+    norm_text,
+    token_count,
+    tokens,
+    word_shingles,
+)
 
 SPLIT_SEED = 42
 
@@ -115,8 +120,6 @@ def chunk_texts(c: Column, size: int = 40) -> Column:
     [i·size, (i+1)·size); the last chunk keeps the remainder. Always ≥ 1
     chunk (split of '' yields ['']), mirroring the DuckDB twin's
     ``ceil(len/size)`` windows. Pure per-row array algebra — no shuffle."""
-    from counsel_data_pipeline_spark.ops.text_analysis import tokens
-
     tok = tokens(norm_text(c))
     n_chunks = F.ceil(F.size(tok) / F.lit(float(size))).cast("int")
     return F.transform(
@@ -156,10 +159,6 @@ def pack_sequences(
       (shard, n_docs, total_tokens, n_sequences, n_split_docs,
        tail_tokens) — all BIGINT (exact cross-engine).
     """
-    from pyspark.sql import Window
-
-    from counsel_data_pipeline_spark.ops.text_analysis import token_count
-
     t = docs.select(
         F.col(id_col).alias("doc_id"),
         md5_bucket(F.col(id_col), seed, n_shards).cast("bigint").alias("shard"),
@@ -243,4 +242,24 @@ def temperature_resample(
         .withColumn("__copies", n_copies)
         .withColumn("copy_id", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__copies"))))
         .drop("__fac", "__copies")
+    )
+
+
+def chunk_dedup_stats_frame(docs: DataFrame, size: int = 40) -> DataFrame:
+    """Per-lang chunk-level dedup audit over fixed ``size``-token windows
+    (the body behind the ``curation_chunk_dedup_stats`` catalog query —
+    shared so tests exercise the registered plan, not a re-implementation).
+    Two-level exact distinct (no Expand): chunk explode → (lang, chunk)
+    count → per-lang totals."""
+    chunks = docs.select(
+        "lang", F.explode(chunk_texts(F.col("text"), size)).alias("chunk")
+    )
+    d = chunks.groupBy("lang", "chunk").agg(F.count(F.lit(1)).alias("n"))
+    return d.groupBy("lang").agg(
+        F.sum("n").alias("total_chunks"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        (F.sum("n") - F.count(F.lit(1))).alias("dup_chunks"),
+        (
+            (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n")
+        ).alias("dup_ratio"),
     )

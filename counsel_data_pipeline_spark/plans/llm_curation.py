@@ -354,3 +354,41 @@ def temperature_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")
         ).alias("realized_factor"),
     )
+
+
+@register(
+    "curation_chunk_dedup_stats",
+    oracle=f"""
+        -- sub-document (chunk-level) dedup audit: documents split into
+        -- fixed 40-token windows; per language, how much of the corpus is
+        -- chunk-duplicated (RefinedWeb line-dedup at chunk granularity).
+        WITH t AS (
+          SELECT doc_id, lang, string_split_regex({_SQL_NORM}, ' ') AS tok
+          FROM documents
+        ),
+        c AS (
+          SELECT lang,
+                 unnest(list_transform(range(0, CAST(ceil(len(tok) / 40.0) AS BIGINT)),
+                        i -> array_to_string(tok[i*40+1:i*40+40], ' '))) AS chunk
+          FROM t
+        ),
+        d AS (
+          SELECT lang, chunk, count(*) AS n FROM c GROUP BY lang, chunk
+        )
+        SELECT lang,
+               CAST(sum(n) AS BIGINT) AS total_chunks,
+               count(*) AS distinct_chunks,
+               CAST(sum(n) AS BIGINT) - count(*) AS dup_chunks,
+               CAST(CAST(sum(n) AS BIGINT) - count(*) AS DOUBLE)
+                 / CAST(sum(n) AS BIGINT) AS dup_ratio
+        FROM d GROUP BY lang
+    """,
+    description="chunk-level dedup stats: fixed 40-token windows, per-lang "
+    "duplicated-chunk ratio (two-level exact distinct, no Expand)",
+    tags=("llm", "curation", "dedup"),
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.text_dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return cu.chunk_dedup_stats_frame(docs, size=40)

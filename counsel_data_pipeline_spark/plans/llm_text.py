@@ -392,64 +392,15 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "curation_chunk_dedup_stats",
-    oracle=f"""
-        -- sub-document (chunk-level) dedup audit: documents split into
-        -- fixed 40-token windows; per language, how much of the corpus is
-        -- chunk-duplicated (RefinedWeb line-dedup at chunk granularity).
-        WITH t AS (
-          SELECT doc_id, lang, string_split_regex({_SQL_NORM}, ' ') AS tok
-          FROM documents
-        ),
-        c AS (
-          SELECT lang,
-                 unnest(list_transform(range(0, CAST(ceil(len(tok) / 40.0) AS BIGINT)),
-                        i -> array_to_string(tok[i*40+1:i*40+40], ' '))) AS chunk
-          FROM t
-        ),
-        d AS (
-          SELECT lang, chunk, count(*) AS n FROM c GROUP BY lang, chunk
-        )
-        SELECT lang,
-               CAST(sum(n) AS BIGINT) AS total_chunks,
-               count(*) AS distinct_chunks,
-               CAST(sum(n) AS BIGINT) - count(*) AS dup_chunks,
-               CAST(CAST(sum(n) AS BIGINT) - count(*) AS DOUBLE)
-                 / CAST(sum(n) AS BIGINT) AS dup_ratio
-        FROM d GROUP BY lang
-    """,
-    description="chunk-level dedup stats: fixed 40-token windows, per-lang "
-    "duplicated-chunk ratio (two-level exact distinct, no Expand)",
-    tags=("llm", "curation", "dedup"),
-)
-def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from counsel_data_pipeline_spark.ops.curation import chunk_texts
-    from counsel_data_pipeline_spark.ops.text_dedup import _spread
-
-    docs = _spread(load_table(spark, sf_dir, "documents"))
-    chunks = docs.select(
-        "lang", F.explode(chunk_texts(F.col("text"), 40)).alias("chunk")
-    )
-    d = chunks.groupBy("lang", "chunk").agg(F.count(F.lit(1)).alias("n"))
-    return d.groupBy("lang").agg(
-        F.sum("n").alias("total_chunks"),
-        F.count(F.lit(1)).alias("distinct_chunks"),
-        (F.sum("n") - F.count(F.lit(1))).alias("dup_chunks"),
-        (
-            (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n")
-        ).alias("dup_ratio"),
-    )
-
-
-@register(
     "text_oov_trigram_ratio",
     oracle=f"""
         -- LM-quality stand-in with exact arithmetic: per doc, the fraction
         -- of character trigrams that fall OUTSIDE the corpus's top-100
         -- trigram vocabulary (100, not 1000: the synthetic corpus has only
-        -- ~377 distinct trigrams — a larger vocab degenerates to ratio 0) (high ratio = unusual text: gibberish, wrong
-        -- language, encoding damage). Counts are integers; the only double
-        -- is the final int/int ratio.
+        -- ~377 distinct trigrams; a larger vocab degenerates to ratio 0).
+        -- High ratio = unusual text: gibberish, wrong language, encoding
+        -- damage. Counts are integers; the only double is the final
+        -- int/int ratio.
         WITH d AS (
           SELECT doc_id, {_SQL_NORM} AS nt FROM documents
         ),

@@ -282,8 +282,6 @@ def test_chunk_dedup_counts_planted_duplicate_chunks(spark):
     short remainder) still counts."""
     from pyspark.sql import functions as F
 
-    from counsel_data_pipeline_spark.ops.curation import chunk_texts
-
     shared = " ".join(f"w{i}" for i in range(40))          # one full window
     docs = spark.createDataFrame(
         [
@@ -293,19 +291,12 @@ def test_chunk_dedup_counts_planted_duplicate_chunks(spark):
         ],
         "doc_id long, text string, lang string",
     )
-    chunks = docs.select("lang", F.explode(chunk_texts(F.col("text"), 40)).alias("chunk"))
-    d = chunks.groupBy("lang", "chunk").agg(F.count(F.lit(1)).alias("n"))
-    stats = {
-        r["lang"]: r
-        for r in d.groupBy("lang")
-        .agg(
-            F.sum("n").alias("total"),
-            F.count(F.lit(1)).alias("distinct"),
-        )
-        .collect()
-    }
-    assert stats["en"]["total"] == 4 and stats["en"]["distinct"] == 3  # shared counted twice
-    assert stats["de"]["total"] == 1 and stats["de"]["distinct"] == 1
+    from counsel_data_pipeline_spark.ops.curation import chunk_dedup_stats_frame
+
+    stats = {r["lang"]: r for r in chunk_dedup_stats_frame(docs, size=40).collect()}
+    assert stats["en"]["total_chunks"] == 4 and stats["en"]["distinct_chunks"] == 3
+    assert stats["en"]["dup_chunks"] == 1 and stats["en"]["dup_ratio"] == 0.25
+    assert stats["de"]["total_chunks"] == 1 and stats["de"]["dup_chunks"] == 0
 
 
 def test_quantized_topk_recall_and_code_range(spark):
