@@ -41,6 +41,11 @@ def main() -> None:
 
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     load_table(spark, sf_dir, "events").count()
+    # ... documents/embeddings too: the alphabetically-first timed queries
+    # are documents-family, and an unwarmed footer/scan showed up as a fake
+    # ~2x on curation_hash_split in the r3 clean run.
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
     # ... and the execution machinery itself: one cheap aggregate through
     # whole-stage codegen + the noop sink, and one trivial Arrow exchange to
     # spawn the Python worker pool — so the first timed query of whichever

@@ -154,3 +154,60 @@ def test_first_wins_property(spark, pairs):
     for k in exp:
         first_i = min(i for i, (kk, _) in enumerate(pairs) if kk == k)
         assert got[k] == (pairs[first_i][1], first_i)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 600)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pack_sequences_matches_python_reference(spark, docs_spec):
+    """pack_sequences ≡ a pure-Python replay of the packing loop for any
+    (doc_id, token_count) multiset — pins the md5 shard hash, the
+    per-shard running sum, the ceil-division sequence count, and the
+    boundary-split rule all at once."""
+    import hashlib
+
+    from counsel_data_pipeline_spark.ops.curation import pack_sequences
+
+    ctx, shards, seed = 256, 4, 7
+    rows = [(doc_id, "w " * n_tok) for doc_id, n_tok in docs_spec]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # pure-Python reference
+    def shard_of(doc_id):
+        h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) % shards
+
+    ref = {}
+    per_shard = {}
+    for doc_id, n_tok in sorted(docs_spec):
+        per_shard.setdefault(shard_of(doc_id), []).append(n_tok)
+    for sh, toks in per_shard.items():
+        cum = 0
+        n_split = 0
+        for n_tok in toks:
+            start = cum
+            cum += n_tok
+            if start % ctx + n_tok > ctx:
+                n_split += 1
+        ref[sh] = {
+            "n_docs": len(toks),
+            "total_tokens": cum,
+            "n_sequences": (cum + ctx - 1) // ctx,
+            "n_split_docs": n_split,
+            "tail_tokens": cum % ctx,
+        }
+
+    got = {
+        r["shard"]: r
+        for r in pack_sequences(docs, ctx_len=ctx, n_shards=shards).collect()
+    }
+    assert set(got) == set(ref)
+    for sh, want in ref.items():
+        for k, v in want.items():
+            assert got[sh][k] == v, (sh, k, v, got[sh][k])
