@@ -105,3 +105,32 @@ def write_parquet_partitioned(
     filter becomes a pruned read instead of a pruned crawl).
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_key: str,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a training corpus as ``n_shards`` balanced parquet
+    shards — the final step of a curation pipeline (the files a
+    dataloader actually reads).
+
+    Sharding is ``repartition(n_shards, hash(shard_key))``: content-
+    addressed placement (a doc always lands in the same shard as the
+    corpus grows), balanced by the hash, and co-located with any
+    downstream per-shard processing keyed the same way. One file per
+    shard unless ``max_records_per_file`` asks Spark to roll files —
+    bounded file sizes are what object stores and dataloaders want; at
+    100 TB the shard count is the write parallelism, so it should be a
+    multiple of the executor count.
+    """
+    from pyspark.sql import functions as F
+
+    writer = df.repartition(n_shards, F.col(shard_key)).write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

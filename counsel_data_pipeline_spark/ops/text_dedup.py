@@ -461,9 +461,7 @@ def incremental_dedup(
     # One signature pass over the union; the candidate join is asymmetric:
     # the right side is always a NEW doc, the left is existing OR a
     # lower-id new doc — existing×existing pairs are never generated.
-    sigs = minhash_signatures(tagged, "id", "__text", n, n_hashes).join(
-        tagged.select("id", "__new"), "id"
-    )
+    sigs = minhash_signatures(tagged, "id", "__text", n, n_hashes)
     banded = banded_signatures(sigs, n_hashes, bands).join(
         tagged.select("id", "__new"), "id"
     )

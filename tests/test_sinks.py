@@ -102,3 +102,35 @@ def test_jsonl_quarantine_split(spark):
         assert len(bad_lines) == 2
         assert any("broken" in b for b in bad_lines)
         assert any("not-an-int" in b for b in bad_lines)
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """Shard files are balanced, deterministic by key, and respect the
+    per-file record cap."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.io.sinks import write_training_shards
+    from counsel_data_pipeline_spark.io.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=8, shard_key="doc_id")
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 8
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # same doc set, nothing duplicated or dropped
+    assert back.select(F.sum("doc_id")).first()[0] == docs.select(F.sum("doc_id")).first()[0]
+
+    # record cap rolls files: 500 docs / cap 40 -> >= 13 files
+    out2 = str(tmp_path / "capped")
+    write_training_shards(docs, out2, n_shards=8, shard_key="doc_id", max_records_per_file=40)
+    files2 = glob.glob(out2 + "/part-*.parquet")
+    assert len(files2) >= 13
+    for f in files2:
+        import pyarrow.parquet as pq
+
+        assert pq.read_metadata(f).num_rows <= 40
