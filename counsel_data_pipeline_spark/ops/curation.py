@@ -219,12 +219,17 @@ def temperature_resample(
 
     Returns the resampled corpus: input columns + ``copy_id`` (1-based).
     """
-    counts = docs.groupBy(lang_col).agg(F.count(F.lit(1)).alias("__n"))
+    # NULL language is its own stratum, not a dropped row: group and join
+    # on a null-coalesced key (a plain equi-join would silently lose every
+    # NULL-lang doc, violating the no-drop invariant).
+    lang_key = F.coalesce(F.col(lang_col).cast("string"), F.lit("\x00<null>"))
+    tagged = docs.withColumn("__lang_key", lang_key)
+    counts = tagged.groupBy("__lang_key").agg(F.count(F.lit(1)).alias("__n"))
     mx = counts.agg(F.max("__n").alias("__mx"))
     fac = (
         counts.crossJoin(F.broadcast(mx))
         .select(
-            lang_col,
+            "__lang_key",
             F.sqrt(F.col("__mx").cast("double") / F.col("__n").cast("double")).alias(
                 "__fac"
             ),
@@ -238,10 +243,10 @@ def temperature_resample(
         )
     )
     return (
-        docs.join(F.broadcast(fac), lang_col)
+        tagged.join(F.broadcast(fac), "__lang_key")
         .withColumn("__copies", n_copies)
         .withColumn("copy_id", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__copies"))))
-        .drop("__fac", "__copies")
+        .drop("__lang_key", "__fac", "__copies")
     )
 
 

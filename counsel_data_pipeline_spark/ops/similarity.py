@@ -159,12 +159,16 @@ def _exact_pairs_blocked(
         id_b = np.maximum(II, JJ)[mask]
         # local candidate cut for the global top-n: keep everything tied
         # with or above this group's top_n-th cosine (exact values, so no
-        # epsilon margin is needed)
+        # epsilon margin is needed). NaN cosines (zero-norm vectors) sort
+        # LARGEST in both Spark's desc ordering and DuckDB's — mirror that
+        # here (a plain `flat >= cut` with a NaN cut keeps nothing and
+        # would silently drop the group's finite pairs).
+        key = np.where(np.isnan(flat), np.inf, flat)
         if flat.size > top_n:
-            cut = np.partition(flat, flat.size - top_n)[flat.size - top_n]
-            keep = flat >= cut
-            flat, id_a, id_b = flat[keep], id_a[keep], id_b[keep]
-        order = np.lexsort((id_b, id_a, -flat))[:top_n]
+            cut = np.partition(key, key.size - top_n)[key.size - top_n]
+            keep = key >= cut
+            flat, id_a, id_b, key = flat[keep], id_a[keep], id_b[keep], key[keep]
+        order = np.lexsort((id_b, id_a, -key))[:top_n]
         return pd.DataFrame(
             {"__id": id_a[order], "id_b": id_b[order], "__cos": flat[order]}
         )
@@ -188,9 +192,15 @@ def _rank_bounded(top: DataFrame, order_cols: list[str]) -> DataFrame:
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
+        # NaN in the ordering column must rank FIRST (Spark desc and DuckDB
+        # both sort NaN as largest; pandas would sort it last) — sort on a
+        # NaN→+inf twin of the primary key instead.
+        pdf["__key0"] = pdf[order_cols[0]].fillna(np.inf)
         pdf = pdf.sort_values(
-            order_cols, ascending=[False] + [True] * (len(order_cols) - 1), kind="mergesort"
-        )
+            ["__key0"] + order_cols[1:],
+            ascending=[False] + [True] * (len(order_cols) - 1),
+            kind="mergesort",
+        ).drop(columns="__key0")
         pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int32)
         yield pdf
 
@@ -433,7 +443,7 @@ def semantic_blocked_pairs(
     Returns (id_a, id_b, cosine) with id_a < id_b — a deterministic SET
     (no top-n), so the output is directly oracle-comparable.
     """
-    from counsel_data_pipeline_spark.ops.text_dedup import _spread
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
 
     # a small single-file scan would otherwise run every candidate's fold
     # cosine in ONE task (no-op when the input already has enough splits)

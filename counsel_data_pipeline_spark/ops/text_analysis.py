@@ -120,3 +120,45 @@ def shingle_fingerprint(c: Column, n: int = 5) -> Column:
     shared rare shingle — a cheap near-dup prefilter."""
     hashes = F.transform(word_shingles(c, n), lambda s: F.md5(F.encode(s, "UTF-8")))
     return F.array_min(hashes)
+
+
+def oov_trigram_ratio_frame(docs, vocab_size: int = 100):
+    """Per-doc out-of-vocabulary character-trigram ratio vs the corpus
+    top-``vocab_size`` trigram vocabulary (the body behind the
+    ``text_oov_trigram_ratio`` catalog query — shared so tests exercise
+    the registered plan, not a re-implementation).
+
+    Returns (doc_id, n_tri, n_oov, oov_ratio). Counts are integers; the
+    only double is the final int/int ratio.
+    """
+    d = docs.select("doc_id", norm_text(F.col("text")).alias("nt"))
+    # sequence(1, n) flips to a DESCENDING range when n < 1 — guard short
+    # docs to an empty trigram array instead.
+    tri_arr = F.when(
+        F.length("nt") >= 3,
+        F.expr("transform(sequence(1, length(nt) - 2), i -> substring(nt, i, 3))"),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = d.select("doc_id", F.explode(tri_arr).alias("tg"))
+    top = (
+        tri.groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tg")
+        .limit(vocab_size)
+        .select("tg")
+    )
+    m = tri.join(F.broadcast(top), "tg").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_in")
+    )
+    tot = d.select(
+        "doc_id", F.greatest(F.length("nt") - 2, F.lit(0)).cast("bigint").alias("n_tri")
+    )
+    out = tot.join(m, "doc_id", "left")
+    n_oov = (F.col("n_tri") - F.coalesce(F.col("n_in"), F.lit(0))).cast("bigint")
+    return out.select(
+        "doc_id",
+        "n_tri",
+        n_oov.alias("n_oov"),
+        F.when(F.col("n_tri") > 0, n_oov.cast("double") / F.col("n_tri"))
+        .otherwise(F.lit(0.0))
+        .alias("oov_ratio"),
+    )

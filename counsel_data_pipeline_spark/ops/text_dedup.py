@@ -24,6 +24,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
 from counsel_data_pipeline_spark.ops.text_analysis import (
     content_md5,
     norm_text,
@@ -85,18 +86,7 @@ def exact_dedup(
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure compute-heavy per-document work fans out across cores.
 
-    A small parquet file arrives as ONE input partition (maxPartitionBytes
-    never splits it), which would serialize the shingling/hashing below on
-    a single task. Repartition up to the cluster's default parallelism
-    only when the scan under-partitions — at real scale the input already
-    has ≥ parallelism splits and this is a no-op (no shuffle inserted)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def _doc_shingles(

@@ -347,12 +347,14 @@ def source_cap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def temperature_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cu.temperature_resample(load_table(spark, sf_dir, "documents"))
+    # Every doc emits exactly one copy_id=1 row, so n_in needs no
+    # countDistinct — a plain conditional sum keeps this a single hash
+    # aggregate instead of the Expand-based mixed distinct plan.
+    n_in = F.sum((F.col("copy_id") == 1).cast("long"))
     return out.groupBy("lang").agg(
-        F.countDistinct("doc_id").alias("n_in"),
+        n_in.alias("n_in"),
         F.count(F.lit(1)).alias("n_out"),
-        (
-            F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")
-        ).alias("realized_factor"),
+        (F.count(F.lit(1)).cast("double") / n_in).alias("realized_factor"),
     )
 
 
@@ -388,7 +390,7 @@ def temperature_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "curation", "dedup"),
 )
 def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from counsel_data_pipeline_spark.ops.text_dedup import _spread
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
 
     docs = _spread(load_table(spark, sf_dir, "documents"))
     return cu.chunk_dedup_stats_frame(docs, size=40)

@@ -360,8 +360,12 @@ def quantized_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT embedding::DOUBLE[] AS v FROM embeddings
         ),
         x AS (
-          SELECT pos, v[pos + 1] AS x
-          FROM emb, (SELECT unnest(range(64)) AS pos) d
+          -- positionally-aligned unnest: length-agnostic (a hardcoded
+          -- range(dim) would fabricate NULL rows for short vectors and
+          -- miss positions of long ones, silently diverging from the
+          -- Spark posexplode side)
+          SELECT generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+          FROM emb
         ),
         s AS (
           SELECT pos,

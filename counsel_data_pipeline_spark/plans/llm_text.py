@@ -184,7 +184,7 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from counsel_data_pipeline_spark.ops.text_dedup import _spread
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
 
     # the scoring projection is several regex passes per document — fan the
     # single-file scan out before it so the work parallelizes (no-op when
@@ -370,7 +370,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from counsel_data_pipeline_spark.ops.text_dedup import _spread
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
 
     docs = _spread(load_table(spark, sf_dir, "documents"))
     # array_distinct per doc BEFORE the explode: the shuffle carries each
@@ -437,37 +437,7 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "quality"),
 )
 def oov_trigram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from counsel_data_pipeline_spark.ops.text_dedup import _spread
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
 
     docs = _spread(load_table(spark, sf_dir, "documents"))
-    d = docs.select("doc_id", ta.norm_text(F.col("text")).alias("nt"))
-    # sequence(1, n) flips to a DESCENDING range when n < 1 — guard short
-    # docs to an empty trigram array instead.
-    tri_arr = F.when(
-        F.length("nt") >= 3,
-        F.expr("transform(sequence(1, length(nt) - 2), i -> substring(nt, i, 3))"),
-    ).otherwise(F.array().cast("array<string>"))
-    tri = d.select("doc_id", F.explode(tri_arr).alias("tg"))
-    top = (
-        tri.groupBy("tg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), "tg")
-        .limit(100)
-        .select("tg")
-    )
-    m = tri.join(F.broadcast(top), "tg").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_in")
-    )
-    tot = d.select(
-        "doc_id", F.greatest(F.length("nt") - 2, F.lit(0)).cast("bigint").alias("n_tri")
-    )
-    out = tot.join(m, "doc_id", "left")
-    n_oov = (F.col("n_tri") - F.coalesce(F.col("n_in"), F.lit(0))).cast("bigint")
-    return out.select(
-        "doc_id",
-        "n_tri",
-        n_oov.alias("n_oov"),
-        F.when(F.col("n_tri") > 0, n_oov.cast("double") / F.col("n_tri"))
-        .otherwise(F.lit(0.0))
-        .alias("oov_ratio"),
-    )
+    return ta.oov_trigram_ratio_frame(docs, vocab_size=100)

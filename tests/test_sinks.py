@@ -118,7 +118,9 @@ def test_write_training_shards_layout(spark, tmp_path):
     out = str(tmp_path / "shards")
     write_training_shards(docs, out, n_shards=8, shard_key="doc_id")
     files = sorted(glob.glob(out + "/part-*.parquet"))
-    assert len(files) == 8
+    # Spark writes no file for an empty hash bucket, so the contract is
+    # "at most n_shards files" (all 8 happen to be non-empty at 500 docs).
+    assert 1 <= len(files) <= 8
 
     back = spark.read.parquet(out)
     assert back.count() == docs.count()

@@ -183,41 +183,19 @@ def test_trim_drop_compose(s):
 
 def test_oov_trigram_ratio_flags_gibberish(spark):
     """A doc made of rare trigrams must score a much higher OOV ratio than
-    ordinary corpus text."""
-    from pyspark.sql import functions as F
-
-    from counsel_data_pipeline_spark.catalog import all_queries
+    ordinary corpus text — exercised through the SAME frame function the
+    registered plan uses."""
     from counsel_data_pipeline_spark.io.sources import load_table
+    from counsel_data_pipeline_spark.ops.text_analysis import oov_trigram_ratio_frame
 
     sf = "/root/testdata/sf0.01"
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     planted = spark.createDataFrame(
         [(900001, "qxzqj wvkqx zzjqv pqqzx jxqqw vqzzk")], ["doc_id", "text"]
     )
-    corpus = docs.unionByName(planted)
-
-    # run the same plan body over the planted corpus
-    from counsel_data_pipeline_spark.ops import text_analysis as ta
-
-    d = corpus.select("doc_id", ta.norm_text(F.col("text")).alias("nt"))
-    tri_arr = F.when(
-        F.length("nt") >= 3,
-        F.expr("transform(sequence(1, length(nt) - 2), i -> substring(nt, i, 3))"),
-    ).otherwise(F.array().cast("array<string>"))
-    tri = d.select("doc_id", F.explode(tri_arr).alias("tg"))
-    top = (
-        tri.groupBy("tg").agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), "tg").limit(100).select("tg")
-    )
-    m = tri.join(F.broadcast(top), "tg").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_in"))
-    tot = d.select("doc_id", F.greatest(F.length("nt") - 2, F.lit(0)).alias("n_tri"))
-    out = tot.join(m, "doc_id", "left").select(
-        "doc_id",
-        (
-            (F.col("n_tri") - F.coalesce(F.col("n_in"), F.lit(0))).cast("double")
-            / F.greatest(F.col("n_tri"), F.lit(1))
-        ).alias("r"),
-    )
-    rows = {r["doc_id"]: r["r"] for r in out.collect()}
+    rows = {
+        r["doc_id"]: r["oov_ratio"]
+        for r in oov_trigram_ratio_frame(docs.unionByName(planted), 100).collect()
+    }
     corpus_avg = sum(v for k, v in rows.items() if k != 900001) / (len(rows) - 1)
     assert rows[900001] > corpus_avg + 0.3, (rows[900001], corpus_avg)
