@@ -159,10 +159,10 @@ def _exact_pairs_blocked(
         id_b = np.maximum(II, JJ)[mask]
         # local candidate cut for the global top-n: keep everything tied
         # with or above this group's top_n-th cosine (exact values, so no
-        # epsilon margin is needed). NaN cosines (zero-norm vectors) sort
-        # LARGEST in both Spark's desc ordering and DuckDB's — mirror that
-        # here (a plain `flat >= cut` with a NaN cut keeps nothing and
-        # would silently drop the group's finite pairs).
+        # epsilon margin is needed). Zero-norm vectors are excluded
+        # upstream so cosines are finite; the NaN→inf mapping is a guard
+        # (a NaN cut would otherwise keep nothing and silently drop the
+        # group's finite pairs).
         key = np.where(np.isnan(flat), np.inf, flat)
         if flat.size > top_n:
             cut = np.partition(key, key.size - top_n)[key.size - top_n]
@@ -192,9 +192,10 @@ def _rank_bounded(top: DataFrame, order_cols: list[str]) -> DataFrame:
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
-        # NaN in the ordering column must rank FIRST (Spark desc and DuckDB
-        # both sort NaN as largest; pandas would sort it last) — sort on a
-        # NaN→+inf twin of the primary key instead.
+        # Guard: missing/NaN in the ordering column must not sort last
+        # (pandas default) when Spark/DuckDB rank NaN largest — sort on a
+        # NaN→+inf twin of the primary key. Unreachable for the near-dup
+        # path (zero-norm vectors are excluded upstream) but cheap.
         pdf["__key0"] = pdf[order_cols[0]].fillna(np.inf)
         pdf = pdf.sort_values(
             ["__key0"] + order_cols[1:],
@@ -255,9 +256,14 @@ def near_dup_pairs_topn(
     and ``n_rows`` (when the caller already knows the count) to skip the
     gate's ``corpus.count()`` scan.
     """
+    # Cosine is undefined for zero-norm vectors; exclude them up front
+    # (mirrored by `WHERE nrm > 0` in the oracle). Without this, the two
+    # physical paths would even disagree: the Catalyst fold yields NaN
+    # (ranked largest by both engines) while the Arrow exchange of the
+    # blocked-numpy path turns pandas NaN into NULL (ranked last).
     emb = corpus.select(
         F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
-    ).withColumn("__norm", l2_norm(F.col("__v")))
+    ).withColumn("__norm", l2_norm(F.col("__v"))).filter(F.col("__norm") > 0)
 
     if exact_threshold is not None and exact_threshold <= 0:
         use_exact, n = False, None
@@ -692,9 +698,15 @@ def quantized_topk(
     Returns (query_id, neighbor_id, qdot, rank), deterministic
     neighbor-id tiebreak.
     """
-    emb = corpus.select(
-        F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
-    ).withColumn("__norm", l2_norm(F.col("__v")))
+    emb = (
+        corpus.select(
+            F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("__norm", l2_norm(F.col("__v")))
+        # zero-norm vectors have no direction to quantize (and x/0 NaN
+        # casts diverge between engines) — excluded, as in the oracle
+        .filter(F.col("__norm") > 0)
+    )
     coded = emb.select(
         "__id", quantize_unit(F.col("__v"), F.col("__norm")).alias("__q")
     )

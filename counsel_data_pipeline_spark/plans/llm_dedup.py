@@ -290,7 +290,11 @@ def connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
         n AS (
-          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+          -- zero-norm vectors excluded: cosine undefined (matches the
+          -- Spark op's norm > 0 filter)
+          SELECT vec_id, v, nrm FROM (
+            SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+          ) WHERE nrm > 0
         ),
         s AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -316,7 +316,11 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
         n AS (
-          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+          -- zero-norm vectors excluded: no direction to quantize (matches
+          -- the Spark op's norm > 0 filter)
+          SELECT vec_id, v, nrm FROM (
+            SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+          ) WHERE nrm > 0
         ),
         coded AS (
           SELECT vec_id,

@@ -453,3 +453,32 @@ def test_incremental_dedup_verdict_classes(spark, docs):
     # every new doc got exactly one verdict row
     n_new = corpus.filter(F.col("doc_id") % 2 == 1).count()
     assert len(out) == n_new
+
+
+def test_near_dup_topn_excludes_zero_norm_vectors(spark):
+    """Cosine is undefined for zero-norm vectors; the op excludes them up
+    front (as does the oracle). The pre-fix behavior was worse than NaN:
+    the Arrow exchange turned pandas NaN into NULL, so the two physical
+    paths even disagreed on where such pairs rank."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 20)
+    base = emb.select(
+        "vec_id", sim.as_double_array(F.col("embedding")).alias("embedding")
+    )
+    zeros = spark.range(5).select(
+        (F.col("id") + 500000).alias("vec_id"),
+        F.array_repeat(F.lit(0.0), 64).alias("embedding"),
+    )
+    # block_rows=8 exercises the multi-block grouping
+    with_zeros = sim.near_dup_pairs_topn(
+        base.unionByName(zeros), top_n=20, n_rows=25, block_rows=8
+    ).collect()
+    without = sim.near_dup_pairs_topn(
+        base, top_n=20, n_rows=20, block_rows=8
+    ).collect()
+    key = lambda rows: [(r["id_a"], r["id_b"], r["cosine"], r["rank"]) for r in
+                        sorted(rows, key=lambda r: r["rank"])]
+    assert key(with_zeros) == key(without)
+    assert all(r["cosine"] is not None for r in with_zeros)
+    assert all(r["id_a"] < 500000 and r["id_b"] < 500000 for r in with_zeros)
