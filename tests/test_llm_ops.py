@@ -482,3 +482,26 @@ def test_near_dup_topn_excludes_zero_norm_vectors(spark):
     assert key(with_zeros) == key(without)
     assert all(r["cosine"] is not None for r in with_zeros)
     assert all(r["id_a"] < 500000 and r["id_b"] < 500000 for r in with_zeros)
+
+
+def test_new_ops_handle_empty_input(spark):
+    """Empty corpora must produce empty (not crashing) results — the
+    incremental/packing/resampling ops all sit in pipelines where an
+    empty delta is a normal state (reference T2: empty-delta early exit)."""
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.ops.curation import (
+        pack_sequences,
+        temperature_resample,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert pack_sequences(empty_docs).count() == 0
+    assert temperature_resample(empty_docs).count() == 0
+    verdicts = td.incremental_dedup(
+        empty_docs, is_new=(F.col("doc_id") % 2 == 1)
+    )
+    assert verdicts.count() == 0
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert sim.quantized_topk(empty_vecs, [0], k=5).count() == 0
