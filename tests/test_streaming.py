@@ -137,3 +137,49 @@ def test_stream_stream_join_matches_batch(spark):
     want = _rows(sw.stream_stream_click_purchase_join(*split(b)), cols)
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_incremental_dedup_across_batches(spark, tmp_path):
+    """Three micro-batches of documents, duplicates planted across batch
+    boundaries: a doc repeating an EARLIER batch's doc must come back
+    exact_existing (the store remembers), a doc repeating its own batch
+    exact_new, and order of arrival — not doc_id — decides who is 'existing'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from counsel_data_pipeline_spark.streaming.incremental import (
+        run_incremental_dedup_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    mk = lambda rows: pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string())}
+    )
+    # batch files process in name order
+    pq.write_table(mk([(10, "alpha beta gamma delta"), (11, "one two three four")]),
+                   in_dir / "b0.parquet")
+    pq.write_table(mk([(20, "alpha beta gamma delta"),        # dup of batch-0 #10
+                       (21, "five six seven eight"),
+                       (22, "five six seven eight")]),        # dup of same-batch #21
+                   in_dir / "b1.parquet")
+    pq.write_table(mk([(5, "one two three four"),             # LOWER id, later arrival
+                       (30, "nine ten eleven twelve")]),
+                   in_dir / "b2.parquet")
+
+    out = run_incremental_dedup_stream(
+        spark, str(in_dir), str(tmp_path / "work"),
+        schema="doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 7  # one verdict per ingested doc
+    assert rows[10]["verdict"] == "unique"
+    assert rows[20]["verdict"] == "exact_existing" and rows[20]["dup_of"] == 10
+    assert rows[21]["verdict"] == "unique"
+    assert rows[22]["verdict"] == "exact_new" and rows[22]["dup_of"] == 21
+    # arrival order wins: id 5 arrived AFTER id 11's text was stored
+    assert rows[5]["verdict"] == "exact_existing" and rows[5]["dup_of"] == 11
+    assert rows[30]["verdict"] == "unique"
+    # batch ids are recorded in processing order
+    assert rows[10]["batch_id"] < rows[20]["batch_id"] < rows[5]["batch_id"]
