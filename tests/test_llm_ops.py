@@ -505,3 +505,28 @@ def test_new_ops_handle_empty_input(spark):
 
     empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert sim.quantized_topk(empty_vecs, [0], k=5).count() == 0
+
+
+def test_source_cap_invariants(spark):
+    from counsel_data_pipeline_spark.catalog import all_queries
+
+    rows = all_queries()["curation_source_cap"].fn(spark, SF).collect()
+    assert len(rows) == 20  # every source present
+    for r in rows:
+        assert r["n_kept"] == min(r["n_docs"], 15)
+        assert r["kept_tokens"] > 0
+        if r["n_docs"] <= 15:
+            assert r["dropped_tokens"] == 0
+
+
+def test_embedding_dim_profile_sane(spark):
+    from counsel_data_pipeline_spark.catalog import all_queries
+
+    rows = {r["pos"]: r for r in
+            all_queries()["sim_embedding_dim_profile"].fn(spark, SF).collect()}
+    assert set(rows) == set(range(64))
+    n_vecs = load_table(spark, SF, "embeddings").count()
+    for r in rows.values():
+        assert r["n"] == n_vecs
+        assert r["dim_min"] <= r["dim_mean"] <= r["dim_max"]
+        assert r["dim_std"] >= 0.0
