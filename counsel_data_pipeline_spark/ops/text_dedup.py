@@ -394,48 +394,61 @@ def simhash_pairs(
     )
 
 
-def incremental_dedup(
+def build_dedup_store(
     docs: DataFrame,
-    is_new: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """(id, content_h, sig) — the persisted dedup state for a corpus: the
+    normalized-content md5 (exact dedup key) and the MinHash signature
+    (near-dup key). This is what an incremental 100 TB pipeline stores
+    between batches so the existing side is never re-read as text; one
+    scan of the new batch produces its store rows, and dedup runs
+    store-against-store."""
+    h = docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.encode(norm_text(F.col(text_col)), "UTF-8")).alias("content_h"),
+    )
+    s = minhash_signatures(docs, id_col, text_col, n, n_hashes)
+    return h.join(s, "id")
+
+
+def incremental_dedup_against_store(
+    new_docs: DataFrame,
+    store: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     n_hashes: int = 16,
     bands: int = 4,
     est_threshold: float = 0.5,
+    new_store: DataFrame | None = None,
 ) -> DataFrame:
-    """Cross-batch dedup verdicts: judge every NEW document against the
-    EXISTING corpus and against lower-id docs of its own batch.
-
-    This is the shape a 100 TB *incremental* pipeline actually runs — the
-    existing corpus is never re-paired against itself (that work happened
-    in earlier batches); only (new × existing) and (new × new) candidates
-    are generated, via the same band-bucket equi-join as the batch
-    MinHash path, so per-batch cost scales with the batch, not the
-    corpus. In production the existing side would be the persisted
-    signature store (id, sig, band, bucket), not recomputed — the plan
-    below recomputes it only because the driver's tables are the sole
-    storage; the join shape is identical either way.
+    """Judge every document of ``new_docs`` against a persisted dedup
+    ``store`` (see :func:`build_dedup_store`) and against lower-id docs of
+    its own batch. Only the NEW batch is read as text; the existing
+    corpus participates purely through its stored hashes/signatures, and
+    the candidate join is asymmetric — (new × store) and
+    (new × lower-id new), never store × store — so per-batch cost scales
+    with the batch, not the corpus.
 
     Verdict priority (first match wins):
       exact_existing > exact_new > near_existing > near_new > unique
-    exact = normalized-content md5 equality; near = MinHash signature
-    agreement ≥ ``est_threshold`` on band-bucket candidates (integer
-    agreement count / n_hashes — exact arithmetic, fully oracle-able).
+    exact = stored md5 equality; near = MinHash signature agreement ≥
+    ``est_threshold`` on band-bucket candidates (integer agreement count
+    / n_hashes — exact arithmetic, fully oracle-able).
 
-    Returns (doc_id, verdict, dup_of) for NEW docs only; dup_of = the
-    smallest matching partner id within the winning class, -1 for unique.
+    Returns (doc_id, verdict, dup_of); dup_of = the smallest matching
+    partner id within the winning class, -1 for unique.
     """
-    tagged = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("__text"),
-        is_new.alias("__new"),
+    if new_store is None:
+        new_store = build_dedup_store(new_docs, id_col, text_col, n, n_hashes)
+    new_h = new_store.select(
+        F.col("id").alias("doc_id"), F.col("content_h").alias("__h")
     )
-    hashed = tagged.select(
-        "id", "__new", F.md5(F.encode(norm_text(F.col("__text")), "UTF-8")).alias("__h")
-    )
-    new_h = hashed.filter(F.col("__new")).select(F.col("id").alias("doc_id"), "__h")
-    ex_h = hashed.filter(~F.col("__new")).select(F.col("id").alias("__eid"), "__h")
+    ex_h = store.select(F.col("id").alias("__eid"), F.col("content_h").alias("__h"))
     exact_ex = (
         new_h.join(ex_h, "__h")
         .groupBy("doc_id")
@@ -448,18 +461,17 @@ def incremental_dedup(
         .groupBy("doc_id")
         .agg(F.min("__nid").alias("__p_exact_new"))
     )
-    # One signature pass over the union; the candidate join is asymmetric:
-    # the right side is always a NEW doc, the left is existing OR a
-    # lower-id new doc — existing×existing pairs are never generated.
-    sigs = minhash_signatures(tagged, "id", "__text", n, n_hashes)
-    banded = banded_signatures(sigs, n_hashes, bands).join(
-        tagged.select("id", "__new"), "id"
-    )
-    a = banded.select(
+    banded_ex = banded_signatures(
+        store.select("id", "sig"), n_hashes, bands
+    ).withColumn("__new", F.lit(False))
+    banded_new = banded_signatures(
+        new_store.select("id", "sig"), n_hashes, bands
+    ).withColumn("__new", F.lit(True))
+    a = banded_ex.unionByName(banded_new).select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
         F.col("__new").alias("new_a"), "band", "bucket",
     )
-    b = banded.filter(F.col("__new")).select(
+    b = banded_new.select(
         F.col("id").alias("doc_id"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
     cand = (
@@ -501,3 +513,25 @@ def incremental_dedup(
         F.col("__p_near_ex"), F.col("__p_near_new"), F.lit(-1).cast("bigint"),
     )
     return out.select("doc_id", verdict.alias("verdict"), dup_of.alias("dup_of"))
+
+
+def incremental_dedup(
+    docs: DataFrame,
+    is_new: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-batch dedup verdicts over a single tagged corpus: builds the
+    store from the ``~is_new`` side and delegates to
+    :func:`incremental_dedup_against_store`. Convenience shape for the
+    driver tables (where parquet is the only storage); production keeps
+    the store persisted and calls the store variant directly."""
+    return incremental_dedup_against_store(
+        docs.filter(is_new),
+        build_dedup_store(docs.filter(~is_new), id_col, text_col, n, n_hashes),
+        id_col, text_col, n, n_hashes, bands, est_threshold,
+    )

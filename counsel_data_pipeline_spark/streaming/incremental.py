@@ -17,7 +17,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from counsel_data_pipeline_spark.ops.text_dedup import incremental_dedup
+from counsel_data_pipeline_spark.ops.text_dedup import (
+    build_dedup_store,
+    incremental_dedup_against_store,
+)
 
 
 def run_incremental_dedup_stream(
@@ -34,32 +37,29 @@ def run_incremental_dedup_stream(
     (Trigger.AvailableNow honors ``maxFilesPerTrigger``), dedup each batch
     against the accumulated corpus, and return the verdict table
     (doc_id, verdict, dup_of, batch_id)."""
-    corpus_dir = os.path.join(work_dir, "corpus")
+    store_dir = os.path.join(work_dir, "store")
     verdict_dir = os.path.join(work_dir, "verdicts")
     checkpoint = os.path.join(work_dir, "checkpoint")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(id_col, text_col)
+        # One scan of the batch text produces its store rows; the existing
+        # corpus participates only through the persisted (id, content_h,
+        # sig) store — its text is never re-read.
+        new_store = build_dedup_store(batch, id_col, text_col).persist()
         try:
-            existing = batch_df.sparkSession.read.parquet(corpus_dir).select(
-                id_col, text_col
-            )
+            store = batch_df.sparkSession.read.parquet(store_dir)
         except Exception:  # first batch: no store yet
-            existing = batch.limit(0)
-        docs = existing.withColumn("__arrived_now", F.lit(False)).unionByName(
-            batch.withColumn("__arrived_now", F.lit(True))
-        )
-        verdicts = incremental_dedup(
-            docs,
-            is_new=F.col("__arrived_now"),
-            id_col=id_col,
-            text_col=text_col,
-            **dedup_kwargs,
+            store = new_store.limit(0)
+        verdicts = incremental_dedup_against_store(
+            batch, store, id_col=id_col, text_col=text_col,
+            new_store=new_store, **dedup_kwargs,
         )
         verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(verdict_dir)
-        batch.write.mode("append").parquet(corpus_dir)
+        new_store.write.mode("append").parquet(store_dir)
+        new_store.unpersist()
 
     stream = (
         spark.readStream.schema(schema)
