@@ -157,7 +157,14 @@ def test_streaming_incremental_dedup_across_batches(spark, tmp_path):
         {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
          "text": pa.array([r[1] for r in rows], pa.string())}
     )
-    # batch files process in name order
+    # The file source orders micro-batches by MODIFICATION TIME; three
+    # files written within the same millisecond tie nondeterministically
+    # (observed: b1/b2 swapping under load). Pin distinct mtimes so the
+    # batch order b0 → b1 → b2 is guaranteed.
+    import os
+    import time
+
+    now = time.time()
     pq.write_table(mk([(10, "alpha beta gamma delta"), (11, "one two three four")]),
                    in_dir / "b0.parquet")
     pq.write_table(mk([(20, "alpha beta gamma delta"),        # dup of batch-0 #10
@@ -167,6 +174,8 @@ def test_streaming_incremental_dedup_across_batches(spark, tmp_path):
     pq.write_table(mk([(5, "one two three four"),             # LOWER id, later arrival
                        (30, "nine ten eleven twelve")]),
                    in_dir / "b2.parquet")
+    for i, f in enumerate(["b0.parquet", "b1.parquet", "b2.parquet"]):
+        os.utime(in_dir / f, (now + 10 * i, now + 10 * i))
 
     out = run_incremental_dedup_stream(
         spark, str(in_dir), str(tmp_path / "work"),
