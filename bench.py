@@ -39,47 +39,63 @@ def main() -> None:
     # load_table for the nanos-timestamp conf).
     from counsel_data_pipeline_spark.io.sources import load_table
 
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    load_table(spark, sf_dir, "events").count()
+    def _warm(fn) -> None:
+        # A failed warmup shifts timings; it must not abort the bench.
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001
+            print(f"# warmup failed: {type(exc).__name__}: {exc}", file=sys.stderr)
+
+    _warm(lambda: spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count())
+    _warm(lambda: load_table(spark, sf_dir, "events").count())
     # ... documents/embeddings too: the alphabetically-first timed queries
     # are documents-family, and an unwarmed footer/scan showed up as a fake
     # ~2x on curation_hash_split in the r3 clean run.
-    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
-    spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    _warm(lambda: spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count())
+    _warm(lambda: spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count())
     # ... and the execution machinery itself: one cheap aggregate through
     # whole-stage codegen + the noop sink, and one trivial Arrow exchange to
     # spawn the Python worker pool — so the first timed query of whichever
     # family doesn't pay JIT/codegen/worker-fork cost (round-2 bench showed
     # fake 2-4x swings on whatever ran first).
-    all_queries()["tpch_q6_forecast_revenue"].fn(spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    spark.range(64).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    _warm(lambda: all_queries()["tpch_q6_forecast_revenue"].fn(spark, sf_dir)
+          .write.format("noop").mode("overwrite").save())
+    _warm(lambda: spark.range(64).mapInPandas(lambda it: it, "id long")
+          .write.format("noop").mode("overwrite").save())
 
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_all = time.time()
     for name, q in queries.items():
         t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        # Force FULL evaluation uniformly via the noop sink: count() on wide
-        # results would let Catalyst prune unused aggregate expressions
-        # (under-measuring wide queries), and collect() adds driver-transfer
-        # cost only for narrow ones. The noop write executes every operator
-        # JVM-side and discards rows.
-        df.write.format("noop").mode("overwrite").save()
+        # One broken plan must cost one entry, not the whole bench: the r4
+        # bench produced NOTHING because a single query threw at plan time.
+        try:
+            df = q.fn(spark, sf_dir)
+            # Force FULL evaluation uniformly via the noop sink: count() on
+            # wide results would let Catalyst prune unused aggregate
+            # expressions (under-measuring wide queries), and collect() adds
+            # driver-transfer cost only for narrow ones. The noop write
+            # executes every operator JVM-side and discards rows.
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         per_query[name] = round(time.time() - t0, 3)
         print(f"# {name}: {per_query[name]}s", file=sys.stderr)
     total = round(time.time() - t_all, 3)
 
-    print(json.dumps({
+    out = {
         "metric": "bench_total_headline_queries",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "sf": sf_num,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

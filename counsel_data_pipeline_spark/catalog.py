@@ -68,39 +68,72 @@ def register(
 # registration order. Rotate per round: once a family has its green
 # CORRECTNESS row, swap the next unverified family in.
 #
-# Round 3 window: the 6 dedup/ANN/multimodal queries whose oracles landed in
-# round 2 AFTER their round-1 slot (local PASS, never driver-attested),
-# curation_stratified_sample (oracle changed post-green: UBIGINT → BIGINT),
-# and the 2 queries whose plans changed this round (blocked exact near-dup;
-# q15 window → aggregate-join rewrite) so the driver re-attests the current
-# commit. The remaining ~41 slots fall to registration order — early
-# families (clean/dedup/merge/events/text) get their regression re-check.
+# Round 5 window: the driver regenerated events.parquet mid-round-4
+# (ts -> timestamp[us]/NTZ), so every green row from r1/r2 predates the
+# current environment. This window re-attests (a) the two queries that were
+# BROKEN by the drift and are now fixed at the load boundary
+# (events_sessionize_30m — red in r4; window_rolling_7day_user_value —
+# r2-green but broken today pre-fix), (b) the new native-session-window
+# twin, (c) every other query whose last driver row is r1/r2 — events/
+# sketch families first since their inputs physically changed. r4-green
+# rows (48 queries) are fresh against the new data and yield their slots.
+# Four single-table TPC-H aggregates (q1, q6, q19, order_value_histogram —
+# lowest drift risk, no events dependency) are deferred to the r6 window.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- oracle-complete in r2, no driver row yet --
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "sim_lsh_bucketed_topk",
-    "sim_ivf_topk",
-    "multimodal_decode_metadata",
-    "multimodal_frame_sample_stats",
-    # -- oracle changed after its r1 green row --
-    "curation_stratified_sample",
-    # -- plan rewritten in r3, re-attest --
-    "dedup_embedding_cosine_topn",
-    "tpch_q15_top_supplier",
-    # -- new in r3 (pinned explicitly so later registrations can't push
-    #    any never-driver-checked query past the 50-entry window) --
-    "sim_quantized_topk",
-    "curation_pack_sequences",
-    "curation_source_cap",
-    "llm_dedup_pipeline",
-    "curation_temperature_resample",
-    "dedup_incremental_batch",
-    "dedup_semantic_blocked_pairs",
-    "text_boilerplate_ngrams",
-    "curation_chunk_dedup_stats",
-    "text_oov_trigram_ratio",
-    "sim_embedding_dim_profile",
+    # -- broken by the r4 testdata drift, fixed this round --
+    "events_sessionize_30m",
+    "window_rolling_7day_user_value",
+    # -- new in r5 --
+    "events_sessionize_native_window",
+    # -- events-reading queries whose green rows predate the regeneration --
+    "window_event_value_delta",
+    "window_fill_forward_last_purchase",
+    "sketch_cms_user_counts",
+    "sketch_hll_distinct_users",
+    "sketch_value_quantiles",
+    # -- remaining r1/r2-attested queries (stale vs current environment) --
+    "agg_brand_volume",
+    "agg_order_value_percentiles",
+    "cube_orders_status_priority",
+    "grouping_sets_lineitem",
+    "join_anti_customers_without_orders",
+    "join_outer_nation_customer_counts",
+    "join_semi_suppliers_of_big_items",
+    "ops_clean_anchor_extract",
+    "ops_first_wins_dedup",
+    "ops_keyed_merge_two_sources",
+    "ops_snapshot_carry_forward",
+    "ops_stable_sort_topk",
+    "quality_profile_lineitem",
+    "quality_referential_integrity",
+    "rollup_revenue_region_nation",
+    "setop_lapsed_buyers_except",
+    "setop_repeat_buyers_intersect",
+    "setop_union_priority_buckets",
+    "sketch_bloom_custkey_probe",
+    "text_bpe_token_counts",
+    "text_tfidf_top_terms",
+    "text_top_ngrams_per_lang",
+    "tpch_copurchase_part_pairs",
+    "tpch_q10_returned_customers",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_part_supplier_diversity",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_quantity_discount_correlation",
+    "tpch_top_customer_per_nation",
+    "window_balance_quartiles_distributed",
+    "window_customer_balance_quartiles",
+    "window_order_gap_days",
+    "window_part_price_rank",
+    "window_running_customer_spend",
+    "window_top3_orders_per_customer",
 )
 
 

@@ -40,19 +40,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Filters/projections applied by callers are pushed
     into this parquet scan by Catalyst — do not cache or materialize here.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which vanilla Spark rejects
-    ([PARQUET_TYPE_ILLEGAL]); read nanos as long and integer-divide to
-    microseconds — truncation toward zero, matching how DuckDB (µs-native)
-    reads the same file, so oracle comparisons stay exact.
+    ``events.ts`` is physically polymorphic across driver testdata
+    generations — observed variants: TIMESTAMP(NANOS) (vanilla Spark
+    rejects it, [PARQUET_TYPE_ILLEGAL]; read nanos-as-long and truncate to
+    micros, matching µs-native DuckDB exactly), and timestamp[us] with no
+    timezone (Spark reads TIMESTAMP_NTZ). This loader is the single
+    normalization boundary: whatever the file carries, downstream plans
+    always see ``ts`` as session-TZ TIMESTAMP. The session TZ is pinned to
+    UTC (session.py), so NTZ→TIMESTAMP preserves the naive values and
+    epoch arithmetic agrees with DuckDB's ``epoch()``.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
-
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -171,6 +171,54 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sessionize_native_window",
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        ), per_session AS (
+          SELECT user_id, session_id, count(*) AS session_events
+          FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               count(*) AS n_sessions,
+               max(session_events) AS max_session_events,
+               CAST(sum(session_events) AS BIGINT) AS n_events
+        FROM per_session GROUP BY user_id
+    """,
+    description="sessionization via native session_window (cross-checks the lag-based plan "
+    "AND the API the streaming twin uses, streaming/windows.py:session_windows_30m)",
+    tags=("events", "session"),
+)
+def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as events_sessionize_30m, same oracle SQL, different
+    physical strategy: Spark's native session_window (one shuffle on the
+    grouping key, interval-merge in the aggregate — no WindowExec sort).
+    Boundary parity is exact: a gap of EXACTLY 30 min merges in both the
+    native operator (probe: two events 1800s apart -> 1 session) and the
+    lag-based `gap > 1800` flag, so the shared oracle is not relying on the
+    data avoiding the boundary."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per_session = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("session_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("session_events").alias("max_session_events"),
+        F.sum("session_events").alias("n_events"),
+    )
+
+
+@register(
     "events_top20_users_by_value",
     oracle=f"""
         SELECT user_id,

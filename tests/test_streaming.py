@@ -192,3 +192,34 @@ def test_streaming_incremental_dedup_across_batches(spark, tmp_path):
     assert rows[30]["verdict"] == "unique"
     # batch ids are recorded in processing order
     assert rows[10]["batch_id"] < rows[20]["batch_id"] < rows[5]["batch_id"]
+
+
+def test_native_session_window_equals_lag_based_batch(spark):
+    """The native session_window batch twin must reproduce the lag-based
+    sessionization exactly (same oracle SQL backs both catalog entries).
+    Boundary semantics are proven identical by the exact-gap test below, so
+    this equality is not relying on the data avoiding the 30-min boundary."""
+    lag_based = all_queries()["events_sessionize_30m"].fn(spark, SF)
+    native = all_queries()["events_sessionize_native_window"].fn(spark, SF)
+    cols = ["user_id", "n_sessions", "max_session_events", "n_events"]
+    assert _rows(native, cols) == _rows(lag_based, cols)
+
+
+def test_session_window_boundary_merges_at_exact_gap(spark):
+    """Two events exactly gap-duration apart merge into ONE session in
+    Spark's native session_window — matching the lag-based `gap > 1800`
+    flag (new session only STRICTLY beyond the gap). Pins the boundary so
+    an upstream semantics change in session_window fails here, not as an
+    unexplained oracle mismatch."""
+    df = (
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00"),
+             (1, "2024-01-01 01:00:01")],
+            "user_id int, ts_s string",
+        ).withColumn("ts", F.to_timestamp("ts_s"))
+    )
+    sessions = df.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).count().collect()
+    # first two merge (exact 1800s gap); third is 1801s after -> new session
+    assert sorted(r["count"] for r in sessions) == [1, 2]
