@@ -122,7 +122,11 @@ def jaccard_pairs(
     sizes with capped intersections would systematically underestimate).
     With ``max_shingle_df=None`` it is plain exact Jaccard.
     """
-    sh = _doc_shingles(df, id_col, text_col, n)
+    # Persisted: the capped shingle stream feeds FOUR consumers (the df-cap
+    # aggregation's probe side, the sizes aggregation, and both sides of
+    # the candidate self-join); without persistence each re-runs the
+    # normalize + explode + distinct chain over the raw text.
+    sh = _doc_shingles(df, id_col, text_col, n).persist()
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -130,7 +134,7 @@ def jaccard_pairs(
             .filter(F.col("df") <= max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        sh = sh.join(rare, "shingle").persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -232,7 +236,11 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard[, jaccard]) — est_jaccard is the
     signature agreement fraction.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n, n_hashes)
+    # Persist the signature table: the banding self-join consumes it on
+    # BOTH sides, and without persistence each side re-runs the shingle
+    # explode + 16-way min aggregation (the dominant cost — the signatures
+    # are H longs/doc, the text they summarize is ~KB/doc).
+    sigs = minhash_signatures(df, id_col, text_col, n, n_hashes).persist()
     banded = banded_signatures(sigs, n_hashes, bands)
     a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
@@ -261,12 +269,15 @@ def minhash_lsh_pairs(
     # shuffle, no collect_list re-grouping (round 2 paid both); candidates
     # join the arrays twice and the set algebra stays JVM-side
     # (array_intersect/array_union return distinct elements).
+    # Persisted for the same reason as sigs: both verify joins consume the
+    # shingle-set table, and normalizing + shingling the text is the
+    # expensive part, not the set algebra.
     sets = _spread(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(norm_text(F.col(text_col)), n)).alias(
             "shingles"
         ),
-    )
+    ).persist()
     verified = (
         est.join(
             sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa")), "id_a"
@@ -337,7 +348,10 @@ def simhash_pairs(
     verification via popcount(xor)."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    sigs = simhash_signatures(df, id_col, text_col)
+    # Persisted: the chunk-bucket self-join consumes the signature table on
+    # both sides; without this each side re-runs the shingle explode + the
+    # 64-tally aggregation (see minhash_lsh_pairs for the same pattern).
+    sigs = simhash_signatures(df, id_col, text_col).persist()
 
     def chunk_val(c: int) -> Column:
         """Bits [c·width, (c+1)·width) out of the (lo, hi) halves."""
@@ -407,12 +421,30 @@ def build_dedup_store(
     between batches so the existing side is never re-read as text; one
     scan of the new batch produces its store rows, and dedup runs
     store-against-store."""
-    h = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col).alias("id"),
         F.md5(F.encode(norm_text(F.col(text_col)), "UTF-8")).alias("content_h"),
+        F.explode(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
     )
-    s = minhash_signatures(docs, id_col, text_col, n, n_hashes)
-    return h.join(s, "id")
+    # Single pass: the per-doc md5 rides through the shingle aggregation as
+    # first() instead of a second scan + an (id ⋈ id) join — one shuffle
+    # total, and the shuffle payload per doc is just md5 + H longs. A doc
+    # whose text yields no shingles has no rows after explode and drops
+    # from the store (same as the previous inner md5⋈sig join).
+    w1, w2 = md5_words(F.col("shingle"))
+    sh = sh.select("id", "content_h", w1.alias("__w1"), w2.alias("__w2"))
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("__w1") + F.lit(b) * F.col("__w2") + F.lit(c))
+            % F.lit(1 << 32)
+        ).alias(f"h{i}")
+        for i, (a, b, c) in enumerate(mh_coeffs(n_hashes))
+    ]
+    sigs = sh.groupBy("id").agg(F.first("content_h").alias("content_h"), *aggs)
+    return sigs.select(
+        "id", "content_h",
+        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"),
+    )
 
 
 def incremental_dedup_against_store(
@@ -445,6 +477,14 @@ def incremental_dedup_against_store(
     """
     if new_store is None:
         new_store = build_dedup_store(new_docs, id_col, text_col, n, n_hashes)
+    # Both stores feed four consumer branches (exact-existing, exact-new,
+    # banding self-join sides, output spine); without persistence each
+    # branch re-runs the shingle explode + aggregation. The store IS the
+    # persisted artifact in the production design (streaming/incremental.py
+    # keeps it on disk between batches) — a few dozen bytes per doc, orders
+    # of magnitude smaller than the text it summarizes.
+    store = store.persist()
+    new_store = new_store.persist()
     new_h = new_store.select(
         F.col("id").alias("doc_id"), F.col("content_h").alias("__h")
     )
