@@ -77,14 +77,18 @@ def register(
 # twin, (c) every other query whose last driver row is r1/r2 — events/
 # sketch families first since their inputs physically changed. r4-green
 # rows (48 queries) are fresh against the new data and yield their slots.
-# Four single-table TPC-H aggregates (q1, q6, q19, order_value_histogram —
-# lowest drift risk, no events dependency) are deferred to the r6 window.
+# Six stale-but-lowest-risk queries (single-table TPC-H aggregates q1, q6,
+# q19, order_value_histogram + orders/part window queries order_gap_days,
+# part_price_rank — none reads events) are deferred to the r6 window to
+# make room for the two new r5 queries.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- broken by the r4 testdata drift, fixed this round --
     "events_sessionize_30m",
     "window_rolling_7day_user_value",
     # -- new in r5 --
     "events_sessionize_native_window",
+    "curation_gopher_filters",
+    "dedup_duplicate_spans",
     # -- events-reading queries whose green rows predate the regeneration --
     "window_event_value_delta",
     "window_fill_forward_last_purchase",
@@ -130,8 +134,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_top_customer_per_nation",
     "window_balance_quartiles_distributed",
     "window_customer_balance_quartiles",
-    "window_order_gap_days",
-    "window_part_price_rank",
     "window_running_customer_spend",
     "window_top3_orders_per_customer",
 )

@@ -268,3 +268,79 @@ def chunk_dedup_stats_frame(docs: DataFrame, size: int = 40) -> DataFrame:
             (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n")
         ).alias("dup_ratio"),
     )
+
+
+# Rule set from the Gopher corpus-filtering appendix (Rae et al. 2021,
+# arXiv:2112.11446 Table A1) — the de-facto-standard pre-training quality
+# gate. Thresholds are the published ones; every feature is exact integer
+# counting + one int/int→double division, so the DuckDB oracle reproduces
+# the values bit-for-bit (see plans/_parity.py on why no rounding of
+# float-valued intermediates is needed or wanted here).
+GOPHER_REQUIRED_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_WL, GOPHER_MAX_MEAN_WL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPS = 2
+
+
+def gopher_flags(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document Gopher quality-rule features + keep verdict.
+
+    Pure per-row column algebra — no shuffle, no UDF; scales with the scan
+    exactly like the PII/repetition ops above. Words = whitespace tokens of
+    the trimmed text; lines = raw text split on newline (bullet/ellipsis
+    rules are line-positional, so they must see the un-collapsed text).
+    """
+    t = F.trim(F.col(text_col))
+    words = tokens(t)
+    n_words = F.size(words)
+    sum_wl = F.aggregate(F.transform(words, F.length), F.lit(0), lambda a, x: a + x)
+    mean_wl = sum_wl.cast("double") / n_words
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ellipsis = (
+        (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / F.lit(3)
+    ).cast("int") + (
+        F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    )
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike("^[ \t]*[-*•]"))
+    )
+    n_ell_end = F.size(
+        F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)[ \t]*$"))
+    )
+    bullet_ratio = n_bullet.cast("double") / n_lines
+    ellipsis_ratio = n_ell_end.cast("double") / n_lines
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = n_alpha.cast("double") / n_words
+    n_stops = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPS]),
+        )
+    )
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wl.between(GOPHER_MIN_MEAN_WL, GOPHER_MAX_MEAN_WL)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_ratio <= GOPHER_MAX_BULLET_RATIO)
+        & (ellipsis_ratio <= GOPHER_MAX_ELLIPSIS_RATIO)
+        & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
+        & (n_stops >= GOPHER_MIN_STOPS)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stops.alias("n_required_stops"),
+        keep.alias("keep"),
+    )

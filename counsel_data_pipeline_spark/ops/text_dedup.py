@@ -21,13 +21,14 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
 from counsel_data_pipeline_spark.ops.text_analysis import (
     content_md5,
     norm_text,
+    tokens,
     word_shingles,
 )
 
@@ -574,4 +575,71 @@ def incremental_dedup(
         docs.filter(is_new),
         build_dedup_store(docs.filter(~is_new), id_col, text_col, n, n_hashes),
         id_col, text_col, n, n_hashes, bands, est_threshold,
+    )
+
+
+def duplicate_span_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Substring-level dedup audit (Lee et al. 2021, arXiv:2107.06499,
+    re-expressed at token granularity): for every document, the number of
+    token positions covered by at least one k-token span that occurs ≥2
+    times corpus-wide (including self-repeats), and the covered fraction.
+
+    Shape at scale: one posexplode of sliding k-gram spans (the span
+    stream IS the shuffle, same order of magnitude as the text); one
+    count-by-span aggregation (map-side partials); a semi-join back to
+    positions; then a per-doc interval merge — the classic
+    running-max/window formulation, which shuffles once on doc id and
+    sorts within doc only. No suffix array needed for coverage semantics:
+    a position is covered iff one of the ≤k spans touching it is
+    duplicated, so span granularity is exact, not an approximation.
+
+    Returns (doc_id, n_tokens, dup_tokens, dup_ratio); docs shorter than
+    k tokens have zero coverage by construction.
+    """
+    base = _spread(docs).select(
+        F.col(id_col).alias("id"), norm_text(F.col(text_col)).alias("__t")
+    )
+    spans = base.select(
+        "id", F.posexplode(word_shingles(F.col("__t"), k)).alias("pos", "span")
+    )
+    dup = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= 2)
+        .select("span")
+    )
+    hits = spans.join(dup, "span").select(
+        "id", F.col("pos").alias("s"), (F.col("pos") + F.lit(k)).alias("e")
+    )
+    w_prev = Window.partitionBy("id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.partitionBy("id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    merged = (
+        hits.withColumn("__pe", F.max("e").over(w_prev))
+        .withColumn(
+            "__new",
+            F.when(F.col("__pe").isNull() | (F.col("s") > F.col("__pe")), 1).otherwise(0),
+        )
+        .withColumn("__grp", F.sum("__new").over(w_run))
+        .groupBy("id", "__grp")
+        .agg((F.max("e") - F.min("s")).alias("__covered"))
+        .groupBy("id")
+        .agg(F.sum("__covered").alias("dup_tokens"))
+    )
+    nt = base.select("id", F.size(tokens(F.col("__t"))).alias("n_tokens"))
+    return nt.join(merged, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0).cast("bigint")).alias("dup_tokens"),
+        (
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double") / F.col("n_tokens")
+        ).alias("dup_ratio"),
     )

@@ -394,3 +394,60 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _spread(load_table(spark, sf_dir, "documents"))
     return cu.chunk_dedup_stats_frame(docs, size=40)
+
+
+_SQL_GOPHER_STOPS = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+
+@register(
+    "curation_gopher_filters",
+    oracle=f"""
+        WITH base AS (
+          SELECT doc_id,
+                 text,
+                 trim(text) AS t,
+                 {_SQL_TOKENS} AS w,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ),
+        feat AS (
+          SELECT doc_id,
+                 len(w) AS n_words,
+                 CAST(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS DOUBLE)
+                   / len(w) AS mean_word_len,
+                 CAST(
+                   (length(t) - length(replace(t, '#', '')))
+                   + CAST((length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g'))) / 3 AS INT)
+                   + (length(t) - length(replace(t, '…', '')))
+                 AS DOUBLE) / len(w) AS symbol_ratio,
+                 CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS DOUBLE)
+                   / len(lines) AS bullet_line_ratio,
+                 CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*$'))) AS DOUBLE)
+                   / len(lines) AS ellipsis_line_ratio,
+                 CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / len(w) AS alpha_word_ratio,
+                 len(list_intersect(list_transform(w, x -> lower(x)), {_SQL_GOPHER_STOPS}))
+                   AS n_required_stops
+          FROM base
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+               ellipsis_line_ratio, alpha_word_ratio, n_required_stops,
+               (n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_ratio <= 0.1
+                AND bullet_line_ratio <= 0.9
+                AND ellipsis_line_ratio <= 0.3
+                AND alpha_word_ratio >= 0.8
+                AND n_required_stops >= 2) AS keep
+        FROM feat
+    """,
+    description="Gopher corpus-filter rules (Rae et al. 2112.11446 Table A1): "
+    "per-doc word/line/symbol features + keep verdict, pure column algebra",
+    tags=("llm", "curation", "quality"),
+)
+def gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard pre-training quality gate; every feature is exact integer
+    counting + one int/int double division (no float rounding needed for
+    cross-engine hash parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.gopher_flags(docs)

@@ -590,3 +590,69 @@ def incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, is_new=(F.col("doc_id") % 2 == 1),
         n=3, n_hashes=16, bands=4, est_threshold=0.5,
     ).orderBy("doc_id")
+
+
+def _duplicate_spans_oracle(k: int = 8) -> str:
+    """DuckDB twin of td.duplicate_span_coverage: same norm/tokenize/shingle
+    conventions as the MinHash oracle, 1-based positions (coverage lengths
+    are position-shift invariant), identical interval-merge windowing."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS t FROM documents
+        ),
+        spans AS (
+          SELECT doc_id, u.pos AS pos, u.span AS span FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - {k} + 2),
+                          i -> struct_pack(pos := i,
+                                           span := array_to_string(t[i:i+{k - 1}], ' ')))) AS u
+            FROM toks
+          )
+        ),
+        dup AS (
+          SELECT span FROM spans GROUP BY span HAVING count(*) >= 2
+        ),
+        hits AS (
+          SELECT s.doc_id, s.pos AS st, s.pos + {k} AS en
+          FROM spans s JOIN dup USING (span)
+        ),
+        flagged AS (
+          SELECT doc_id, st, en,
+                 CASE WHEN max(en) OVER w IS NULL OR st > max(en) OVER w
+                      THEN 1 ELSE 0 END AS new_grp
+          FROM hits
+          WINDOW w AS (PARTITION BY doc_id ORDER BY st
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        grouped AS (
+          SELECT doc_id, st, en,
+                 sum(new_grp) OVER (PARTITION BY doc_id ORDER BY st
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+          FROM flagged
+        ),
+        cov AS (
+          SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_tokens FROM (
+            SELECT doc_id, grp, max(en) - min(st) AS covered
+            FROM grouped GROUP BY doc_id, grp
+          ) GROUP BY doc_id
+        )
+        SELECT tk.doc_id,
+               len(tk.t) AS n_tokens,
+               COALESCE(c.dup_tokens, 0) AS dup_tokens,
+               CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / len(tk.t) AS dup_ratio
+        FROM toks tk LEFT JOIN cov c USING (doc_id)
+    """
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=_duplicate_spans_oracle(k=8),
+    description="substring-level dedup audit (Lee et al. 2107.06499 at token "
+    "granularity): per-doc token positions covered by a corpus-duplicated "
+    "8-token span, via sliding k-grams + window interval-merge",
+    tags=("llm", "dedup", "spans"),
+    bench=True,
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return td.duplicate_span_coverage(docs, k=8)

@@ -530,3 +530,80 @@ def test_embedding_dim_profile_sane(spark):
         assert r["n"] == n_vecs
         assert r["dim_min"] <= r["dim_mean"] <= r["dim_max"]
         assert r["dim_std"] >= 0.0
+
+
+def test_gopher_flags_rules(spark):
+    from counsel_data_pipeline_spark.ops.curation import gopher_flags
+
+    good = "The quick brown fox jumps over the lazy dog and then runs to be " \
+           "free of all that it could have seen with plenty more words " * 3
+    short = "too few words here"
+    bullets = "\n".join(f"- item {i} in the listing of the things" for i in range(10))
+    symbols = "the be to of and that have with " + "# " * 40
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, bullets), (4, symbols)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_flags(df).collect()}
+
+    assert rows[1]["keep"] is True
+    assert rows[1]["n_required_stops"] >= 2
+    assert rows[1]["alpha_word_ratio"] == 1.0
+
+    assert rows[2]["keep"] is False  # fails the 50-word minimum
+    assert rows[2]["n_words"] == 4
+
+    assert rows[3]["keep"] is False  # every line is a bullet
+    assert rows[3]["bullet_line_ratio"] == 1.0
+
+    assert rows[4]["keep"] is False  # symbol ratio 40/48 >> 0.1
+    assert rows[4]["symbol_ratio"] > 0.1
+    # '#' is not an alphabetic word
+    assert rows[4]["alpha_word_ratio"] < 0.8
+
+
+def test_duplicate_span_coverage_semantics(spark):
+    from counsel_data_pipeline_spark.ops.text_dedup import duplicate_span_coverage
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    w = "w{} x{} y{} z{}"
+    uniq_a = " ".join(w.format(i, i, i, i) for i in range(4))   # 16 unique tokens
+    uniq_b = " ".join(w.format(i + 9, i + 9, i + 9, i + 9) for i in range(4))
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} {uniq_a}"),          # shared span at pos 0
+            (2, f"{uniq_b} {shared}"),          # shared span at pos 16
+            (3, "totally different words with no duplication at all present here"),
+            (4, f"{shared} filler {shared}"),   # also self-repeating
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicate_span_coverage(df, k=8).collect()}
+
+    # doc 3 shares no 8-token span with anything
+    assert rows[3]["dup_tokens"] == 0 and rows[3]["dup_ratio"] == 0.0
+    # docs 1/2: exactly the 8 shared tokens are covered (the window spans
+    # crossing into unique tokens occur once corpus-wide)
+    assert rows[1]["dup_tokens"] == 8
+    assert rows[2]["dup_tokens"] == 8
+    assert rows[1]["n_tokens"] == 24
+    assert rows[1]["dup_ratio"] == 8 / 24
+    # doc 4 contains the span twice -> both occurrences covered
+    assert rows[4]["dup_tokens"] == 16
+    assert rows[4]["n_tokens"] == 17
+
+
+def test_duplicate_span_interval_merge_overlap(spark):
+    from counsel_data_pipeline_spark.ops.text_dedup import duplicate_span_coverage
+
+    # doc 1 and doc 2 share a 10-token run: its three overlapping 8-grams
+    # produce intervals [0,8),[1,9),[2,10) which must merge to 10 covered
+    # tokens, not 24.
+    run = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    df = spark.createDataFrame(
+        [(1, f"{run} tail1 tail2"), (2, f"head1 head2 {run}")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicate_span_coverage(df, k=8).collect()}
+    assert rows[1]["dup_tokens"] == 10
+    assert rows[2]["dup_tokens"] == 10
