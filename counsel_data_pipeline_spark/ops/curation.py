@@ -344,3 +344,75 @@ def gopher_flags(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         n_stops.alias("n_required_stops"),
         keep.alias("keep"),
     )
+
+
+SHUFFLE_SEED = 17
+
+
+def shuffle_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = SHUFFLE_SEED,
+    n_buckets: int = 64,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic pseudo-random global training order WITHOUT a
+    single-partition window.
+
+    Training pipelines need a reproducible global shuffle of the corpus
+    (position → example) that any worker can recompute. A global
+    ``row_number() OVER (ORDER BY hash)`` funnels 100 TB through one task;
+    instead:
+
+    1. bucket = md5("seed:id") first-8-hex mod ``n_buckets`` — a
+       deterministic function of the row, so (unlike repartitionByRange
+       sampling) the counts job and the ranking job agree by construction,
+       no checkpoint pinning needed;
+    2. per-bucket ``row_number`` ordered by (md5, id) — ``n_buckets``
+       independent sorts;
+    3. bucket counts (``n_buckets`` rows) → driver prefix-sum → CASE
+       offset map; global position = offset(bucket) + local rank.
+
+    The md5 orders rows pseudo-randomly; bucket boundaries follow the
+    SAME md5 prefix, so ordering by (bucket, md5, id) is exactly ordering
+    by (md5-prefix-bucket, md5, id) — one global deterministic shuffle.
+    Returns (doc_id, bucket, position, shard) with shard = position mod
+    ``n_shards`` (round-robin over the shuffled order, the standard
+    worker-interleave).
+    """
+    from functools import reduce
+
+    payload = F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    h = F.md5(F.encode(payload, "UTF-8"))
+    b = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .withColumn("__h", h)
+        .withColumn(
+            "bucket",
+            (F.conv(F.substring(F.col("__h"), 1, 8), 16, 10).cast("bigint")
+             % F.lit(n_buckets)),
+        )
+    )
+    counts = sorted(
+        (r["bucket"], r["cnt"])
+        for r in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for bucket, c in counts:
+        offsets[bucket] = acc
+        acc += c
+    w = Window.partitionBy("bucket").orderBy("__h", "doc_id")
+    offset_col = reduce(
+        lambda e, kv: e.when(F.col("bucket") == kv[0], F.lit(kv[1])),
+        offsets.items(),
+        F.when(F.lit(False), F.lit(0)),
+    ).otherwise(F.lit(0)).cast("bigint")
+    return (
+        b.withColumn("position", offset_col + F.row_number().over(w) - F.lit(1))
+        .select(
+            "doc_id",
+            "bucket",
+            "position",
+            (F.col("position") % F.lit(n_shards)).alias("shard"),
+        )
+    )

@@ -451,3 +451,33 @@ def gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hash parity)."""
     docs = load_table(spark, sf_dir, "documents")
     return cu.gopher_flags(docs)
+
+
+@register(
+    "curation_shuffle_order",
+    oracle="""
+        WITH b AS (
+          SELECT doc_id,
+                 md5(concat('17:', CAST(doc_id AS VARCHAR))) AS h,
+                 CAST(CAST(concat('0x',
+                      substr(md5(concat('17:', CAST(doc_id AS VARCHAR))), 1, 8))
+                      AS UBIGINT) % 64 AS BIGINT) AS bucket
+          FROM documents
+        )
+        SELECT doc_id, bucket,
+               row_number() OVER (ORDER BY bucket, h, doc_id) - 1 AS position,
+               (row_number() OVER (ORDER BY bucket, h, doc_id) - 1) % 8 AS shard
+        FROM b
+    """,
+    description="deterministic global training-shuffle order: md5-bucketed "
+    "two-pass ranking (64 parallel sorts + offset prefix-sum), no "
+    "single-partition window; shard = position mod 8",
+    tags=("llm", "curation", "scale"),
+)
+def curation_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle's global ORDER BY (bucket, h, doc_id) row_number is the
+    semantics; the Spark plan computes it with bounded parallelism (the
+    oracle is allowed the single-partition luxury — DuckDB runs at
+    sf0.01)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.shuffle_order(docs, seed=17, n_buckets=64, n_shards=8)

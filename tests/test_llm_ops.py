@@ -607,3 +607,26 @@ def test_duplicate_span_interval_merge_overlap(spark):
     rows = {r["doc_id"]: r for r in duplicate_span_coverage(df, k=8).collect()}
     assert rows[1]["dup_tokens"] == 10
     assert rows[2]["dup_tokens"] == 10
+
+
+def test_shuffle_order_is_deterministic_permutation(spark):
+    from counsel_data_pipeline_spark.ops.curation import shuffle_order
+
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    out1 = {r["doc_id"]: (r["position"], r["shard"], r["bucket"])
+            for r in shuffle_order(docs).collect()}
+    # permutation of 0..n-1
+    assert sorted(p for p, _, _ in out1.values()) == list(range(n))
+    # deterministic across independent executions
+    out2 = {r["doc_id"]: (r["position"], r["shard"], r["bucket"])
+            for r in shuffle_order(docs).collect()}
+    assert out1 == out2
+    # round-robin shards are balanced to within one element
+    from collections import Counter
+
+    sh = Counter(s for _, s, _ in out1.values())
+    assert max(sh.values()) - min(sh.values()) <= 1
+    # the order is actually shuffled, not id order
+    by_pos = [d for d, (p, _, _) in sorted(out1.items(), key=lambda kv: kv[1][0])]
+    assert by_pos != sorted(by_pos)
