@@ -77,10 +77,10 @@ def register(
 # twin, (c) every other query whose last driver row is r1/r2 — events/
 # sketch families first since their inputs physically changed. r4-green
 # rows (48 queries) are fresh against the new data and yield their slots.
-# Seven stale-but-lowest-risk queries (single-table TPC-H aggregates q1,
-# q6, q17, q19, order_value_histogram + orders/part window queries
-# order_gap_days, part_price_rank — none reads events) are deferred to
-# the r6 window to make room for the three new r5 queries.
+# Nine stale-but-lowest-risk queries (TPC-H q1, q6, q13, q16, q17, q19,
+# order_value_histogram + orders/part window queries order_gap_days,
+# part_price_rank — none reads events) are deferred to the r6 window to
+# make room for the five new r5 queries.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- broken by the r4 testdata drift, fixed this round --
     "events_sessionize_30m",
@@ -90,6 +90,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "curation_gopher_filters",
     "dedup_duplicate_spans",
     "curation_shuffle_order",
+    "curation_c4_filters",
+    "llm_corpus_prep_v2",
     # -- events-reading queries whose green rows predate the regeneration --
     "window_event_value_delta",
     "window_fill_forward_last_purchase",
@@ -121,9 +123,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_top_ngrams_per_lang",
     "tpch_copurchase_part_pairs",
     "tpch_q10_returned_customers",
-    "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
-    "tpch_q16_part_supplier_diversity",
     "tpch_q18_large_volume",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",

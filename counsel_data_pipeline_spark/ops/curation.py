@@ -416,3 +416,49 @@ def shuffle_order(
             (F.col("position") % F.lit(n_shards)).alias("shard"),
         )
     )
+
+
+# Doc-level form of the C4 cleaning rules (Raffel et al. 2019,
+# arXiv:1910.10683 §2.2): line-ending punctuation, minimum sentence count,
+# lorem-ipsum / curly-brace / boilerplate-policy detection. (C4's
+# line-DROPPING variant is a trivial filter over the same line features;
+# the flags form keeps the query oracle-able row-per-doc.) All counting is
+# exact integer work + one int/int division — bit-parity with the SQL twin.
+C4_POLICY_PHRASES = ("terms of use", "privacy policy", "cookie policy", "uses cookies")
+C4_MIN_SENTENCES = 3
+
+
+def c4_flags(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document C4 rule features + keep verdict. Pure per-row column
+    algebra — no shuffle, no UDF; same scan-bound scaling as gopher_flags."""
+    t = F.col(text_col)
+    low = F.lower(t)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_terminal = F.size(
+        F.filter(lines, lambda l: l.rlike('[.!?"][ \t]*$'))
+    )
+    n_sentences = F.length(t) - F.length(F.regexp_replace(t, "[.!?]", ""))
+    has_lorem = low.contains("lorem ipsum")
+    has_curly = t.contains("{")
+    has_policy = None
+    for p in C4_POLICY_PHRASES:
+        c = low.contains(p)
+        has_policy = c if has_policy is None else (has_policy | c)
+    keep = (
+        (n_sentences >= C4_MIN_SENTENCES)
+        & ~has_lorem
+        & ~has_curly
+        & ~has_policy
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        n_terminal.alias("n_terminal_lines"),
+        (n_terminal.cast("double") / n_lines).alias("terminal_line_ratio"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_curly.alias("has_curly_brace"),
+        has_policy.alias("has_policy_phrase"),
+        keep.alias("keep"),
+    )

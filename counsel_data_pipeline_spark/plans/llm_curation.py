@@ -481,3 +481,161 @@ def curation_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01)."""
     docs = load_table(spark, sf_dir, "documents")
     return cu.shuffle_order(docs, seed=17, n_buckets=64, n_shards=8)
+
+
+@register(
+    "curation_c4_filters",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id, text, lower(text) AS low,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        )
+        SELECT doc_id,
+               len(lines) AS n_lines,
+               len(list_filter(lines, l -> regexp_matches(l, '[.!?"][ \t]*$')))
+                 AS n_terminal_lines,
+               CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?"][ \t]*$')))
+                 AS DOUBLE) / len(lines) AS terminal_line_ratio,
+               length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))
+                 AS n_sentences,
+               contains(low, 'lorem ipsum') AS has_lorem_ipsum,
+               contains(text, '{') AS has_curly_brace,
+               (contains(low, 'terms of use') OR contains(low, 'privacy policy')
+                OR contains(low, 'cookie policy') OR contains(low, 'uses cookies'))
+                 AS has_policy_phrase,
+               (length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) >= 3
+                AND NOT contains(low, 'lorem ipsum')
+                AND NOT contains(text, '{')
+                AND NOT (contains(low, 'terms of use') OR contains(low, 'privacy policy')
+                         OR contains(low, 'cookie policy') OR contains(low, 'uses cookies')))
+                 AS keep
+        FROM base
+    """,
+    description="C4 cleaning rules (Raffel et al. 1910.10683 §2.2), doc-level: "
+    "terminal-punctuation lines, sentence minimum, lorem-ipsum/curly-brace/"
+    "policy-phrase detection + keep verdict",
+    tags=("llm", "curation", "quality"),
+)
+def c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.c4_flags(docs)
+
+
+@register(
+    "llm_corpus_prep_v2",
+    oracle=f"""
+        -- the r5 modern pipeline: Gopher ∧ C4 gates (corpus-calibrated
+        -- thresholds: the synthetic docs are punctuation-free keyword text,
+        -- so the published sentence/stopword minimums would zero the
+        -- corpus; the COMPOSITION is what this query exercises — the
+        -- published-constant rule sets live in curation_gopher_filters /
+        -- curation_c4_filters) → exact dedup (min-id survivor) →
+        -- deterministic global shuffle → per-shard training-manifest stats
+        WITH base AS (
+          SELECT doc_id, text, trim(text) AS t, lower(text) AS low,
+                 {_SQL_TOKENS} AS w,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ),
+        gop AS (
+          SELECT doc_id FROM base
+          WHERE len(w) BETWEEN 50 AND 100000
+            AND CAST(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS DOUBLE)
+                / len(w) BETWEEN 3.0 AND 10.0
+            AND CAST(
+                  (length(t) - length(replace(t, '#', '')))
+                  + CAST((length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g'))) / 3 AS INT)
+                  + (length(t) - length(replace(t, '…', '')))
+                AS DOUBLE) / len(w) <= 0.1
+            AND CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS DOUBLE)
+                / len(lines) <= 0.9
+            AND CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*$'))) AS DOUBLE)
+                / len(lines) <= 0.3
+            AND CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                / len(w) >= 0.8
+            AND len(list_intersect(list_transform(w, x -> lower(x)), {_SQL_GOPHER_STOPS})) >= 1
+        ),
+        c4 AS (
+          SELECT doc_id FROM base
+          WHERE NOT contains(low, 'lorem ipsum')
+            AND NOT contains(text, '{{')
+            AND NOT (contains(low, 'terms of use') OR contains(low, 'privacy policy')
+                     OR contains(low, 'cookie policy') OR contains(low, 'uses cookies'))
+        ),
+        kept AS (
+          SELECT b.doc_id, md5({_SQL_NORM}) AS content_hash, len(b.w) AS n_tok
+          FROM base b JOIN gop USING (doc_id) JOIN c4 USING (doc_id)
+        ),
+        surv AS (
+          SELECT min(doc_id) AS doc_id FROM kept GROUP BY content_hash
+        ),
+        final AS (
+          SELECT k.doc_id, k.n_tok,
+                 md5(concat('17:', CAST(k.doc_id AS VARCHAR))) AS h,
+                 CAST(CAST(concat('0x',
+                      substr(md5(concat('17:', CAST(k.doc_id AS VARCHAR))), 1, 8))
+                      AS UBIGINT) % 64 AS BIGINT) AS bucket
+          FROM kept k JOIN surv USING (doc_id)
+        ),
+        ordered AS (
+          SELECT doc_id, n_tok,
+                 (row_number() OVER (ORDER BY bucket, h, doc_id) - 1) % 8 AS shard
+          FROM final
+        )
+        SELECT shard,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_tokens
+        FROM ordered GROUP BY shard
+    """,
+    description="modern corpus-prep pipeline composing the r5 ops: Gopher ∧ C4 "
+    "gates → exact dedup → deterministic global shuffle → per-shard manifest",
+    tags=("llm", "curation", "pipeline"),
+    bench=True,
+)
+def corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of gopher_flags, c4_flags, exact_dedup and shuffle_order
+    exactly as a training-data job would chain them; per-shard counts are
+    the shard manifest a loader consumes."""
+    from counsel_data_pipeline_spark.ops import text_dedup as td
+    from counsel_data_pipeline_spark.ops import text_analysis as ta2
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    g = (
+        cu.gopher_flags(docs)
+        .filter(
+            F.col("n_words").between(cu.GOPHER_MIN_WORDS, cu.GOPHER_MAX_WORDS)
+            & F.col("mean_word_len").between(cu.GOPHER_MIN_MEAN_WL, cu.GOPHER_MAX_MEAN_WL)
+            & (F.col("symbol_ratio") <= cu.GOPHER_MAX_SYMBOL_RATIO)
+            & (F.col("bullet_line_ratio") <= cu.GOPHER_MAX_BULLET_RATIO)
+            & (F.col("ellipsis_line_ratio") <= cu.GOPHER_MAX_ELLIPSIS_RATIO)
+            & (F.col("alpha_word_ratio") >= cu.GOPHER_MIN_ALPHA_RATIO)
+            & (F.col("n_required_stops") >= 1)  # corpus-calibrated (see oracle note)
+        )
+        .select("doc_id")
+    )
+    c = (
+        cu.c4_flags(docs)
+        .filter(  # corpus-calibrated: boilerplate detectors only
+            ~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace") & ~F.col("has_policy_phrase")
+        )
+        .select("doc_id")
+    )
+    kept = docs.join(g, "doc_id").join(c, "doc_id")
+    surv = td.exact_dedup(kept).select(F.col("canonical_id").alias("doc_id"))
+    final = kept.join(surv, "doc_id").persist()
+    ordered = cu.shuffle_order(final)
+    toks = final.select(
+        "doc_id", F.size(ta2.tokens(F.col("text"))).alias("n_tok")
+    )
+    return (
+        ordered.join(toks, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )

@@ -630,3 +630,40 @@ def test_shuffle_order_is_deterministic_permutation(spark):
     # the order is actually shuffled, not id order
     by_pos = [d for d, (p, _, _) in sorted(out1.items(), key=lambda kv: kv[1][0])]
     assert by_pos != sorted(by_pos)
+
+
+def test_c4_flags_rules(spark):
+    from counsel_data_pipeline_spark.ops.curation import c4_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "This is fine. It has sentences! Three of them?"),
+            (2, "no sentences here at all"),
+            (3, "Lorem ipsum dolor sit amet. More text. And more."),
+            (4, "function f() { return 1; }. Yes. Code."),
+            (5, "Read our privacy policy. It is long. Truly."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in c4_flags(df).collect()}
+    assert rows[1]["keep"] is True and rows[1]["n_sentences"] == 3
+    assert rows[2]["keep"] is False and rows[2]["n_sentences"] == 0
+    assert rows[3]["keep"] is False and rows[3]["has_lorem_ipsum"] is True
+    assert rows[4]["keep"] is False and rows[4]["has_curly_brace"] is True
+    assert rows[5]["keep"] is False and rows[5]["has_policy_phrase"] is True
+    assert rows[1]["terminal_line_ratio"] == 1.0
+
+
+def test_corpus_prep_v2_manifest(spark):
+    from counsel_data_pipeline_spark.catalog import all_queries
+
+    rows = all_queries()["llm_corpus_prep_v2"].fn(spark, SF).collect()
+    # non-degenerate: docs survive the gates and spread over all 8 shards
+    assert len(rows) == 8
+    total = sum(r["n_docs"] for r in rows)
+    assert total > 50
+    # round-robin sharding balances doc counts to within one
+    counts = [r["n_docs"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    for r in rows:
+        assert r["total_tokens"] > 0
