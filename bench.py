@@ -84,6 +84,10 @@ def main() -> None:
             continue
         per_query[name] = round(time.time() - t0, 3)
         print(f"# {name}: {per_query[name]}s", file=sys.stderr)
+        # Isolate queries: several plans persist() intermediates; dropping
+        # them between queries keeps every timing a true cold execution
+        # (and keeps executor storage from accumulating across the run).
+        spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
 
     out = {

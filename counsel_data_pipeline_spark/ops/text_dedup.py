@@ -607,14 +607,16 @@ def duplicate_span_coverage(
     spans = base.select(
         "id", F.posexplode(word_shingles(F.col("__t"), k)).alias("pos", "span")
     )
-    dup = (
-        spans.groupBy("span")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+    # Occurrence count as a COUNT-over-window partitioned by span: one
+    # shuffle of the span stream, versus the groupBy+semi-join formulation
+    # which shuffles it twice (once into the count aggregate, once into
+    # the join) and reads the explode subtree from two consumers. No
+    # orderBy → unbounded frame → no sort within the partition.
+    w_span = Window.partitionBy("span")
+    hits = (
+        spans.withColumn("__cnt", F.count(F.lit(1)).over(w_span))
         .filter(F.col("__cnt") >= 2)
-        .select("span")
-    )
-    hits = spans.join(dup, "span").select(
-        "id", F.col("pos").alias("s"), (F.col("pos") + F.lit(k)).alias("e")
+        .select("id", F.col("pos").alias("s"), (F.col("pos") + F.lit(k)).alias("e"))
     )
     w_prev = Window.partitionBy("id").orderBy("s").rowsBetween(
         Window.unboundedPreceding, -1
