@@ -211,3 +211,52 @@ def test_pack_sequences_matches_python_reference(spark, docs_spec):
     for sh, want in ref.items():
         for k, v in want.items():
             assert got[sh][k] == v, (sh, k, v, got[sh][k])
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span coverage vs a brute-force Python reference
+# ---------------------------------------------------------------------------
+
+
+def py_span_coverage(texts: dict[int, str], k: int) -> dict[int, tuple[int, int]]:
+    """Brute force: per doc, (n_tokens, positions covered by a k-gram span
+    occurring >=2 times corpus-wide). Mirrors norm_text/tokens: lowercase,
+    whitespace-collapsed, whitespace split."""
+    toks = {i: " ".join(t.split()).lower().split(" ") for i, t in texts.items()}
+    from collections import Counter
+
+    spans = Counter()
+    for t in toks.values():
+        for i in range(len(t) - k + 1):
+            spans[" ".join(t[i : i + k])] += 1
+    out = {}
+    for d, t in toks.items():
+        covered = set()
+        for i in range(len(t) - k + 1):
+            if spans[" ".join(t[i : i + k])] >= 2:
+                covered.update(range(i, i + k))
+        out[d] = (len(t), len(covered))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee".split()), min_size=1, max_size=20)
+        .map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_duplicate_span_coverage_matches_bruteforce(spark, docs, k):
+    from counsel_data_pipeline_spark.ops.text_dedup import duplicate_span_coverage
+
+    data = {i: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(list(data.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in duplicate_span_coverage(df, k=k).collect()
+    }
+    assert got == py_span_coverage(data, k)
