@@ -566,15 +566,43 @@ def incremental_dedup(
     bands: int = 4,
     est_threshold: float = 0.5,
 ) -> DataFrame:
-    """Cross-batch dedup verdicts over a single tagged corpus: builds the
-    store from the ``~is_new`` side and delegates to
-    :func:`incremental_dedup_against_store`. Convenience shape for the
+    """Cross-batch dedup verdicts over a single tagged corpus: builds ONE
+    store over the whole corpus with the ``is_new`` tag carried through the
+    shingle aggregation, splits it by tag, and delegates to
+    :func:`incremental_dedup_against_store`. A single text scan + shingle
+    explode + aggregation serves both sides (building the two stores
+    separately re-shingled the corpus twice). Convenience shape for the
     driver tables (where parquet is the only storage); production keeps
     the store persisted and calls the store variant directly."""
+    tagged = _spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.md5(F.encode(norm_text(F.col(text_col)), "UTF-8")).alias("content_h"),
+        is_new.alias("__new"),
+        F.explode(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
+    )
+    w1, w2 = md5_words(F.col("shingle"))
+    tagged = tagged.select("id", "content_h", "__new", w1.alias("__w1"), w2.alias("__w2"))
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("__w1") + F.lit(b) * F.col("__w2") + F.lit(c))
+            % F.lit(1 << 32)
+        ).alias(f"h{i}")
+        for i, (a, b, c) in enumerate(mh_coeffs(n_hashes))
+    ]
+    store_all = (
+        tagged.groupBy("id")
+        .agg(F.first("content_h").alias("content_h"), F.first("__new").alias("__new"), *aggs)
+        .select(
+            "id", "content_h", "__new",
+            F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"),
+        )
+        .persist()
+    )
     return incremental_dedup_against_store(
         docs.filter(is_new),
-        build_dedup_store(docs.filter(~is_new), id_col, text_col, n, n_hashes),
+        store_all.filter(~F.col("__new")).drop("__new"),
         id_col, text_col, n, n_hashes, bands, est_threshold,
+        new_store=store_all.filter(F.col("__new")).drop("__new"),
     )
 
 
