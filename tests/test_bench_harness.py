@@ -1,0 +1,40 @@
+"""bench.py must survive individual query failures: round 4's bench
+produced NOTHING because one plan threw at build time. A broken query
+must cost one error entry, never the run."""
+
+import io
+import json
+from contextlib import redirect_stdout
+
+from counsel_data_pipeline_spark.catalog import Query
+
+
+def test_bench_records_error_and_keeps_going(spark, monkeypatch):
+    import bench
+
+    def good(sp, sf_dir):
+        return sp.range(5).selectExpr("id", "id * 2 AS v")
+
+    def broken(sp, sf_dir):
+        raise RuntimeError("forced failure for the harness test")
+
+    fake = {
+        "a_good_query": Query("a_good_query", good, None, "", (), True),
+        "b_broken_query": Query("b_broken_query", broken, None, "", (), True),
+        "c_good_query": Query("c_good_query", good, None, "", (), True),
+    }
+    monkeypatch.setattr(bench, "all_queries", lambda: dict(fake))
+    monkeypatch.setattr(bench, "get_spark", lambda name: spark)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        bench.main()
+
+    lines = [l for l in out.getvalue().strip().splitlines() if l.strip()]
+    assert len(lines) == 1, "bench must print exactly one JSON line on stdout"
+    d = json.loads(lines[0])
+    assert set(d["queries"]) == {"a_good_query", "c_good_query"}
+    assert all(v >= 0 for v in d["queries"].values())
+    assert "b_broken_query" in d["errors"]
+    assert "forced failure" in d["errors"]["b_broken_query"]
