@@ -632,19 +632,24 @@ def duplicate_span_coverage(
     base = _spread(docs).select(
         F.col(id_col).alias("id"), norm_text(F.col(text_col)).alias("__t")
     )
+    # Persisted: the span stream feeds the count aggregate AND the
+    # candidate join. (A COUNT-over-window partitioned by span would need
+    # only one shuffle, but WindowExec sorts and BUFFERS each partition —
+    # a ubiquitous boilerplate span becomes a task-OOM at scale. The
+    # groupBy aggregates with map-side partials and the join fans out
+    # row-by-row; AQE skew-join splits any straggler. Skew-robustness
+    # wins over the saved shuffle.)
     spans = base.select(
         "id", F.posexplode(word_shingles(F.col("__t"), k)).alias("pos", "span")
-    )
-    # Occurrence count as a COUNT-over-window partitioned by span: one
-    # shuffle of the span stream, versus the groupBy+semi-join formulation
-    # which shuffles it twice (once into the count aggregate, once into
-    # the join) and reads the explode subtree from two consumers. No
-    # orderBy → unbounded frame → no sort within the partition.
-    w_span = Window.partitionBy("span")
-    hits = (
-        spans.withColumn("__cnt", F.count(F.lit(1)).over(w_span))
+    ).persist()
+    dup = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
         .filter(F.col("__cnt") >= 2)
-        .select("id", F.col("pos").alias("s"), (F.col("pos") + F.lit(k)).alias("e"))
+        .select("span")
+    )
+    hits = spans.join(dup, "span").select(
+        "id", F.col("pos").alias("s"), (F.col("pos") + F.lit(k)).alias("e")
     )
     w_prev = Window.partitionBy("id").orderBy("s").rowsBetween(
         Window.unboundedPreceding, -1
