@@ -111,3 +111,48 @@ def dedup_clusters(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
         F.col("comp").alias("cluster_id"),
         "cluster_size",
     )
+
+
+def keep_list_frame(docs, threshold: float = 0.5, n: int = 3):
+    """Per-doc keep/drop verdict with canonical pointer and reason — the
+    applied artifact of the near-dup cluster family (behind the
+    ``dedup_keep_list`` catalog query; shared so tests exercise the
+    registered composition).
+
+    Compose jaccard pairs → connected clusters → min-id canonical →
+    reason classification (exact = same content md5 as the canonical;
+    identical texts have jaccard 1, so the near closure subsumes exact).
+    Scale shape: the cluster query's plan plus two narrow id-joins; the
+    per-doc md5 join moves hashes, never text.
+    """
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.ops import text_dedup as td
+    from counsel_data_pipeline_spark.ops.text_analysis import content_md5
+
+    pairs = td.jaccard_pairs(
+        docs, n=n, threshold=threshold, max_shingle_df=None
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    h = docs.select("doc_id", content_md5(F.col("text")).alias("__h"))
+    assigned = (
+        h.join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        .persist()
+    )
+    canon = assigned.select(F.col("doc_id").alias("__cid"), F.col("__h").alias("__hc"))
+    keep = F.col("doc_id") == F.col("cluster_id")
+    return (
+        assigned.join(canon, F.col("cluster_id") == F.col("__cid"))
+        .select(
+            "doc_id",
+            F.when(keep, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+            F.when(keep, F.lit(-1).cast("bigint"))
+            .otherwise(F.col("cluster_id"))
+            .alias("dup_of"),
+            F.when(keep, F.lit("canonical"))
+            .when(F.col("__h") == F.col("__hc"), F.lit("exact"))
+            .otherwise(F.lit("near"))
+            .alias("reason"),
+        )
+    )

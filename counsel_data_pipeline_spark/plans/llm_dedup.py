@@ -656,3 +656,73 @@ def _duplicate_spans_oracle(k: int = 8) -> str:
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return td.duplicate_span_coverage(docs, k=8)
+
+
+@register(
+    "dedup_keep_list",
+    oracle=f"""
+        -- the actionable dedup artifact: per-doc keep/drop verdict with
+        -- canonical pointer and reason. Near closure subsumes exact
+        -- (identical texts have jaccard 1); docs outside every pair are
+        -- their own singleton cluster.
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS t FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs
+        ),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        comp AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        ),
+        hashes AS (
+          SELECT doc_id, md5({_SQL_NORM}) AS h FROM documents
+        ),
+        assigned AS (
+          SELECT hh.doc_id, hh.h, COALESCE(c.cluster_id, hh.doc_id) AS cluster_id
+          FROM hashes hh LEFT JOIN comp c USING (doc_id)
+        )
+        SELECT a.doc_id,
+               CASE WHEN a.doc_id = a.cluster_id THEN 'keep' ELSE 'drop' END AS verdict,
+               CASE WHEN a.doc_id = a.cluster_id THEN CAST(-1 AS BIGINT)
+                    ELSE a.cluster_id END AS dup_of,
+               CASE WHEN a.doc_id = a.cluster_id THEN 'canonical'
+                    WHEN a.h = b.h THEN 'exact' ELSE 'near' END AS reason
+        FROM assigned a JOIN assigned b ON b.doc_id = a.cluster_id
+    """,
+    description="per-doc keep/drop list with canonical pointer and exact/near "
+    "reason — the applied output of the near-dup cluster family",
+    tags=("llm", "dedup"),
+)
+def keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Body shared with tests via ops/clusters.keep_list_frame."""
+    from counsel_data_pipeline_spark.ops.clusters import keep_list_frame
+
+    return keep_list_frame(load_table(spark, sf_dir, "documents"))

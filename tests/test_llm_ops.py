@@ -667,3 +667,19 @@ def test_corpus_prep_v2_manifest(spark):
     assert max(counts) - min(counts) <= 1
     for r in rows:
         assert r["total_tokens"] > 0
+
+
+def test_keep_list_verdicts(spark):
+    from counsel_data_pipeline_spark.ops.clusters import keep_list_frame
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " extra"          # high jaccard with base
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in keep_list_frame(df).collect()}
+    assert rows[1]["verdict"] == "keep" and rows[1]["reason"] == "canonical"
+    assert rows[2]["verdict"] == "drop" and rows[2]["reason"] == "exact" and rows[2]["dup_of"] == 1
+    assert rows[3]["verdict"] == "drop" and rows[3]["reason"] == "near" and rows[3]["dup_of"] == 1
+    assert rows[4]["verdict"] == "keep" and rows[4]["dup_of"] == -1
