@@ -22,6 +22,9 @@ import pyarrow.parquet as pq
 import pytest
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+# The driver regenerates every scale factor together; pin them all so a
+# partial regeneration (or a per-sf encoding difference) is caught too.
+ALL_SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
 # Known-good physical variants per time-carrying column. The engine's load
 # boundary normalizes every variant in this set; anything OUTSIDE the set
@@ -103,9 +106,10 @@ EXPECTED: dict[str, dict[str, str]] = {
 }
 
 
+@pytest.mark.parametrize("sf_dir", ALL_SF_DIRS)
 @pytest.mark.parametrize("table", sorted(EXPECTED))
-def test_testdata_physical_schema(table: str) -> None:
-    path = os.path.join(SF_DIR, f"{table}.parquet")
+def test_testdata_physical_schema(table: str, sf_dir: str) -> None:
+    path = os.path.join(sf_dir, f"{table}.parquet")
     if not os.path.exists(path):
         pytest.skip(f"testdata missing: {path}")
     actual = {f.name: str(f.type) for f in pq.read_schema(path)}
