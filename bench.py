@@ -82,12 +82,16 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
-        per_query[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {per_query[name]}s", file=sys.stderr)
-        # Isolate queries: several plans persist() intermediates; dropping
-        # them between queries keeps every timing a true cold execution
-        # (and keeps executor storage from accumulating across the run).
-        spark.catalog.clearCache()
+        else:
+            per_query[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {per_query[name]}s", file=sys.stderr)
+        finally:
+            # Isolate queries: several plans persist() intermediates;
+            # dropping them between queries keeps every timing a true cold
+            # execution (and keeps executor storage from accumulating).
+            # In finally so a FAILED query's partially materialized caches
+            # can't feed the next query's timing either.
+            spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
 
     out = {

@@ -119,22 +119,35 @@ def keep_list_frame(docs, threshold: float = 0.5, n: int = 3):
     ``dedup_keep_list`` catalog query; shared so tests exercise the
     registered composition).
 
-    Compose jaccard pairs → connected clusters → min-id canonical →
-    reason classification (exact = same content md5 as the canonical;
-    identical texts have jaccard 1, so the near closure subsumes exact).
-    Scale shape: the cluster query's plan plus two narrow id-joins; the
-    per-doc md5 join moves hashes, never text.
+    Compose (jaccard pairs ∪ exact-hash pairs) → connected clusters →
+    min-id canonical → reason classification (exact = same content md5 as
+    the canonical). The explicit exact edges matter for documents SHORTER
+    than ``n`` tokens: they produce no shingles, hence no jaccard pair, so
+    without them two identical short texts would each stay a keep/canonical
+    singleton — the near closure subsumes exact only for shingle-bearing
+    docs. Scale shape: the cluster query's plan plus one extra hash-groupBy
+    and two narrow id-joins; every added join moves hashes, never text.
     """
     from pyspark.sql import functions as F
 
     from counsel_data_pipeline_spark.ops import text_dedup as td
     from counsel_data_pipeline_spark.ops.text_analysis import content_md5
 
-    pairs = td.jaccard_pairs(
+    h = docs.select("doc_id", content_md5(F.col("text")).alias("__h"))
+    near_pairs = td.jaccard_pairs(
         docs, n=n, threshold=threshold, max_shingle_df=None
     ).select("id_a", "id_b")
+    # Star edges (group-min ↔ member) connect every member of an exact
+    # group, including groups of 3+ (a single min-max edge would miss the
+    # middle members).
+    exact_mins = h.groupBy("__h").agg(F.min("doc_id").alias("id_a"))
+    exact_pairs = (
+        h.join(exact_mins, "__h")
+        .filter(F.col("doc_id") != F.col("id_a"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
+    )
+    pairs = near_pairs.unionByName(exact_pairs)
     clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
-    h = docs.select("doc_id", content_md5(F.col("text")).alias("__h"))
     assigned = (
         h.join(clusters, "doc_id", "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))

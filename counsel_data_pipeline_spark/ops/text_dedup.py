@@ -458,6 +458,7 @@ def incremental_dedup_against_store(
     bands: int = 4,
     est_threshold: float = 0.5,
     new_store: DataFrame | None = None,
+    persist_stores: bool = True,
 ) -> DataFrame:
     """Judge every document of ``new_docs`` against a persisted dedup
     ``store`` (see :func:`build_dedup_store`) and against lower-id docs of
@@ -484,8 +485,15 @@ def incremental_dedup_against_store(
     # persisted artifact in the production design (streaming/incremental.py
     # keeps it on disk between batches) — a few dozen bytes per doc, orders
     # of magnitude smaller than the text it summarizes.
-    store = store.persist()
-    new_store = new_store.persist()
+    #
+    # persist_stores=False is for callers that already manage caching of
+    # these frames (incremental_dedup hands in two filters of ONE persisted
+    # frame; the streaming runner persists per batch and unpersists after
+    # writing) — an unconditional persist here would either double-cache or
+    # leak one store snapshot per micro-batch for the session's lifetime.
+    if persist_stores:
+        store = store.persist()
+        new_store = new_store.persist()
     new_h = new_store.select(
         F.col("id").alias("doc_id"), F.col("content_h").alias("__h")
     )
@@ -603,6 +611,7 @@ def incremental_dedup(
         store_all.filter(~F.col("__new")).drop("__new"),
         id_col, text_col, n, n_hashes, bands, est_threshold,
         new_store=store_all.filter(F.col("__new")).drop("__new"),
+        persist_stores=False,  # both sides are filters of the cached store_all
     )
 
 

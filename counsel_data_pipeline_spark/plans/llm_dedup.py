@@ -662,9 +662,10 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_list",
     oracle=f"""
         -- the actionable dedup artifact: per-doc keep/drop verdict with
-        -- canonical pointer and reason. Near closure subsumes exact
-        -- (identical texts have jaccard 1); docs outside every pair are
-        -- their own singleton cluster.
+        -- canonical pointer and reason. Edges = jaccard pairs ∪ exact-hash
+        -- star edges (the explicit exact edges cover docs shorter than the
+        -- shingle width, which produce no jaccard pair); docs outside
+        -- every pair are their own singleton cluster.
         WITH RECURSIVE toks AS (
           SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS t FROM documents
         ),
@@ -681,12 +682,26 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE a.doc_id < b.doc_id
           GROUP BY 1, 2
         ),
-        pairs AS (
+        near_pairs AS (
           SELECT id_a, id_b
           FROM inter
           JOIN sizes sa ON sa.doc_id = id_a
           JOIN sizes sb ON sb.doc_id = id_b
           WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        ),
+        hashes AS (
+          SELECT doc_id, md5({_SQL_NORM}) AS h FROM documents
+        ),
+        exact_pairs AS (
+          SELECT m.id_a, hh.doc_id AS id_b
+          FROM hashes hh
+          JOIN (SELECT h, min(doc_id) AS id_a FROM hashes GROUP BY h) m
+            ON m.h = hh.h
+          WHERE hh.doc_id <> m.id_a
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM near_pairs
+          UNION SELECT id_a, id_b FROM exact_pairs
         ),
         edges AS (
           SELECT id_a AS src, id_b AS dst FROM pairs
@@ -701,9 +716,6 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         comp AS (
           SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
-        ),
-        hashes AS (
-          SELECT doc_id, md5({_SQL_NORM}) AS h FROM documents
         ),
         assigned AS (
           SELECT hh.doc_id, hh.h, COALESCE(c.cluster_id, hh.doc_id) AS cluster_id

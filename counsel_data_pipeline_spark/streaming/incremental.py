@@ -51,14 +51,20 @@ def run_incremental_dedup_stream(
             store = batch_df.sparkSession.read.parquet(store_dir)
         except Exception:  # first batch: no store yet
             store = new_store.limit(0)
+        # This handler owns the cache lifecycle (persist_stores=False in
+        # the dedup call): an unconditional persist inside the operator
+        # would pin one snapshot of the ever-growing store per micro-batch
+        # for the session's lifetime.
+        store = store.persist()
         verdicts = incremental_dedup_against_store(
             batch, store, id_col=id_col, text_col=text_col,
-            new_store=new_store, **dedup_kwargs,
+            new_store=new_store, persist_stores=False, **dedup_kwargs,
         )
         verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(verdict_dir)
         new_store.write.mode("append").parquet(store_dir)
+        store.unpersist()
         new_store.unpersist()
 
     stream = (

@@ -675,7 +675,10 @@ def test_keep_list_verdicts(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     near = base + " extra"          # high jaccard with base
     df = spark.createDataFrame(
-        [(1, base), (2, base), (3, near), (4, "totally different words entirely here now")],
+        [(1, base), (2, base), (3, near), (4, "totally different words entirely here now"),
+         # identical SHORT texts (< n tokens -> no shingles): exact edges
+         # must still connect them (regression for the shingle-less gap)
+         (5, "hi there"), (6, "hi there"), (7, "hi there")],
         "doc_id long, text string",
     )
     rows = {r["doc_id"]: r for r in keep_list_frame(df).collect()}
@@ -683,3 +686,7 @@ def test_keep_list_verdicts(spark):
     assert rows[2]["verdict"] == "drop" and rows[2]["reason"] == "exact" and rows[2]["dup_of"] == 1
     assert rows[3]["verdict"] == "drop" and rows[3]["reason"] == "near" and rows[3]["dup_of"] == 1
     assert rows[4]["verdict"] == "keep" and rows[4]["dup_of"] == -1
+    assert rows[5]["verdict"] == "keep" and rows[5]["reason"] == "canonical"
+    for d in (6, 7):  # 3-member exact group: star edges reach the middle member
+        assert rows[d]["verdict"] == "drop" and rows[d]["reason"] == "exact"
+        assert rows[d]["dup_of"] == 5
