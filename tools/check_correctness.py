@@ -51,6 +51,16 @@ def table_hash(cols, rows):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--driver-tz",
+        default=None,
+        metavar="ZONE",
+        help="simulate the external driver: set the session timezone to ZONE "
+        "(e.g. America/New_York) and route every query through the "
+        "__spark_entry__ wrappers, which must force UTC at runtime — a "
+        "green sweep here proves results don't depend on the driver's "
+        "session defaults",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -58,6 +68,13 @@ def main():
     names = args.names or list(queries)
 
     spark = get_spark("correctness-check")
+    if args.driver_tz:
+        import __spark_entry__ as _entry
+
+        spark.conf.set("spark.sql.session.timeZone", args.driver_tz)
+        wrapped = _entry.queries()
+        for _n, _q in queries.items():
+            _q.fn = wrapped[_n]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
