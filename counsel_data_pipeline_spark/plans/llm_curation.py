@@ -602,7 +602,10 @@ def corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from counsel_data_pipeline_spark.ops import text_analysis as ta2
     from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
 
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    # Project to the two consumed columns BEFORE the gates so the parquet
+    # ReadSchema stays (doc_id, text) — the other document attributes
+    # would otherwise ride through every join of the pipeline.
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     g = (
         cu.gopher_flags(docs)
         .filter(
