@@ -628,6 +628,11 @@ def corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = docs.join(g, "doc_id").join(c, "doc_id")
     surv = td.exact_dedup(kept).select(F.col("canonical_id").alias("doc_id"))
+    # Persisted for the three consumers below (shuffle_order's bucket-count
+    # collect, its ranking pass, and the token-count join); released by LRU
+    # eviction / bench clearCache — the same per-invocation cache lifecycle
+    # as the dedup-family persists (a lazily returned DataFrame has no
+    # sound unpersist point inside the builder).
     final = kept.join(surv, "doc_id").persist()
     ordered = cu.shuffle_order(final)
     toks = final.select(

@@ -68,13 +68,12 @@ def main():
     names = args.names or list(queries)
 
     spark = get_spark("correctness-check")
+    fns = {n: q.fn for n, q in queries.items()}
     if args.driver_tz:
         import __spark_entry__ as _entry
 
-        spark.conf.set("spark.sql.session.timeZone", args.driver_tz)
-        wrapped = _entry.queries()
-        for _n, _q in queries.items():
-            _q.fn = wrapped[_n]
+        # Local fn map, NOT mutation of the shared catalog Query objects.
+        fns = _entry.queries()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -85,8 +84,14 @@ def main():
     for name in names:
         q = queries[name]
         t0 = time.time()
+        if args.driver_tz:
+            # Re-pollute before EVERY query: the wrapper's tune_for_session
+            # resets UTC session-wide on first use, which would otherwise
+            # leave queries 2..N running under plain UTC and prove nothing
+            # about their own wrappers.
+            spark.conf.set("spark.sql.session.timeZone", args.driver_tz)
         try:
-            sdf = q.fn(spark, args.sf)
+            sdf = fns[name](spark, args.sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
