@@ -121,3 +121,42 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+_DOC_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def _doc_col_sql(c: str) -> str:
+    return (
+        f"SELECT '{c}' AS col_name, n AS n_rows, null_{c} AS n_null, "
+        f"round(CAST(null_{c} AS DOUBLE) / n, 6) AS null_frac, "
+        f"dist_{c} AS n_distinct, min_{c} AS min_s, max_{c} AS max_s FROM a"
+    )
+
+
+@register(
+    "quality_profile_documents",
+    oracle=f"""
+        WITH a AS (
+          SELECT count(*) AS n,
+                 {", ".join(
+                     f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_{c}, "
+                     f"count(DISTINCT {c}) AS dist_{c}, "
+                     f"CAST(min({c}) AS VARCHAR) AS min_{c}, "
+                     f"CAST(max({c}) AS VARCHAR) AS max_{c}"
+                     for c in _DOC_COLS
+                 )}
+          FROM documents
+        )
+        {" UNION ALL ".join(_doc_col_sql(c) for c in _DOC_COLS)}
+    """,
+    description="column profile of the documents table (id/lang/source/n_chars: "
+    "null rate, distincts, extremes) — the text-corpus twin of the lineitem profile",
+    tags=("quality", "profiling", "llm"),
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same single-pass exact profile as lineitem's (ops/profile.py); the
+    free-text column is excluded from the oracle-checked set (its min/max
+    strings are corpus-sized and engine renderings of long strings are not
+    worth pinning)."""
+    return profile(load_table(spark, sf_dir, "documents"), _DOC_COLS, exact=True)
