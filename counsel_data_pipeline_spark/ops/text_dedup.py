@@ -523,6 +523,13 @@ def incremental_dedup_against_store(
     b = banded_new.select(
         F.col("id").alias("doc_id"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
+    # No .distinct() on candidates: a pair agreeing on several bands
+    # appears several times, but every occurrence carries the same
+    # signatures (hence the same est), and the per-doc min() aggregation
+    # below is duplicate-insensitive — deduping here would cost a full
+    # extra shuffle of the candidate stream for zero semantic effect.
+    # (Contrast minhash_lsh_pairs, whose OUTPUT is the pair list itself,
+    # where distinct() is the semantics.)
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(
@@ -530,7 +537,6 @@ def incremental_dedup_against_store(
             | (F.col("new_a") & (F.col("id_a") < F.col("doc_id")))
         )
         .select("doc_id", "id_a", "new_a", "sig_a", "sig_b")
-        .distinct()
     )
     est = F.size(
         F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y), lambda e: e)
