@@ -28,6 +28,17 @@ def main() -> None:
     except ValueError:
         sf_num = None
 
+    # Schema-drift canary FIRST (footer reads only, no Spark): round 4's
+    # testdata regeneration crashed the bench mid-run with an opaque
+    # AnalysisException; this turns the next drift into a pointed message
+    # before a single query runs. Diagnostics go to stderr; the bench
+    # still proceeds — per-query try/except records which queries the
+    # drift actually breaks.
+    from counsel_data_pipeline_spark.io.schema_canary import check_dir
+
+    for problem in check_dir(sf_dir):
+        print(f"# TESTDATA DRIFT: {problem}", file=sys.stderr)
+
     spark = get_spark("bench")
     # Fixed alphabetical order: catalog order rotates per round (driver
     # verification window), which would otherwise reshuffle which query
