@@ -92,6 +92,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "curation_shuffle_order",
     "curation_c4_filters",
     "llm_corpus_prep_v2",
+    "dedup_keep_list",
+    "quality_profile_documents",
     # -- events-reading queries whose green rows predate the regeneration --
     "window_event_value_delta",
     "window_fill_forward_last_purchase",
@@ -123,14 +125,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_top_ngrams_per_lang",
     "tpch_copurchase_part_pairs",
     "tpch_q10_returned_customers",
-    "tpch_q14_promo_revenue",
     "tpch_q18_large_volume",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "tpch_quantity_discount_correlation",
     "tpch_top_customer_per_nation",
     "window_balance_quartiles_distributed",
     "window_customer_balance_quartiles",

@@ -133,7 +133,11 @@ def keep_list_frame(docs, threshold: float = 0.5, n: int = 3):
     from counsel_data_pipeline_spark.ops import text_dedup as td
     from counsel_data_pipeline_spark.ops.text_analysis import content_md5
 
-    h = docs.select("doc_id", content_md5(F.col("text")).alias("__h"))
+    # Persisted: three consumers (exact-mins aggregation, exact-pairs
+    # probe, the cluster assignment spine) would otherwise re-scan and
+    # re-hash every document's text — same rationale as the dedup-family
+    # signature persists.
+    h = docs.select("doc_id", content_md5(F.col("text")).alias("__h")).persist()
     near_pairs = td.jaccard_pairs(
         docs, n=n, threshold=threshold, max_shingle_df=None
     ).select("id_a", "id_b")

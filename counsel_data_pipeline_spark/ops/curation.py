@@ -311,8 +311,10 @@ def gopher_flags(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     n_bullet = F.size(
         F.filter(lines, lambda l: l.rlike("^[ \t]*[-*•]"))
     )
+    # \r? : Java's bare $ matches before a trailing \r, RE2's does not —
+    # the explicit \r? makes Spark and the DuckDB oracle agree on CRLF text.
     n_ell_end = F.size(
-        F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)[ \t]*$"))
+        F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)[ \t]*\r?$"))
     )
     bullet_ratio = n_bullet.cast("double") / n_lines
     ellipsis_ratio = n_ell_end.cast("double") / n_lines
@@ -435,8 +437,9 @@ def c4_flags(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     low = F.lower(t)
     lines = F.split(t, "\n")
     n_lines = F.size(lines)
+    # \r? for CRLF parity with the oracle — see gopher_flags.
     n_terminal = F.size(
-        F.filter(lines, lambda l: l.rlike('[.!?"][ \t]*$'))
+        F.filter(lines, lambda l: l.rlike('[.!?"][ \t]*\r?$'))
     )
     n_sentences = F.length(t) - F.length(F.regexp_replace(t, "[.!?]", ""))
     has_lorem = low.contains("lorem ipsum")

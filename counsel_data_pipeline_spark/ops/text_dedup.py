@@ -157,29 +157,37 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
 
-def minhash_signatures(
+def _signature_rows(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    n_hashes: int = 16,
+    id_col: str,
+    text_col: str,
+    n: int,
+    n_hashes: int,
+    carry: dict[str, Column] | None = None,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — sig[i] = min over shingles of the i-th
-    md5-affine hash (see module header; one md5 per shingle feeds all H
-    hashes, and the family is reproducible in the DuckDB oracle). One
-    explode + one groupBy computing all H mins map-side (partial
-    aggregation), i.e. a single shuffle of H longs per doc.
+    """(id[, *carry], sig) — the ONE implementation of the md5-affine
+    MinHash aggregation (minhash_signatures / build_dedup_store /
+    incremental_dedup all route here; a change to the hash family applied
+    to one copy but not another would silently desync fresh signatures
+    from signatures persisted in the on-disk streaming store).
 
-    No distinct() on the shingle stream: duplicate shingles cannot change a
-    min, and skipping the dedup drops an entire extra shuffle of the raw
-    (id, shingle) pairs — at 100 TB that shuffle IS the cost."""
+    ``carry`` maps output column name → per-doc expression evaluated on
+    the input row; each rides through the shingle aggregation as first().
+    One explode + one groupBy computing all H mins map-side (partial
+    aggregation) — a single shuffle of H longs (+ carry) per doc.
+
+    No distinct() on the shingle stream: duplicate shingles cannot change
+    a min, and skipping the dedup drops an entire extra shuffle of the
+    raw (id, shingle) pairs — at 100 TB that shuffle IS the cost."""
+    carry = carry or {}
     sh = _spread(df).select(
         F.col(id_col).alias("id"),
+        *[expr.alias(name) for name, expr in carry.items()],
         F.explode(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
     )
     w1, w2 = md5_words(F.col("shingle"))
-    sh = sh.select("id", w1.alias("__w1"), w2.alias("__w2"))
-    aggs = [
+    sh = sh.select("id", *carry.keys(), w1.alias("__w1"), w2.alias("__w2"))
+    aggs = [F.first(name).alias(name) for name in carry] + [
         F.min(
             (F.lit(a) * F.col("__w1") + F.lit(b) * F.col("__w2") + F.lit(c))
             % F.lit(1 << 32)
@@ -188,8 +196,22 @@ def minhash_signatures(
     ]
     sigs = sh.groupBy("id").agg(*aggs)
     return sigs.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+        "id",
+        *carry.keys(),
+        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"),
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — sig[i] = min over shingles of the i-th
+    md5-affine hash (see module header and :func:`_signature_rows`)."""
+    return _signature_rows(df, id_col, text_col, n, n_hashes)
 
 
 def banded_signatures(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
@@ -422,29 +444,14 @@ def build_dedup_store(
     between batches so the existing side is never re-read as text; one
     scan of the new batch produces its store rows, and dedup runs
     store-against-store."""
-    sh = _spread(docs).select(
-        F.col(id_col).alias("id"),
-        F.md5(F.encode(norm_text(F.col(text_col)), "UTF-8")).alias("content_h"),
-        F.explode(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
-    )
     # Single pass: the per-doc md5 rides through the shingle aggregation as
     # first() instead of a second scan + an (id ⋈ id) join — one shuffle
     # total, and the shuffle payload per doc is just md5 + H longs. A doc
     # whose text yields no shingles has no rows after explode and drops
-    # from the store (same as the previous inner md5⋈sig join).
-    w1, w2 = md5_words(F.col("shingle"))
-    sh = sh.select("id", "content_h", w1.alias("__w1"), w2.alias("__w2"))
-    aggs = [
-        F.min(
-            (F.lit(a) * F.col("__w1") + F.lit(b) * F.col("__w2") + F.lit(c))
-            % F.lit(1 << 32)
-        ).alias(f"h{i}")
-        for i, (a, b, c) in enumerate(mh_coeffs(n_hashes))
-    ]
-    sigs = sh.groupBy("id").agg(F.first("content_h").alias("content_h"), *aggs)
-    return sigs.select(
-        "id", "content_h",
-        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"),
+    # from the store (same as the r1-era inner md5⋈sig join).
+    return _signature_rows(
+        docs, id_col, text_col, n, n_hashes,
+        carry={"content_h": F.md5(F.encode(norm_text(F.col(text_col)), "UTF-8"))},
     )
 
 
@@ -588,30 +595,13 @@ def incremental_dedup(
     separately re-shingled the corpus twice). Convenience shape for the
     driver tables (where parquet is the only storage); production keeps
     the store persisted and calls the store variant directly."""
-    tagged = _spread(docs).select(
-        F.col(id_col).alias("id"),
-        F.md5(F.encode(norm_text(F.col(text_col)), "UTF-8")).alias("content_h"),
-        is_new.alias("__new"),
-        F.explode(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
-    )
-    w1, w2 = md5_words(F.col("shingle"))
-    tagged = tagged.select("id", "content_h", "__new", w1.alias("__w1"), w2.alias("__w2"))
-    aggs = [
-        F.min(
-            (F.lit(a) * F.col("__w1") + F.lit(b) * F.col("__w2") + F.lit(c))
-            % F.lit(1 << 32)
-        ).alias(f"h{i}")
-        for i, (a, b, c) in enumerate(mh_coeffs(n_hashes))
-    ]
-    store_all = (
-        tagged.groupBy("id")
-        .agg(F.first("content_h").alias("content_h"), F.first("__new").alias("__new"), *aggs)
-        .select(
-            "id", "content_h", "__new",
-            F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"),
-        )
-        .persist()
-    )
+    store_all = _signature_rows(
+        docs, id_col, text_col, n, n_hashes,
+        carry={
+            "content_h": F.md5(F.encode(norm_text(F.col(text_col)), "UTF-8")),
+            "__new": is_new,
+        },
+    ).persist()
     return incremental_dedup_against_store(
         docs.filter(is_new),
         store_all.filter(~F.col("__new")).drop("__new"),

@@ -422,7 +422,7 @@ _SQL_GOPHER_STOPS = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
                  AS DOUBLE) / len(w) AS symbol_ratio,
                  CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS DOUBLE)
                    / len(lines) AS bullet_line_ratio,
-                 CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*$'))) AS DOUBLE)
+                 CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*\r?$'))) AS DOUBLE)
                    / len(lines) AS ellipsis_line_ratio,
                  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
                    / len(w) AS alpha_word_ratio,
@@ -493,9 +493,9 @@ def curation_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id,
                len(lines) AS n_lines,
-               len(list_filter(lines, l -> regexp_matches(l, '[.!?"][ \t]*$')))
+               len(list_filter(lines, l -> regexp_matches(l, '[.!?"][ \t]*\r?$')))
                  AS n_terminal_lines,
-               CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?"][ \t]*$')))
+               CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?"][ \t]*\r?$')))
                  AS DOUBLE) / len(lines) AS terminal_line_ratio,
                length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))
                  AS n_sentences,
@@ -550,7 +550,7 @@ def c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) / len(w) <= 0.1
             AND CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS DOUBLE)
                 / len(lines) <= 0.9
-            AND CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*$'))) AS DOUBLE)
+            AND CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*\r?$'))) AS DOUBLE)
                 / len(lines) <= 0.3
             AND CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
                 / len(w) >= 0.8

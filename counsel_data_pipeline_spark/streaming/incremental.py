@@ -56,16 +56,20 @@ def run_incremental_dedup_stream(
         # would pin one snapshot of the ever-growing store per micro-batch
         # for the session's lifetime.
         store = store.persist()
-        verdicts = incremental_dedup_against_store(
-            batch, store, id_col=id_col, text_col=text_col,
-            new_store=new_store, persist_stores=False, **dedup_kwargs,
-        )
-        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(verdict_dir)
-        new_store.write.mode("append").parquet(store_dir)
-        store.unpersist()
-        new_store.unpersist()
+        try:
+            verdicts = incremental_dedup_against_store(
+                batch, store, id_col=id_col, text_col=text_col,
+                new_store=new_store, persist_stores=False, **dedup_kwargs,
+            )
+            verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(verdict_dir)
+            new_store.write.mode("append").parquet(store_dir)
+        finally:
+            # A failed write must not leave the snapshot pinned — that is
+            # the per-micro-batch leak this handler exists to prevent.
+            store.unpersist()
+            new_store.unpersist()
 
     stream = (
         spark.readStream.schema(schema)

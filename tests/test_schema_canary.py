@@ -31,28 +31,14 @@ ALL_SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdat
 @pytest.mark.parametrize("sf_dir", ALL_SF_DIRS)
 @pytest.mark.parametrize("table", sorted(EXPECTED))
 def test_testdata_physical_schema(table: str, sf_dir: str) -> None:
+    """Per-table view over the SHARED canary logic (io/schema_canary.py is
+    the single source of truth — bench startup runs the same check_dir),
+    parametrized for per-table failure granularity."""
     path = os.path.join(sf_dir, f"{table}.parquet")
     if not os.path.exists(path):
         pytest.skip(f"testdata missing: {path}")
-    actual = {f.name: str(f.type) for f in pq.read_schema(path)}
-    expected = EXPECTED[table]
-
-    assert set(actual) == set(expected), (
-        f"TESTDATA DRIFT: {table}.parquet columns changed.\n"
-        f"  expected: {sorted(expected)}\n  actual:   {sorted(actual)}\n"
-        f"Update io/sources.load_table + this canary."
-    )
-    for col, want in expected.items():
-        got = actual[col]
-        ok = got in TS_VARIANTS if want == "TS" else got == want
-        assert ok, (
-            f"TESTDATA DRIFT: {table}.{col} is physically '{got}', engine "
-            f"expects {'one of ' + str(sorted(TS_VARIANTS)) if want == 'TS' else want!r}.\n"
-            f"The driver regenerated testdata with a new physical type. Fix "
-            f"at the load boundary (io/sources.load_table for batch, "
-            f"streaming/windows.stream_events for streams), then pin the new "
-            f"type here."
-        )
+    mine = [p for p in check_dir(sf_dir) if p.startswith(f"{table}.")]
+    assert mine == [], "TESTDATA DRIFT:\n" + "\n".join(mine)
 
 
 def test_stream_events_sniffer_recognizes_current_footer() -> None:
