@@ -77,10 +77,13 @@ def register(
 # twin, (c) every other query whose last driver row is r1/r2 — events/
 # sketch families first since their inputs physically changed. r4-green
 # rows (48 queries) are fresh against the new data and yield their slots.
-# Nine stale-but-lowest-risk queries (TPC-H q1, q6, q13, q16, q17, q19,
-# order_value_histogram + orders/part window queries order_gap_days,
-# part_price_rank — none reads events) are deferred to the r6 window to
-# make room for the five new r5 queries.
+# Twelve stale-but-lowest-risk queries (TPC-H q1, q6, q13, q16, q17, q19,
+# order_value_histogram, order_gap_days, part_price_rank, and the three
+# customer/orders window queries customer_balance_quartiles,
+# running_customer_spend, top3_orders_per_customer — none reads events)
+# are deferred to the r6 window to make room for the eight new r5 queries
+# (incl. the late-r5 trio text_bm25_search / curation_weighted_sample /
+# text_source_entropy).
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- broken by the r4 testdata drift, fixed this round --
     "events_sessionize_30m",
@@ -94,6 +97,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "llm_corpus_prep_v2",
     "dedup_keep_list",
     "quality_profile_documents",
+    "text_bm25_search",
+    "curation_weighted_sample",
+    "text_source_entropy",
     # -- events-reading queries whose green rows predate the regeneration --
     "window_event_value_delta",
     "window_fill_forward_last_purchase",
@@ -133,9 +139,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q8_market_share",
     "tpch_top_customer_per_nation",
     "window_balance_quartiles_distributed",
-    "window_customer_balance_quartiles",
-    "window_running_customer_spend",
-    "window_top3_orders_per_customer",
 )
 
 

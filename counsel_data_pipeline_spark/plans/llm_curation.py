@@ -647,3 +647,70 @@ def corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+_WS_SEED = 777  # seed for the deterministic per-doc uniform draw
+
+
+@register(
+    "curation_weighted_sample",
+    oracle=f"""
+        -- Efraimidis–Spirakis A-ES: k smallest exponential-race keys
+        -- -ln(u)/w  ==  weighted sampling without replacement with
+        -- inclusion ∝ w (w = n_chars). u is a deterministic md5-derived
+        -- uniform in (0,1): (h32 + 0.5) / 2^32 — exact double arithmetic
+        -- (h32 < 2^32 « 2^53, and /2^32 is a power-of-two scale), so ln's
+        -- input is bit-identical cross-engine; the key is rounded to the
+        -- 1e-9 grid (keys are ≥ ~1e-7 at these corpus sizes) with doc_id
+        -- as the deterministic tiebreak, per plans/_parity.py.
+        WITH u AS (
+          SELECT doc_id, source, n_chars,
+                 (CAST(concat('0x', substr(md5(concat('{_WS_SEED}:',
+                        CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) + 0.5)
+                   / 4294967296.0 AS u
+          FROM documents
+        )
+        SELECT doc_id, source, n_chars,
+               round((-ln(u)) / n_chars, 9) AS es_key
+        FROM u
+        ORDER BY es_key, doc_id LIMIT 25
+    """,
+    description="Efraimidis–Spirakis weighted sampling without replacement "
+    "(k=25, weight = n_chars): deterministic md5 uniform → exponential-race "
+    "key → TakeOrdered k smallest — no global sort, no window, one pass",
+    tags=("llm", "curation", "sampling"),
+    bench=True,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(
+                        F.lit(f"{_WS_SEED}:"), F.col("doc_id").cast("string")
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round((-F.log(u)) / F.col("n_chars"), 9).alias("es_key"),
+        )
+        .orderBy("es_key", "doc_id")
+        .limit(25)
+    )

@@ -441,3 +441,197 @@ def oov_trigram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _spread(load_table(spark, sf_dir, "documents"))
     return ta.oov_trigram_ratio_frame(docs, vocab_size=100)
+
+
+# ---------------------------------------------------------------------------
+# BM25 query→document retrieval
+# ---------------------------------------------------------------------------
+
+# Fixed retrieval query for the driver check. BM25 needs a log-idf (the
+# per-term weights are SUMMED, so the no-log ratio trick used by
+# text_tfidf_top_terms — rank-equivalent only for single-term ordering —
+# does not apply). Cross-engine parity for ln(): IEEE +,-,*,/ are
+# correctly rounded and written in the identical order on both sides, so
+# ln's input double is bit-identical; libm ln may differ in the last ulp
+# between the JVM and DuckDB, so the idf and each per-(doc,term)
+# contribution are ROUNDED to the 1e-6 grid and summed in exact DECIMAL
+# (associative — partition-order-independent), per plans/_parity.py.
+_BM25_TERMS = ("spark", "join", "window", "stream")
+_BM25_SQL_TERMS = "('" + "','".join(_BM25_TERMS) + "')"
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+        -- BM25 (k1=1.2, b=0.75) for the fixed query {" ".join(_BM25_TERMS)}
+        WITH tok AS (
+          SELECT doc_id, len(string_split_regex({_SQL_NORM}, ' ')) AS dl,
+                 unnest(string_split_regex({_SQL_NORM}, ' ')) AS term
+          FROM documents
+        ),
+        stats AS (
+          SELECT count(*) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM (SELECT doc_id, max(dl) AS dl FROM tok GROUP BY 1)
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+          FROM tok WHERE term IN {_BM25_SQL_TERMS} GROUP BY 1, 2
+        ),
+        idf AS (
+          SELECT term,
+                 round(ln(1.0 + (((CAST(n AS DOUBLE) - df) + 0.5) / (df + 0.5))), 6)
+                   AS idf
+          FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+          CROSS JOIN stats
+        ),
+        contrib AS (
+          SELECT tf.doc_id,
+                 CAST(round(
+                   idf * ((tf * 2.2) /
+                          (tf + (1.2 * (0.25 + ((0.75 * dl) / avgdl))))),
+                   6) AS DECIMAL(30,6)) AS c
+          FROM tf JOIN idf USING (term) CROSS JOIN stats
+        )
+        SELECT doc_id, CAST(round(sum(c), 6) AS DOUBLE) AS score
+        FROM contrib GROUP BY 1
+        ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    description="BM25 top-15 document retrieval for a fixed 4-term query "
+    "(inverted-index shape: terms filtered map-side before the only "
+    "data-sized shuffle; df/idf/avgdl are tiny broadcast aggregates; "
+    "TakeOrdered top-k, no global sort)",
+    tags=("llm", "text", "search", "topk"),
+    bench=True,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(ta.norm_text(F.col("text")), " ").alias("tok")
+    )
+    # dl rides along with the explode (computed map-side, no doc-level
+    # join-back against the corpus); the isin filter drops every
+    # non-query term BEFORE the groupBy shuffle, so the only data-sized
+    # shuffle carries just the matching (doc, term) postings.
+    ex = toks.select(
+        "doc_id", F.size("tok").alias("dl"), F.explode("tok").alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = ex.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    stats = toks.select("doc_id", F.size("tok").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats.select("n"))).select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (
+                    ((F.col("n").cast("double") - F.col("df")) + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+            ),
+            6,
+        ).alias("idf"),
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (
+                    (F.col("tf") * F.lit(2.2))
+                    / (
+                        F.col("tf")
+                        + (
+                            F.lit(1.2)
+                            * (
+                                F.lit(0.25)
+                                + ((F.lit(0.75) * F.col("dl")) / F.col("avgdl"))
+                            )
+                        )
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(30,6)")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-diversity profile: Shannon entropy of the source mix per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_source_entropy",
+    oracle="""
+        -- Shannon entropy (nats) of each language's source distribution —
+        -- the corpus-diversity signal data-mixing recipes balance on.
+        -- p is an exact int/int double division; each -p·ln(p) term is
+        -- rounded to the 1e-6 grid and summed in exact DECIMAL so the
+        -- libm-ln ulp and partition summation order cannot drift the hash
+        -- (plans/_parity.py).
+        WITH c AS (
+          SELECT lang, source, count(*) AS cnt
+          FROM documents GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot,
+                 count(*) AS n_sources
+          FROM c GROUP BY 1
+        ),
+        terms AS (
+          SELECT c.lang, t.tot, t.n_sources,
+                 CAST(round(-((CAST(cnt AS DOUBLE) / tot)
+                              * ln(CAST(cnt AS DOUBLE) / tot)), 6)
+                      AS DECIMAL(30,6)) AS term
+          FROM c JOIN t USING (lang)
+        )
+        SELECT lang, CAST(tot AS BIGINT) AS n_docs,
+               CAST(n_sources AS BIGINT) AS n_sources,
+               CAST(round(sum(term), 6) AS DOUBLE) AS source_entropy
+        FROM terms GROUP BY 1, 2, 3
+    """,
+    description="per-language Shannon entropy of the source mix (data-mixing "
+    "diversity report: two tiny hash aggregates + a broadcast join — output "
+    "is |lang| rows regardless of corpus size)",
+    tags=("llm", "text", "quality"),
+)
+def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    p = F.col("cnt").cast("double") / F.col("tot")
+    terms = c.join(F.broadcast(t), "lang").select(
+        "lang",
+        "tot",
+        "n_sources",
+        F.round(-(p * F.log(p)), 6).cast("decimal(30,6)").alias("term"),
+    )
+    return terms.groupBy("lang", "tot", "n_sources").agg(
+        F.round(F.sum("term"), 6).cast("double").alias("source_entropy")
+    ).select(
+        "lang",
+        F.col("tot").cast("bigint").alias("n_docs"),
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        "source_entropy",
+    )

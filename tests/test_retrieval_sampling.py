@@ -1,0 +1,117 @@
+"""Semantic tests for the retrieval/sampling plans added in round 5:
+BM25 search, Efraimidis–Spirakis weighted sampling, source-mix entropy.
+
+Each is cross-checked against an independent pure-Python recompute of the
+same math over the collected table (tiny at sf0.001/sf0.01), not against
+the plan's own expressions — the DuckDB oracle already covers cross-engine
+parity; these cover the *math* being the intended algorithm.
+"""
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from counsel_data_pipeline_spark.io.sources import load_table
+from counsel_data_pipeline_spark.plans.llm_curation import _WS_SEED
+from counsel_data_pipeline_spark.plans.llm_text import _BM25_TERMS
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm_tokens(text):
+    return " ".join(text.strip().split()).lower().split(" ")
+
+
+def test_bm25_matches_bruteforce(spark):
+    from counsel_data_pipeline_spark.plans.llm_text import bm25_search
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: _norm_tokens(r["text"]) for r in rows}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    tf = defaultdict(Counter)
+    for d, t in toks.items():
+        for term in t:
+            if term in _BM25_TERMS:
+                tf[d][term] += 1
+    df = Counter(term for d in tf for term in tf[d])
+    idf = {
+        t: round(math.log(1.0 + ((n - df[t]) + 0.5) / (df[t] + 0.5)), 6) for t in df
+    }
+    scores = {}
+    for d, counts in tf.items():
+        dl = len(toks[d])
+        s = 0.0
+        for t, f in counts.items():
+            s += round(
+                idf[t] * ((f * 2.2) / (f + (1.2 * (0.25 + ((0.75 * dl) / avgdl))))),
+                6,
+            )
+        scores[d] = round(s, 6)
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_search(spark, SF).orderBy("score", ascending=False).collect()
+    ]
+    got = sorted(got, key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (_, a), (_, b) in zip(got, expected):
+        assert abs(a - b) < 1e-5
+
+
+def test_weighted_sample_matches_bruteforce_and_orders(spark):
+    from counsel_data_pipeline_spark.plans.llm_curation import weighted_sample
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    keys = {}
+    for r in rows:
+        h = int(
+            hashlib.md5(f"{_WS_SEED}:{r['doc_id']}".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 0.5) / 4294967296.0
+        keys[r["doc_id"]] = round(-math.log(u) / r["n_chars"], 9)
+    expected = sorted(keys.items(), key=lambda kv: (kv[1], kv[0]))[:25]
+
+    got = [(r["doc_id"], r["es_key"]) for r in weighted_sample(spark, SF).collect()]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    ks = [k for _, k in got]
+    assert ks == sorted(ks)  # exponential-race keys ascending
+    assert all(k >= 0 for k in ks)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """Inclusion must skew toward high weight: the sampled docs' mean
+    n_chars should exceed the corpus mean (P[heavier] ∝ weight)."""
+    from counsel_data_pipeline_spark.plans.llm_curation import weighted_sample
+
+    corpus = load_table(spark, "/root/testdata/sf0.01", "documents")
+    corpus_mean = corpus.groupBy().avg("n_chars").collect()[0][0]
+    sample = weighted_sample(spark, "/root/testdata/sf0.01")
+    sample_mean = sample.groupBy().avg("n_chars").collect()[0][0]
+    assert sample_mean > corpus_mean
+
+
+def test_source_entropy_bounds_and_values(spark):
+    from counsel_data_pipeline_spark.plans.llm_text import source_entropy
+
+    docs = load_table(spark, SF, "documents").select("lang", "source").collect()
+    per_lang = defaultdict(Counter)
+    for r in docs:
+        per_lang[r["lang"]][r["source"]] += 1
+    got = {r["lang"]: r for r in source_entropy(spark, SF).collect()}
+    assert set(got) == set(per_lang)
+    for lang, counts in per_lang.items():
+        tot = sum(counts.values())
+        h = round(
+            sum(
+                round(-((c / tot) * math.log(c / tot)), 6) for c in counts.values()
+            ),
+            6,
+        )
+        r = got[lang]
+        assert r["n_docs"] == tot
+        assert r["n_sources"] == len(counts)
+        assert abs(r["source_entropy"] - h) < 1e-5
+        # 0 <= H <= ln(#sources)
+        assert -1e-9 <= r["source_entropy"] <= math.log(len(counts)) + 1e-6
