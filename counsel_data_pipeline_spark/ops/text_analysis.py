@@ -101,10 +101,9 @@ def content_md5(c: Column) -> Column:
     return F.md5(F.encode(norm_text(c), "UTF-8"))
 
 
-def word_shingles(c: Column, n: int) -> Column:
-    """n-word shingles ('rolling window' over the token stream); empty
+def word_shingles_from_tokens(t: Column, n: int) -> Column:
+    """n-word shingles over an already-tokenized array column; empty
     array when the doc has fewer than n tokens."""
-    t = tokens(c)
     return F.when(
         F.size(t) >= n,
         F.transform(
@@ -112,6 +111,12 @@ def word_shingles(c: Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(c: Column, n: int) -> Column:
+    """n-word shingles ('rolling window' over the token stream); empty
+    array when the doc has fewer than n tokens."""
+    return word_shingles_from_tokens(tokens(c), n)
 
 
 def shingle_fingerprint(c: Column, n: int = 5) -> Column:

@@ -518,9 +518,15 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = toks.select(
         "doc_id", F.size("tok").alias("dl"), F.explode("tok").alias("term")
     ).filter(F.col("term").isin(*_BM25_TERMS))
+    # Persisted: tf feeds both df (per-term doc frequency) and the scoring
+    # join; without it Spark plans the full tokenize+explode chain twice.
+    # Size is bounded by matched_docs × |query terms| — tiny at any corpus
+    # scale. Released by LRU eviction / bench clearCache (same lifecycle as
+    # the dedup-family persists — a lazily returned DataFrame has no sound
+    # unpersist point inside the builder).
     tf = ex.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
-    )
+    ).persist()
     stats = toks.select("doc_id", F.size("tok").alias("dl")).agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -634,4 +640,115 @@ def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot").cast("bigint").alias("n_docs"),
         F.col("n_sources").cast("bigint").alias("n_sources"),
         "source_entropy",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality score (CCNet-style perplexity-proxy filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+        -- CCNet-style LM quality signal: per-doc mean bigram log-likelihood
+        -- (nats) under the corpus's own Laplace-smoothed bigram model,
+        -- P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). Low scores = text whose
+        -- local word transitions are unusual for the corpus (gibberish,
+        -- wrong language, boilerplate soup). c(w1) is w1's corpus
+        -- occurrence count; V = |vocabulary|. Each ln() is rounded to the
+        -- 1e-6 grid and tf-weighted in exact DECIMAL (plans/_parity.py);
+        -- the final mean is one double division.
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(
+                   lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS tok
+          FROM documents
+        ),
+        uni AS (
+          SELECT term, count(*) AS c1 FROM (
+            SELECT unnest(tok) AS term FROM tok
+          ) GROUP BY 1
+        ),
+        v AS (SELECT count(*) AS v FROM uni),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tok)),
+                        i -> array_to_string(tok[i:i+1], ' '))) AS bigram
+          FROM tok WHERE len(tok) >= 2
+        ),
+        doc_bg AS (
+          SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2
+        ),
+        bgc AS (
+          SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1
+        ),
+        scored AS (
+          SELECT doc_bg.doc_id, doc_bg.tf,
+                 CAST(round(ln((CAST(c2 + 1 AS DOUBLE)) / (c1 + v)), 6)
+                      AS DECIMAL(30,6)) AS logp
+          FROM doc_bg
+          JOIN bgc USING (bigram)
+          JOIN uni ON split_part(doc_bg.bigram, ' ', 1) = uni.term
+          CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               CAST(round(sum(tf * logp), 6) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
+                 AS avg_logp
+        FROM scored GROUP BY 1
+    """,
+    description="per-doc mean bigram log-likelihood under the corpus's own "
+    "Laplace-smoothed bigram LM (CCNet-style perplexity filter): two "
+    "map-side-combined count aggregates, doc side pre-aggregated to "
+    "(doc, bigram, tf) before the count-table equi-join, mean via one "
+    "double division — docs with <2 tokens are excluded (no bigrams)",
+    tags=("llm", "text", "quality"),
+    bench=True,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(ta.norm_text(F.col("text")), " ").alias("tok")
+    )
+    uni = (
+        toks.select(F.explode("tok").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    v = uni.agg(F.count(F.lit(1)).alias("v"))
+    bg = toks.select(
+        "doc_id", F.explode(ta.word_shingles_from_tokens(F.col("tok"), 2)).alias("bigram")
+    )
+    # Doc side pre-aggregated to (doc, bigram, tf): the equi-join against
+    # the corpus bigram-count table then carries each distinct doc-bigram
+    # once — hot boilerplate bigrams skew the raw stream, not this join.
+    doc_bg = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        doc_bg.join(bgc, "bigram")
+        .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .join(uni.withColumnRenamed("term", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "tf",
+            F.round(
+                F.log(
+                    (F.col("c2") + F.lit(1)).cast("double")
+                    / (F.col("c1") + F.col("v"))
+                ),
+                6,
+            )
+            .cast("decimal(30,6)")
+            .alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        (
+            F.round(F.sum(F.col("tf") * F.col("logp")), 6).cast("double")
+            / F.sum("tf").cast("bigint")
+        ).alias("avg_logp"),
     )

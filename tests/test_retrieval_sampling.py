@@ -115,3 +115,37 @@ def test_source_entropy_bounds_and_values(spark):
         assert abs(r["source_entropy"] - h) < 1e-5
         # 0 <= H <= ln(#sources)
         assert -1e-9 <= r["source_entropy"] <= math.log(len(counts)) + 1e-6
+
+
+def test_bigram_lm_score_matches_bruteforce(spark):
+    from counsel_data_pipeline_spark.plans.llm_text import bigram_lm_score
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: _norm_tokens(r["text"]) for r in rows}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    v = len(uni)
+    bgc = Counter(
+        f"{ts[i]} {ts[i+1]}" for ts in toks.values() for i in range(len(ts) - 1)
+    )
+    expected = {}
+    for d, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        doc_bg = Counter(f"{ts[i]} {ts[i+1]}" for i in range(len(ts) - 1))
+        s = 0.0
+        n = 0
+        for b, tf in doc_bg.items():
+            w1 = b.split(" ")[0]
+            s += tf * round(math.log((bgc[b] + 1) / (uni[w1] + v)), 6)
+            n += tf
+        expected[d] = (n, round(s, 6) / n)
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in bigram_lm_score(spark, SF).collect()
+    }
+    assert set(got) == set(expected)
+    for d, (n, avg) in expected.items():
+        assert got[d][0] == n
+        assert abs(got[d][1] - avg) < 1e-5
+        assert got[d][1] < 0  # log-probabilities are negative
