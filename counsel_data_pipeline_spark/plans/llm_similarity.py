@@ -418,3 +418,74 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dim_std"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index ANN: build once, query the next batch against the store
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_ivf_persisted_query",
+    # centroids = 16 lowest-id vectors of the INDEXED (even-id) half;
+    # queries = the first 8 odd-id vectors, probing 4 cells; disjoint
+    # halves, so no self-exclusion is needed. Deterministic end to end —
+    # the parquet round-trip preserves doubles bit-exactly, so the whole
+    # lifecycle (build → store → query) is oracle-checkable.
+    oracle="""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        ),
+        c AS (
+          SELECT vec_id AS cid, v AS cv, nrm AS cn
+          FROM n WHERE vec_id % 2 = 0 AND vec_id < 32
+        ),
+        ranked AS (
+          SELECT vec_id, v, nrm, cid,
+                 row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid
+                 ) AS crank
+          FROM n, c
+        ),
+        assigned AS (
+          SELECT vec_id, v, nrm, cid AS cell FROM ranked
+          WHERE crank = 1 AND vec_id % 2 = 0
+        ),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS qcell
+          FROM ranked WHERE vec_id % 2 = 1 AND vec_id < 16 AND crank <= 4
+        ),
+        s AS (
+          SELECT query_id, a.vec_id AS neighbor_id,
+                 list_dot_product(qv, a.v) / (qn * a.nrm) AS cosine
+          FROM assigned a JOIN q ON a.cell = qcell
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                 ) AS rank
+          FROM s
+        ) WHERE rank <= 5
+    """,
+    description="persisted-IVF lifecycle: index the even-id half to parquet "
+    "(lists partitioned by cell, centroids beside them), then top-5 ANN for "
+    "8 odd-id query vectors against the store — query cost is the probed "
+    "cells only (file-level partition pruning), the corpus is never rescanned",
+    tags=("llm", "similarity", "index"),
+)
+def ivf_persisted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    sim.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path, n_centroids=16
+    )
+    queries = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 16))
+    return sim.query_ivf_index(spark, path, queries, k=5, n_probe=4).orderBy(
+        "query_id", "rank"
+    )

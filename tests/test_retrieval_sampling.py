@@ -149,3 +149,67 @@ def test_bigram_lm_score_matches_bruteforce(spark):
         assert got[d][0] == n
         assert abs(got[d][1] - avg) < 1e-5
         assert got[d][1] < 0  # log-probabilities are negative
+
+
+def test_ivf_persisted_query_matches_bruteforce(spark, tmp_path):
+    """Build the parquet IVF store over the even half, query odd vectors,
+    and check against a pure-Python IVF with the same seeding — proving
+    the build→store→query lifecycle loses nothing to the round-trip."""
+    from counsel_data_pipeline_spark.ops import similarity as sim
+
+    rows = load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def nrm(v):
+        s = 0.0
+        for x in v:
+            s += x * x
+        return math.sqrt(s)
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    cents = [(i, vecs[i], nrm(vecs[i])) for i in sorted(vecs) if i % 2 == 0][:16]
+
+    def probe(v, n, k):
+        sims = sorted(
+            ((dot(v, cv) / (n * cn), cid) for cid, cv, cn in cents),
+            key=lambda t: (-t[0], t[1]),
+        )
+        return [cid for _, cid in sims[:k]]
+
+    assigned = {
+        i: probe(v, nrm(v), 1)[0] for i, v in vecs.items() if i % 2 == 0
+    }
+    expected = {}
+    for qid in [i for i in sorted(vecs) if i % 2 == 1 and i < 16]:
+        qv, qn = vecs[qid], nrm(vecs[qid])
+        cells = set(probe(qv, qn, 4))
+        cand = [
+            (dot(qv, v) / (qn * nrm(v)), i)
+            for i, v in vecs.items()
+            if i % 2 == 0 and assigned[i] in cells
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        expected[qid] = [i for _, i in cand[:5]]
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb.filter((emb.vec_id % 2) == 0), path, n_centroids=16)
+    import os
+
+    assert os.path.isdir(f"{path}/centroids")
+    cells_on_disk = [d for d in os.listdir(f"{path}/lists") if d.startswith("cell=")]
+    assert len(cells_on_disk) >= 2  # really partitioned by cell
+
+    got_df = sim.query_ivf_index(
+        spark, path, emb.filter((emb.vec_id % 2 == 1) & (emb.vec_id < 16)),
+        k=5, n_probe=4,
+    )
+    got = defaultdict(list)
+    for r in got_df.orderBy("query_id", "rank").collect():
+        got[r["query_id"]].append(r["neighbor_id"])
+    assert dict(got) == expected
