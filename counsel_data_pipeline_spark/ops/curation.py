@@ -465,3 +465,27 @@ def c4_flags(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         has_policy.alias("has_policy_phrase"),
         keep.alias("keep"),
     )
+
+
+def es_sample_key(id_col: Column, weight_col: Column, seed: int) -> Column:
+    """Efraimidis–Spirakis exponential-race key: -ln(u)/w with a
+    deterministic md5-derived uniform u in (0,1). The k SMALLEST keys are
+    a weighted sample without replacement with inclusion ∝ w.
+
+    Pure function of the row → reproducible under re-partitioning,
+    retries, and streaming re-delivery, and the top-k of a union is the
+    top-k of the per-part top-ks (the merge property streaming/sampling
+    relies on). Rounded to the 1e-9 grid so a last-ulp libm-ln difference
+    between engines cannot flip an oracle comparison (plans/_parity.py).
+    """
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit(f"{seed}:"), id_col.cast("string")), "UTF-8")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    return F.round((-F.log(u)) / weight_col, 9)

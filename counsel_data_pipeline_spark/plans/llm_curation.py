@@ -687,29 +687,14 @@ _WS_SEED = 777  # seed for the deterministic per-doc uniform draw
 )
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    h32 = F.conv(
-        F.substring(
-            F.md5(
-                F.encode(
-                    F.concat(
-                        F.lit(f"{_WS_SEED}:"), F.col("doc_id").cast("string")
-                    ),
-                    "UTF-8",
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    u = (h32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
     return (
         docs.select(
             "doc_id",
             "source",
             "n_chars",
-            F.round((-F.log(u)) / F.col("n_chars"), 9).alias("es_key"),
+            cu.es_sample_key(
+                F.col("doc_id"), F.col("n_chars"), _WS_SEED
+            ).alias("es_key"),
         )
         .orderBy("es_key", "doc_id")
         .limit(25)

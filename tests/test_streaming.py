@@ -223,3 +223,53 @@ def test_session_window_boundary_merges_at_exact_gap(spark):
     ).count().collect()
     # first two merge (exact 1800s gap); third is 1801s after -> new session
     assert sorted(r["count"] for r in sessions) == [1, 2]
+
+
+def test_streaming_weighted_sample_equals_batch(spark, tmp_path):
+    """Split the sf0.001 documents into three micro-batch files: the
+    streaming reservoir must equal the batch A-ES top-k over the union —
+    the pure-row-function key makes top-k mergeable across batches."""
+    import os
+    import time
+
+    from counsel_data_pipeline_spark.ops.curation import es_sample_key
+    from counsel_data_pipeline_spark.streaming.sampling import (
+        run_weighted_sample_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    now = time.time()
+    for i, frac in enumerate([(0, 17), (17, 34), (34, 10**9)]):
+        part = docs.where(
+            (F.col("doc_id") >= frac[0]) & (F.col("doc_id") < frac[1])
+        )
+        part.toPandas().to_parquet(in_dir / f"b{i}.parquet", index=False)
+        os.utime(in_dir / f"b{i}.parquet", (now + 10 * i, now + 10 * i))
+
+    got = run_weighted_sample_stream(
+        spark,
+        str(in_dir),
+        str(tmp_path / "work"),
+        schema="doc_id bigint, source string, n_chars bigint",
+        k=10,
+        seed=777,
+    )
+
+    expected = (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            es_sample_key(F.col("doc_id"), F.col("n_chars"), 777).alias("es_key"),
+        )
+        .orderBy("es_key", "doc_id")
+        .limit(10)
+    )
+    cols = ["doc_id", "source", "n_chars", "es_key"]
+    assert _rows(got, cols) == _rows(expected, cols)
+
+    # audit trail: one reservoir snapshot per micro-batch
+    snaps = spark.read.parquet(str(tmp_path / "work" / "reservoir"))
+    assert snaps.select("batch").distinct().count() == 3
