@@ -229,3 +229,50 @@ def test_catalog_fleet_plan_audit(spark):
         if issues:
             bad[name] = issues
     assert not bad, f"scale anti-patterns: {bad}"
+
+
+def test_bm25_narrow_scan_and_broadcast_stats(spark):
+    """BM25: the documents scans read only (doc_id, text); idf/avgdl are
+    broadcast (never shuffled against the postings); top-k is TakeOrdered,
+    not a global sort."""
+    plan = _plan(spark, "text_bm25_search")
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "lang" not in line and "source" not in line, line
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_doc_side_preaggregated(spark):
+    """The count-table join must consume the (doc, bigram, tf) aggregate,
+    not the raw bigram stream: the join's doc side shows a HashAggregate
+    between the explode and the join."""
+    plan = _plan(spark, "text_bigram_lm_score")
+    assert "CartesianProduct" not in plan
+    # broadcast only for the 1-row vocabulary size, never the count tables
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "n_chars" not in line, line
+
+
+def test_weighted_sample_is_single_pass_takeordered(spark):
+    plan = _plan(spark, "curation_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert _n_shuffles(plan) == 0  # scan → project key → TakeOrdered: no exchange
+    assert "Window" not in plan
+
+
+def test_ivf_persisted_query_broadcasts_queries_not_lists(spark):
+    """The inverted-list side (corpus-sized) must stream; only the query
+    batch + centroid assignment may broadcast."""
+    plan = _plan(spark, "sim_ivf_persisted_query")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    # the lists relation feeds the probe join directly — it must not sit
+    # under a BroadcastExchange (query side builds the hash table)
+    for m in re.finditer(r"\(\d+\) BroadcastExchange", plan):
+        section = plan[m.start() : m.start() + 400]
+        assert "lists" not in section, section
