@@ -82,10 +82,11 @@ def register(
 # customer/orders window queries customer_balance_quartiles,
 # running_customer_spend, top3_orders_per_customer — none reads events)
 # are deferred to the r6 window to make room for the eight new r5 queries
-# (incl. the five late-r5 queries text_bm25_search /
+# (incl. the six late-r5 queries text_bm25_search /
 # curation_weighted_sample / text_source_entropy / text_bigram_lm_score /
-# sim_ivf_persisted_query; tpch_top_customer_per_nation and
-# tpch_q8_market_share join the r6 deferrals).
+# sim_ivf_persisted_query / quality_token_drift_psi;
+# tpch_top_customer_per_nation, tpch_q8_market_share and
+# tpch_q7_volume_shipping join the r6 deferrals).
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- broken by the r4 testdata drift, fixed this round --
     "events_sessionize_30m",
@@ -104,6 +105,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_source_entropy",
     "text_bigram_lm_score",
     "sim_ivf_persisted_query",
+    "quality_token_drift_psi",
     # -- events-reading queries whose green rows predate the regeneration --
     "window_event_value_delta",
     "window_fill_forward_last_purchase",
@@ -139,7 +141,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
     "window_balance_quartiles_distributed",
 )
 

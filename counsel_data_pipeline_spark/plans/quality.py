@@ -160,3 +160,118 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings are corpus-sized and engine renderings of long strings are not
     worth pinning)."""
     return profile(load_table(spark, sf_dir, "documents"), _DOC_COLS, exact=True)
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift monitoring: token-distribution PSI between two corpus halves
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_token_drift_psi",
+    oracle="""
+        -- Population-stability-index drift check between the even-id and
+        -- odd-id document halves (stand-ins for "corpus version N vs
+        -- N+1"): per-term PSI contribution (p-q)·ln(p/q) over the top-50
+        -- combined-count vocabulary, Laplace-smoothed so no term has a
+        -- zero rate. p and q are int/int double divisions; the single
+        -- ln() per term is parity-guarded by the 1e-6 rounding rule
+        -- (plans/_parity.py). Σ|psi| > 0.2 is the classic "investigate"
+        -- threshold — left to the consumer, the report is per-term.
+        WITH tok AS (
+          SELECT doc_id % 2 AS half,
+                 unnest(string_split_regex(
+                   lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS term
+          FROM documents
+        ),
+        c AS (
+          SELECT half, term, count(*) AS cnt FROM tok GROUP BY 1, 2
+        ),
+        vocab AS (
+          SELECT term FROM (
+            SELECT term, sum(cnt) AS tot FROM c GROUP BY 1
+            ORDER BY tot DESC, term LIMIT 50
+          )
+        ),
+        v AS (SELECT count(*) AS v FROM vocab),
+        tots AS (
+          SELECT half, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1
+        ),
+        m AS (
+          SELECT vocab.term,
+                 COALESCE(e.cnt, 0) AS cnt_even,
+                 COALESCE(o.cnt, 0) AS cnt_odd
+          FROM vocab
+          LEFT JOIN (SELECT term, cnt FROM c WHERE half = 0) e USING (term)
+          LEFT JOIN (SELECT term, cnt FROM c WHERE half = 1) o USING (term)
+        ),
+        rates AS (
+          SELECT term, cnt_even, cnt_odd,
+                 (CAST(cnt_even + 1 AS DOUBLE)) / (te.tot + v.v) AS p,
+                 (CAST(cnt_odd + 1 AS DOUBLE)) / (tokd.tot + v.v) AS q
+          FROM m
+          CROSS JOIN (SELECT tot FROM tots WHERE half = 0) te
+          CROSS JOIN (SELECT tot FROM tots WHERE half = 1) tokd
+          CROSS JOIN v
+        )
+        SELECT term,
+               CAST(cnt_even AS BIGINT) AS cnt_even,
+               CAST(cnt_odd AS BIGINT) AS cnt_odd,
+               CAST(round((p - q) * ln(p / q), 6) AS DOUBLE) AS psi_term
+        FROM rates
+    """,
+    description="corpus-drift monitor: per-term PSI contribution between "
+    "the even/odd doc halves over the top-50 combined vocabulary "
+    "(Laplace-smoothed; two map-side-combined count aggregates, vocab and "
+    "totals broadcast back — output is vocab-sized regardless of corpus)",
+    tags=("llm", "quality", "drift"),
+)
+def token_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.ops import text_analysis as ta
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(ta.norm_text(F.col("text")), " ")).alias("term"),
+    )
+    c = tok.groupBy("half", "term").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    vocab = (
+        c.groupBy("term")
+        .agg(F.sum("cnt").alias("tot"))
+        .orderBy(F.col("tot").desc(), "term")
+        .limit(50)
+        .select("term")
+    )
+    v = vocab.agg(F.count(F.lit(1)).alias("v"))
+    tots = c.groupBy("half").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    te = tots.filter(F.col("half") == 0).select(F.col("tot").alias("tot_even"))
+    to = tots.filter(F.col("half") == 1).select(F.col("tot").alias("tot_odd"))
+    m = (
+        vocab.join(
+            c.filter(F.col("half") == 0).select("term", F.col("cnt").alias("cnt_even")),
+            "term",
+            "left",
+        )
+        .join(
+            c.filter(F.col("half") == 1).select("term", F.col("cnt").alias("cnt_odd")),
+            "term",
+            "left",
+        )
+        .fillna(0, ["cnt_even", "cnt_odd"])
+    )
+    p = (F.col("cnt_even") + F.lit(1)).cast("double") / (F.col("tot_even") + F.col("v"))
+    q = (F.col("cnt_odd") + F.lit(1)).cast("double") / (F.col("tot_odd") + F.col("v"))
+    return (
+        m.crossJoin(F.broadcast(te))
+        .crossJoin(F.broadcast(to))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "term",
+            F.col("cnt_even").cast("bigint").alias("cnt_even"),
+            F.col("cnt_odd").cast("bigint").alias("cnt_odd"),
+            F.round((p - q) * F.log(p / q), 6).cast("double").alias("psi_term"),
+        )
+    )

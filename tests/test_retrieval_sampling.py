@@ -213,3 +213,31 @@ def test_ivf_persisted_query_matches_bruteforce(spark, tmp_path):
     for r in got_df.orderBy("query_id", "rank").collect():
         got[r["query_id"]].append(r["neighbor_id"])
     assert dict(got) == expected
+
+
+def test_token_drift_psi_matches_bruteforce(spark):
+    from counsel_data_pipeline_spark.plans.quality import token_drift_psi
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    halves = {0: Counter(), 1: Counter()}
+    for r in rows:
+        halves[r["doc_id"] % 2].update(_norm_tokens(r["text"]))
+    combined = halves[0] + halves[1]
+    vocab = sorted(combined, key=lambda t: (-combined[t], t))[:50]
+    v = len(vocab)
+    te, to = sum(halves[0].values()), sum(halves[1].values())
+    expected = {}
+    for t in vocab:
+        p = (halves[0][t] + 1) / (te + v)
+        q = (halves[1][t] + 1) / (to + v)
+        expected[t] = (halves[0][t], halves[1][t], round((p - q) * math.log(p / q), 6))
+
+    got = {
+        r["term"]: (r["cnt_even"], r["cnt_odd"], r["psi_term"])
+        for r in token_drift_psi(spark, SF).collect()
+    }
+    assert set(got) == set(expected)
+    for t, (ce, co, psi) in expected.items():
+        assert got[t][0] == ce and got[t][1] == co
+        assert abs(got[t][2] - psi) < 1e-5
+        assert got[t][2] >= -1e-12  # PSI contributions are non-negative
