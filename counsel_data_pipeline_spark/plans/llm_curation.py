@@ -699,3 +699,55 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("es_key", "doc_id")
         .limit(25)
     )
+
+
+@register(
+    "curation_weighted_sample_stratified",
+    oracle=f"""
+        -- per-stratum A-ES: the k smallest exponential-race keys WITHIN
+        -- each source — weighted sampling without replacement inside
+        -- every stratum (the corpus-mixing shape: sample each source's
+        -- quota independently, weights still ∝ n_chars). Same key as the
+        -- global sampler (pure row function, seed {_WS_SEED}), so a
+        -- document's draw is consistent between the global and
+        -- stratified samples.
+        WITH u AS (
+          SELECT doc_id, source, n_chars,
+                 (CAST(concat('0x', substr(md5(concat('{_WS_SEED}:',
+                        CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) + 0.5)
+                   / 4294967296.0 AS u
+          FROM documents
+        ),
+        keyed AS (
+          SELECT doc_id, source, n_chars,
+                 round((-ln(u)) / n_chars, 9) AS es_key
+          FROM u
+        )
+        SELECT source, doc_id, n_chars, es_key, rnk FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY source ORDER BY es_key, doc_id) AS rnk
+          FROM keyed
+        ) WHERE rnk <= 3
+    """,
+    description="stratified Efraimidis–Spirakis sampling: 3 weighted draws "
+    "per source stratum (window partitioned by source — one shuffle on the "
+    "stratum key, rank truncation map-side after it; per-stratum state is "
+    "k rows however large the stratum)",
+    tags=("llm", "curation", "sampling"),
+)
+def weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        cu.es_sample_key(F.col("doc_id"), F.col("n_chars"), _WS_SEED).alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy("es_key", "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "doc_id", "n_chars", "es_key", "rnk")
+    )

@@ -241,3 +241,33 @@ def test_token_drift_psi_matches_bruteforce(spark):
         assert got[t][0] == ce and got[t][1] == co
         assert abs(got[t][2] - psi) < 1e-5
         assert got[t][2] >= -1e-12  # PSI contributions are non-negative
+
+
+def test_stratified_weighted_sample_consistent_with_global(spark):
+    """Same seed, same key: each source's 3 draws must be the 3 smallest
+    keys of that source, and any sampled doc that also belongs to the
+    global top-25 must carry the identical es_key there."""
+    from counsel_data_pipeline_spark.plans.llm_curation import (
+        weighted_sample,
+        weighted_sample_stratified,
+    )
+
+    sfq = "/root/testdata/sf0.01"
+    strat = weighted_sample_stratified(spark, sfq).collect()
+    by_source = defaultdict(list)
+    for r in strat:
+        by_source[r["source"]].append(r)
+    docs = load_table(spark, sfq, "documents").select("doc_id", "source").collect()
+    n_sources = len({r["source"] for r in docs})
+    assert set(by_source) == {f"src{i}" for i in range(n_sources)} or len(by_source) == n_sources
+    for src, rows in by_source.items():
+        assert sorted(r["rnk"] for r in rows) == [1, 2, 3]
+        ks = [r["es_key"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert ks == sorted(ks)
+
+    global_keys = {
+        r["doc_id"]: r["es_key"] for r in weighted_sample(spark, sfq).collect()
+    }
+    for r in strat:
+        if r["doc_id"] in global_keys:
+            assert global_keys[r["doc_id"]] == r["es_key"]
