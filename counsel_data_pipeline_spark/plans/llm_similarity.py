@@ -9,6 +9,8 @@ variant is approximate by construction → rows-only + pytest recall check.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -425,6 +427,33 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _ivf_index_path(sf_dir: str) -> str:
+    """Deterministic per-source-data index location.
+
+    NOTE: building the index is EAGER (two parquet writes at
+    plan-construction time) — unlike the other plan builders, which are
+    lazy. The index is therefore cached under a path keyed by the source
+    embeddings' file fingerprint (names + sizes + mtimes): repeated
+    correctness sweeps and bench iterations reuse one copy instead of
+    accumulating mkdtemp directories, while a testdata regeneration
+    changes the fingerprint and forces a rebuild.
+    """
+    import glob
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = sorted(glob.glob(os.path.join(src, "**"), recursive=True)) or [src]
+    h = hashlib.md5()
+    for p in parts:
+        if os.path.isfile(p):
+            st = os.stat(p)
+            h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return os.path.join(
+        tempfile.gettempdir(), "counsel_ivf_index", h.hexdigest()[:16]
+    )
+
+
 @register(
     "sim_ivf_persisted_query",
     # centroids = 16 lowest-id vectors of the INDEXED (even-id) half;
@@ -440,8 +469,12 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
         ),
         c AS (
+          -- mirrors lowest_id_centroids(even half, 16): the 16 LOWEST ids of
+          -- the indexed half, whatever the id layout — not a hardcoded
+          -- "vec_id < 32" that only equals it while ids are 0-based and
+          -- contiguous (a testdata regeneration must not desynchronize us)
           SELECT vec_id AS cid, v AS cv, nrm AS cn
-          FROM n WHERE vec_id % 2 = 0 AND vec_id < 32
+          FROM n WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16
         ),
         ranked AS (
           SELECT vec_id, v, nrm, cid,
@@ -478,13 +511,13 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "index"),
 )
 def ivf_persisted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     emb = load_table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_index_")
-    sim.build_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0), path, n_centroids=16
-    )
+    path = _ivf_index_path(sf_dir)
+    done = os.path.join(path, "centroids", "_SUCCESS")
+    if not os.path.exists(done):
+        sim.build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path, n_centroids=16
+        )
     queries = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 16))
     return sim.query_ivf_index(spark, path, queries, k=5, n_probe=4).orderBy(
         "query_id", "rank"

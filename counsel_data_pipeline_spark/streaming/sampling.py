@@ -58,8 +58,20 @@ def run_weighted_sample_stream(
         )
         try:
             res = sess.read.parquet(reservoir_root)
-            last = res.agg(F.max("batch")).collect()[0][0]
-            prev = res.where(F.col("batch") == last).select(*out_cols)
+            # Strictly batch < batch_id: a RETRIED micro-batch must not read
+            # its own failed attempt's partially-written (or empty) batch=N
+            # directory as "the previous reservoir" — that would silently
+            # shrink or reset the sample. The predecessor is always the
+            # largest committed batch below the current one.
+            last = (
+                res.where(F.col("batch") < F.lit(batch_id))
+                .agg(F.max("batch"))
+                .collect()[0][0]
+            )
+            if last is None:
+                prev = keyed.limit(0)
+            else:
+                prev = res.where(F.col("batch") == last).select(*out_cols)
         except Exception:  # first batch: no reservoir yet
             prev = keyed.limit(0)
         # dropDuplicates makes a RETRIED micro-batch idempotent: on replay

@@ -254,6 +254,14 @@ def test_bigram_lm_doc_side_preaggregated(spark):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "n_chars" not in line, line
+    # the claimed pre-aggregation, enforced: a HashAggregate keyed on
+    # (doc_id, bigram) — the per-doc tf table — must exist between the
+    # explode and the count-table join
+    import re
+
+    assert re.search(r"Keys \[2\]: \[doc_id#\d+L?, bigram#\d+\]", plan), (
+        "no (doc_id, bigram) HashAggregate in plan"
+    )
 
 
 def test_weighted_sample_is_single_pass_takeordered(spark):
