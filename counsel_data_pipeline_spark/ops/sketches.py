@@ -172,6 +172,131 @@ def bloom_probe(
 
 
 # ---------------------------------------------------------------------------
+# Cross-engine HLL: classic Flajolet HyperLogLog on md5-derived 32-bit
+# hashes. Unlike approx_count_distinct (HLL++ with engine-private bias
+# tables), every step here — register index, leading-zero rank, harmonic
+# sum, linear-counting small-range correction — is plain integer/IEEE
+# arithmetic that DuckDB reproduces exactly, so the estimate itself is
+# oracle-checkable (same trick that made CMS and Bloom checkable in r2).
+# Registers merge by MAX (associative), so partial sketches combine
+# map-side and stream merging ≡ batch build.
+# ---------------------------------------------------------------------------
+
+
+def hll_md5_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 9
+) -> DataFrame:
+    """Per-group HLL registers: (group..., idx, reg).
+
+    h = first 32 bits of md5('hll:' || value); idx = low p bits;
+    rank = position of the leftmost 1-bit of the remaining (32-p)-bit
+    word (computed via length(bin(w)) — identical in Spark and DuckDB),
+    with the all-zero word mapping to (32-p)+1. The aggregate output is
+    ≤ 2^p rows per group regardless of input size, and max() is the
+    merge operator — the standard mergeable-partial shape.
+    """
+    m = 1 << p
+    rbits = 32 - p
+    payload = F.concat(F.lit("hll:"), F.col(value_col).cast("string"))
+    h = F.conv(F.substring(F.md5(F.encode(payload, "UTF-8")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(rbits + 1)).otherwise(
+        F.lit(rbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            *group_cols, h.bitwiseAND(m - 1).alias("idx"), rho.alias("rho")
+        )
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_md5_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 9
+) -> DataFrame:
+    """Estimate per-group distinct counts from :func:`hll_md5_registers`.
+
+    Classic HLL: E_raw = alpha_m * m^2 / sum_j 2^(-M[j]), with linear
+    counting m*ln(m/V) when E_raw <= 2.5m and V (empty registers) > 0.
+    The harmonic sum is computed as an exact BIGINT (sum of
+    2^(rmax - reg), absent registers contribute 2^rmax), so the only
+    floating-point steps are one division, one ln, and the final round —
+    each IEEE-identical (or 1-ulp-safe under round) across engines.
+    Returns (group..., est_distinct BIGINT).
+    """
+    m = 1 << p
+    rmax = (32 - p) + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # single-literal numerator: alpha * m^2 * 2^rmax, folded in Python so
+    # both engines divide the exact same double by the exact integer sum
+    numerator = alpha * float(m * m) * float(1 << rmax)
+    per = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - reg)")
+        ).alias("s_present"),
+    )
+    v = (F.lit(m) - F.col("n_regs")).cast("bigint")
+    s_int = F.col("s_present") + v * F.lit(1 << rmax).cast("bigint")
+    e_raw = F.lit(numerator) / s_int.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return per.select(
+        *group_cols, F.round(est, 0).cast("bigint").alias("est_distinct")
+    )
+
+
+def hll_md5_oracle_sql(
+    key_sql: str, group_sql: str, table: str, p: int = 9
+) -> str:
+    """DuckDB twin of hll_md5_registers + hll_md5_estimate (same grid of
+    integer/IEEE steps; numerator literal injected via repr so both
+    engines divide the identical double)."""
+    m = 1 << p
+    rbits = 32 - p
+    rmax = rbits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numerator = alpha * float(m * m) * float(1 << rmax)
+    return f"""
+        WITH h AS (
+          SELECT {group_sql} AS grp,
+                 CAST(concat('0x', substr(md5(concat('hll:',
+                      CAST({key_sql} AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+          FROM {table}
+        ),
+        r AS (
+          SELECT grp, h & {m - 1} AS idx,
+                 CASE WHEN (h >> {p}) = 0 THEN {rmax}
+                      ELSE {rmax} - length(bin(h >> {p})) END AS rho
+          FROM h
+        ),
+        regs AS (SELECT grp, idx, max(rho) AS reg FROM r GROUP BY 1, 2),
+        agg AS (
+          SELECT grp, count(*) AS n_regs,
+                 CAST(sum(CAST(1 AS BIGINT) << CAST({rmax} - reg AS INT))
+                      AS BIGINT) AS s_present
+          FROM regs GROUP BY 1
+        ),
+        e AS (
+          SELECT grp, ({m} - n_regs) AS v,
+                 {numerator!r} / CAST(s_present + ({m} - n_regs)
+                     * CAST({1 << rmax} AS BIGINT) AS DOUBLE) AS e_raw
+          FROM agg
+        )
+        SELECT grp, CAST(round(
+                 CASE WHEN e_raw <= {2.5 * m!r} AND v > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+                      ELSE e_raw END) AS BIGINT) AS est_distinct
+        FROM e
+    """
+
+
+# ---------------------------------------------------------------------------
 # Engine-native sketches (approximate; verified by error bounds in pytest)
 # ---------------------------------------------------------------------------
 

@@ -114,15 +114,38 @@ def bloom_custkey_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_P = 9
+
+
 @register(
     "sketch_hll_distinct_users",
-    oracle=None,  # HyperLogLog++ internals are engine-specific; error bound pytest-checked
-    description="approx_count_distinct (HLL++) users per event type — the no-shuffle COUNT(DISTINCT) at scale",
+    # r6: converted from rows-only (approx_count_distinct's HLL++ bias
+    # tables are engine-private) to a fully oracle-checked classic HLL on
+    # md5-derived hashes — the same md5-register trick that made CMS and
+    # Bloom checkable in r2. DuckDB reproduces registers, harmonic sum,
+    # and linear-counting correction exactly; see ops/sketches.py.
+    oracle=f"""
+        WITH hll AS ({sk.hll_md5_oracle_sql("user_id", "event_type", "events", _HLL_P)}),
+        tru AS (
+          SELECT event_type AS grp, count(DISTINCT user_id) AS true_distinct
+          FROM events GROUP BY 1
+        )
+        SELECT hll.grp AS event_type, est_distinct, true_distinct
+        FROM hll JOIN tru USING (grp)
+    """,
+    description=f"md5-register HLL (m=2^{_HLL_P}) distinct users per event type vs exact — the no-shuffle COUNT(DISTINCT) at scale, sketch AND estimate oracle-checked",
     tags=("sketch", "events"),
 )
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return sk.hll_distinct(ev, ["event_type"], "user_id", rsd=0.02).orderBy("event_type")
+    regs = sk.hll_md5_registers(ev, ["event_type"], "user_id", _HLL_P)
+    est = sk.hll_md5_estimate(regs, ["event_type"], _HLL_P)
+    true = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    return est.join(true, "event_type").select(
+        "event_type", "est_distinct", "true_distinct"
+    )
 
 
 @register(

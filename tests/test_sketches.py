@@ -88,6 +88,50 @@ def test_bloom_filters_some_nonmembers(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_hll_md5_within_relative_error(events):
+    # classic HLL with m=512: rsd ~ 1.04/sqrt(512) ~ 4.6%; allow 3 sigma
+    # (+small-count slack) against the exact answer.
+    regs = sk.hll_md5_registers(events, ["event_type"], "user_id", p=9)
+    approx = {
+        r.event_type: r.est_distinct
+        for r in sk.hll_md5_estimate(regs, ["event_type"], p=9).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(3, 0.15 * exact[k])
+
+
+def test_hll_md5_merge_equals_batch(events):
+    # Registers merge by MAX: building on two disjoint halves and folding
+    # the partials must equal the single-pass build — the property that
+    # makes the sketch map-side-combinable and stream-maintainable.
+    half_a = events.filter(F.col("user_id") % 2 == 0)
+    half_b = events.filter(F.col("user_id") % 2 == 1)
+    ra = sk.hll_md5_registers(half_a, ["event_type"], "user_id", p=9)
+    rb = sk.hll_md5_registers(half_b, ["event_type"], "user_id", p=9)
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("event_type", "idx")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est_merged = {
+        r.event_type: r.est_distinct
+        for r in sk.hll_md5_estimate(merged, ["event_type"], p=9).collect()
+    }
+    full = sk.hll_md5_registers(events, ["event_type"], "user_id", p=9)
+    est_full = {
+        r.event_type: r.est_distinct
+        for r in sk.hll_md5_estimate(full, ["event_type"], p=9).collect()
+    }
+    assert est_merged == est_full
+
+
 def test_hll_within_relative_error(events):
     approx = {
         r.event_type: r.approx_distinct
