@@ -644,16 +644,31 @@ def duplicate_span_coverage(
     # groupBy aggregates with map-side partials and the join fans out
     # row-by-row; AQE skew-join splits any straggler. Skew-robustness
     # wins over the saved shuffle.)
-    spans = base.select(
-        "id", F.posexplode(word_shingles(F.col("__t"), k)).alias("pos", "span")
-    ).persist()
+    #
+    # The span STRINGS (k tokens each) are the bytes on the wire: the span
+    # stream is corpus-sized, and this plan's dominant cost is shuffling it
+    # into the count aggregate and the candidate join. Project each span to
+    # a 60-bit md5-prefix key map-side (8 bytes vs ~6·k) BEFORE the
+    # shuffle — counting/joining by hash is exact up to md5-prefix
+    # collisions (~N²/2^61, negligible for the audit), and the DuckDB
+    # oracle mirrors the same hash so the gate stays bit-for-bit.
+    span_key = F.conv(
+        F.substring(F.md5(F.encode(F.col("span"), "UTF-8")), 1, 15), 16, 10
+    ).cast("bigint")
+    spans = (
+        base.select(
+            "id", F.posexplode(word_shingles(F.col("__t"), k)).alias("pos", "span")
+        )
+        .select("id", "pos", span_key.alias("sh"))
+        .persist()
+    )
     dup = (
-        spans.groupBy("span")
+        spans.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .filter(F.col("__cnt") >= 2)
-        .select("span")
+        .select("sh")
     )
-    hits = spans.join(dup, "span").select(
+    hits = spans.join(dup, "sh").select(
         "id", F.col("pos").alias("s"), (F.col("pos") + F.lit(k)).alias("e")
     )
     w_prev = Window.partitionBy("id").orderBy("s").rowsBetween(

@@ -601,7 +601,11 @@ def _duplicate_spans_oracle(k: int = 8) -> str:
           SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS t FROM documents
         ),
         spans AS (
-          SELECT doc_id, u.pos AS pos, u.span AS span FROM (
+          -- same 60-bit md5-prefix span key as the Spark side: the span
+          -- string never reaches the count/join, only its 8-byte hash
+          SELECT doc_id, u.pos AS pos,
+                 CAST(concat('0x', substr(md5(u.span), 1, 15)) AS BIGINT) AS sh
+          FROM (
             SELECT doc_id,
                    unnest(list_transform(range(1, len(t) - {k} + 2),
                           i -> struct_pack(pos := i,
@@ -610,11 +614,11 @@ def _duplicate_spans_oracle(k: int = 8) -> str:
           )
         ),
         dup AS (
-          SELECT span FROM spans GROUP BY span HAVING count(*) >= 2
+          SELECT sh FROM spans GROUP BY sh HAVING count(*) >= 2
         ),
         hits AS (
           SELECT s.doc_id, s.pos AS st, s.pos + {k} AS en
-          FROM spans s JOIN dup USING (span)
+          FROM spans s JOIN dup USING (sh)
         ),
         flagged AS (
           SELECT doc_id, st, en,
