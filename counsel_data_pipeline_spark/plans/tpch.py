@@ -26,7 +26,6 @@ from counsel_data_pipeline_spark.catalog import register
 from counsel_data_pipeline_spark.io.sources import load_table
 from counsel_data_pipeline_spark.plans._parity import (
     davg,
-    dec,
     dsum,
     sql_davg,
     sql_dec,
@@ -63,39 +62,93 @@ _SQL_CHARGE = f"{_SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DEC
 
 @register(
     "tpch_q1_pricing_summary",
-    oracle=f"""
+    # r6: exact integer-cents arithmetic instead of per-row DECIMAL(30,6)
+    # casts — the r1 decimal fix was hash-correct but priced the flagship
+    # scan-agg at ~4x its floor (the per-row double->decimal conversion
+    # and decimal multiply sat outside the fast path). All source values
+    # are 2dp, so round(x*100) recovers exact cents; products carry
+    # exact 1e-4 (disc price) / 1e-6 (charge) fixed-point units. Narrow
+    # sums stay BIGINT (>=20x headroom at sf=100k); the two wide products
+    # aggregate as DECIMAL(38,0) cast from the per-row BIGINT (no
+    # double->decimal per-row conversion), overflow-safe past sf 1e6.
+    # Final values: integer half-up rounding to cents, then an exact
+    # (correctly-rounded, engine-identical) int->double cast and /100.0.
+    # Identical output values to the r1-r5 decimal formulation.
+    oracle="""
+        WITH e AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS ec,
+                 CAST(round(l_discount * 100) AS BIGINT) AS dc,
+                 CAST(round(l_tax * 100) AS BIGINT) AS tc
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        ),
+        g AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(sum(qc) AS BIGINT) AS sq,
+                 CAST(sum(ec) AS BIGINT) AS se,
+                 sum(ec * (100 - dc)) AS sdp,
+                 sum((ec * (100 - dc)) * (100 + tc)) AS sch,
+                 CAST(sum(dc) AS BIGINT) AS sd,
+                 count(*) AS count_order
+          FROM e GROUP BY l_returnflag, l_linestatus
+        )
         SELECT l_returnflag, l_linestatus,
-               {sql_dsum('l_quantity', 'sum_qty')},
-               {sql_dsum('l_extendedprice', 'sum_base_price')},
-               CAST(round(sum({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS sum_disc_price,
-               CAST(round(sum({_SQL_CHARGE}), 2) AS DOUBLE) AS sum_charge,
-               {sql_davg('l_quantity', 'avg_qty')},
-               {sql_davg('l_extendedprice', 'avg_price')},
-               {sql_davg('l_discount', 'avg_disc')},
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
+               CAST(sq AS DOUBLE) / 100.0 AS sum_qty,
+               CAST(se AS DOUBLE) / 100.0 AS sum_base_price,
+               CAST((sdp + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
+               CAST((sch + 5000) // 10000 AS DOUBLE) / 100.0 AS sum_charge,
+               CAST(sq AS DOUBLE) / 100.0 / count_order AS avg_qty,
+               CAST(se AS DOUBLE) / 100.0 / count_order AS avg_price,
+               CAST(sd AS DOUBLE) / 100.0 / count_order AS avg_disc,
+               count_order
+        FROM g
     """,
-    description="TPC-H Q1 pricing summary: scan-heavy hash aggregate with decimal-exact sums",
+    description="TPC-H Q1 pricing summary: scan-heavy hash aggregate with exact integer-cents sums",
     tags=("relational", "agg"),
     bench=True,
 )
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            to_double(F.sum(_disc_price())).alias("sum_disc_price"),
-            to_double(F.sum(_charge())).alias("sum_charge"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+
+    def cents(c: str) -> F.Column:
+        return F.round(F.col(c) * 100, 0).cast("bigint")
+
+    e = li.filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        cents("l_quantity").alias("qc"),
+        cents("l_extendedprice").alias("ec"),
+        cents("l_discount").alias("dc"),
+        cents("l_tax").alias("tc"),
+    )
+    g = e.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qc").alias("sq"),
+        F.sum("ec").alias("se"),
+        F.sum((F.col("ec") * (F.lit(100) - F.col("dc"))).cast("decimal(38,0)")).alias(
+            "sdp"
+        ),
+        F.sum(
+            ((F.col("ec") * (F.lit(100) - F.col("dc"))) * (F.lit(100) + F.col("tc")))
+            .cast("decimal(38,0)")
+        ).alias("sch"),
+        F.sum("dc").alias("sd"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("sq").cast("double") / 100.0).alias("sum_qty"),
+        (F.col("se").cast("double") / 100.0).alias("sum_base_price"),
+        (F.expr("(sdp + 50) div 100").cast("double") / 100.0).alias("sum_disc_price"),
+        (F.expr("(sch + 5000) div 10000").cast("double") / 100.0).alias("sum_charge"),
+        (F.col("sq").cast("double") / 100.0 / F.col("count_order")).alias("avg_qty"),
+        (F.col("se").cast("double") / 100.0 / F.col("count_order")).alias("avg_price"),
+        (F.col("sd").cast("double") / 100.0 / F.col("count_order")).alias("avg_disc"),
+        "count_order",
     )
 
 
