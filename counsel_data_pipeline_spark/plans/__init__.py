@@ -13,6 +13,7 @@ from counsel_data_pipeline_spark.plans import (  # noqa: F401
     rollup,
     setops,
     sketches,
+    streaming_live,
     tpch,
     window,
 )

@@ -433,25 +433,14 @@ def _ivf_index_path(sf_dir: str) -> str:
     NOTE: building the index is EAGER (two parquet writes at
     plan-construction time) — unlike the other plan builders, which are
     lazy. The index is therefore cached under a path keyed by the source
-    embeddings' file fingerprint (names + sizes + mtimes): repeated
+    embeddings' file fingerprint (io/fingerprint.py): repeated
     correctness sweeps and bench iterations reuse one copy instead of
     accumulating mkdtemp directories, while a testdata regeneration
     changes the fingerprint and forces a rebuild.
     """
-    import glob
-    import hashlib
-    import tempfile
+    from counsel_data_pipeline_spark.io.fingerprint import derived_cache_dir
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    parts = sorted(glob.glob(os.path.join(src, "**"), recursive=True)) or [src]
-    h = hashlib.md5()
-    for p in parts:
-        if os.path.isfile(p):
-            st = os.stat(p)
-            h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}\n".encode())
-    return os.path.join(
-        tempfile.gettempdir(), "counsel_ivf_index", h.hexdigest()[:16]
-    )
+    return derived_cache_dir("counsel_ivf_index", sf_dir, "embeddings")
 
 
 @register(
