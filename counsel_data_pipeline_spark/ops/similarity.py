@@ -736,9 +736,11 @@ def build_ivf_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_source: DataFrame | None = None,
 ) -> None:
     """Materialize an IVF index as parquet: ``<path>/centroids`` (tiny) and
-    ``<path>/lists`` partitioned by ``cell``.
+    ``<path>/lists`` partitioned by ``cell`` (rows carry ``gen`` = 0; later
+    :func:`append_ivf_index` batches carry increasing generations).
 
     The production ANN lifecycle at corpus scale: embedding + assigning
     100 TB of vectors is done ONCE, then every query batch reads only its
@@ -747,21 +749,105 @@ def build_ivf_index(
     partition pruning / DPP on the join), never rescanning the corpus.
     Same lowest-id deterministic seeding as :func:`ivf_topk` — the index
     is reproducible across engines without a stored model.
+    ``centroid_source`` optionally seeds the centroids from a different
+    frame than the indexed corpus (used to prove append ≡ rebuild: a
+    from-scratch build over initial ∪ appended with the INITIAL batch's
+    centroids must equal the incremental store).
     """
-    emb = corpus.select(
-        F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
-    ).withColumn("__norm", l2_norm(F.col("__v")))
-    cents = lowest_id_centroids(emb, n_centroids)
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
+        ).withColumn("__norm", l2_norm(F.col("__v")))
+
+    emb = prep(corpus)
+    cents = lowest_id_centroids(
+        emb if centroid_source is None else prep(centroid_source), n_centroids
+    )
     assigned = _nearest_cells(emb, cents, 1, "cell")
     assigned.select(
         F.col("__id").alias("vec_id"),
         F.col("__v").alias("v"),
         F.col("__norm").alias("nrm"),
+        F.lit(0).alias("gen"),
         "cell",
     ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/lists")
     cents.select(
         F.col("__cid").alias("cid"), F.col("__cv").alias("cv"), F.col("__cn").alias("cn")
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def append_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    gen: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add a vector batch to a :func:`build_ivf_index` store.
+
+    The production ANN maintenance loop: cells are assigned from the
+    STORED centroid table (broadcast, n_centroids rows), and the new
+    lists are appended file-wise under their ``cell=`` partitions — cost
+    is O(batch × centroids); the existing corpus is never read, let
+    alone re-clustered. Rows carry ``gen`` so :func:`ivf_centroid_drift`
+    can compare the appended population against the build population and
+    signal when the frozen centroids have drifted enough to warrant a
+    rebuild."""
+    cents = spark.read.parquet(f"{path}/centroids").select(
+        F.col("cid").alias("__cid"),
+        F.col("cv").alias("__cv"),
+        F.col("cn").alias("__cn"),
+    )
+    emb = new_vectors.select(
+        F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
+    ).withColumn("__norm", l2_norm(F.col("__v")))
+    assigned = _nearest_cells(emb, cents, 1, "cell")
+    assigned.select(
+        F.col("__id").alias("vec_id"),
+        F.col("__v").alias("v"),
+        F.col("__norm").alias("nrm"),
+        F.lit(gen).alias("gen"),
+        "cell",
+    ).write.mode("append").partitionBy("cell").parquet(f"{path}/lists")
+
+
+def ivf_centroid_drift(spark, path: str) -> DataFrame:
+    """Per-cell drift report for an incrementally-maintained IVF store:
+    (cell, n_initial, n_appended, avg_cos_initial, avg_cos_appended).
+
+    avg_cos_* is the mean cosine of that generation's members to the
+    frozen centroid — when the appended population's mean falls below
+    the build population's, the centroids no longer describe the new
+    data and the index should be rebuilt. Cosines are rounded to the
+    1e-6 grid and summed in exact DECIMAL (plans/_parity.py convention)
+    so the report is bit-reproducible cross-engine. One scan of the
+    lists joined to the broadcast centroid table; output is
+    centroid-table-sized."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    lists = spark.read.parquet(f"{path}/lists").withColumn(
+        "cell", F.col("cell").cast("bigint")
+    )
+    cos = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    scored = lists.join(
+        F.broadcast(cents), lists["cell"] == cents["cid"]
+    ).select("cell", "gen", F.round(cos, 6).cast("decimal(30,6)").alias("__c"))
+
+    def gen_stats(g: int, prefix: str) -> list[Column]:
+        is_g = F.col("gen") == g
+        n = F.sum(F.when(is_g, 1).otherwise(0)).alias(f"n_{prefix}")
+        s = F.sum(F.when(is_g, F.col("__c")))
+        avg = F.when(
+            F.sum(F.when(is_g, 1).otherwise(0)) > 0,
+            F.round(s, 6).cast("double")
+            / F.sum(F.when(is_g, 1).otherwise(0)),
+        ).alias(f"avg_cos_{prefix}")
+        return [n, avg]
+
+    return scored.groupBy("cell").agg(
+        *gen_stats(0, "initial"), *gen_stats(1, "appended")
+    )
 
 
 def query_ivf_index(

@@ -511,3 +511,137 @@ def ivf_persisted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.query_ivf_index(spark, path, queries, k=5, n_probe=4).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance: append a new batch to the store, monitor
+# centroid drift — the production ANN loop build-once/query-many doesn't close
+# ---------------------------------------------------------------------------
+
+# Shared SQL prefix for the incremental-store oracles: centroids come from
+# the INITIAL batch only (vec_id % 4 == 0, 16 lowest — mirrors the frozen
+# centroid table an append never re-derives); the indexed corpus after the
+# append is every even id.
+_INCR_ORACLE_PREFIX = """
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        ),
+        c AS (
+          SELECT vec_id AS cid, v AS cv, nrm AS cn
+          FROM n WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 16
+        ),
+        ranked AS (
+          SELECT vec_id, v, nrm, cid, cv, cn,
+                 list_dot_product(v, cv) / (nrm * cn) AS csim,
+                 row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid
+                 ) AS crank
+          FROM n, c
+        )
+"""
+
+
+def _ensure_incr_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-then-append the incremental IVF store once per testdata
+    fingerprint: initial batch = vec_id % 4 == 0 (seeds the centroids),
+    appended batch = vec_id % 4 == 2 (assigned from the STORED centroids,
+    initial corpus never re-read). Eager like _ivf_index_path, cached the
+    same way; the _APPEND_DONE marker distinguishes a completed
+    build+append from a partial one (a partial store rebuilds from
+    scratch — build writes lists with mode=overwrite)."""
+    from counsel_data_pipeline_spark.io.fingerprint import derived_cache_dir
+
+    path = derived_cache_dir("counsel_ivf_incr", sf_dir, "embeddings")
+    marker = os.path.join(path, "_APPEND_DONE")
+    if not os.path.exists(marker):
+        emb = load_table(spark, sf_dir, "embeddings")
+        sim.build_ivf_index(
+            emb.filter(F.col("vec_id") % 4 == 0), path, n_centroids=16
+        )
+        sim.append_ivf_index(
+            spark, path, emb.filter(F.col("vec_id") % 4 == 2), gen=1
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+@register(
+    "sim_ivf_incremental_append",
+    oracle=_INCR_ORACLE_PREFIX
+    + """,
+        assigned AS (
+          SELECT vec_id, v, nrm, cid AS cell FROM ranked
+          WHERE crank = 1 AND vec_id % 2 = 0
+        ),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS qcell
+          FROM ranked WHERE vec_id % 2 = 1 AND vec_id < 16 AND crank <= 4
+        ),
+        s AS (
+          SELECT query_id, a.vec_id AS neighbor_id,
+                 list_dot_product(qv, a.v) / (qn * a.nrm) AS cosine
+          FROM assigned a JOIN q ON a.cell = qcell
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                 ) AS rank
+          FROM s
+        ) WHERE rank <= 5
+    """,
+    description="incremental IVF maintenance: append the vec_id%4==2 batch "
+    "to a store built from vec_id%4==0 (cells assigned from the STORED "
+    "centroids, O(batch x centroids), corpus never rescanned), then top-5 "
+    "ANN for 8 odd-id queries against the appended store",
+    tags=("llm", "similarity", "index", "incremental"),
+)
+def ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ensure_incr_store(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 16))
+    return sim.query_ivf_index(spark, path, queries, k=5, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "sim_ivf_centroid_drift",
+    oracle=_INCR_ORACLE_PREFIX
+    + """,
+        m AS (
+          SELECT cid AS cell, vec_id % 4 = 0 AS is_init,
+                 CAST(round(csim, 6) AS DECIMAL(30,6)) AS cosr
+          FROM ranked WHERE crank = 1 AND vec_id % 2 = 0
+        )
+        SELECT cell,
+               CAST(sum(CASE WHEN is_init THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_initial,
+               CASE WHEN sum(CASE WHEN is_init THEN 1 ELSE 0 END) > 0
+                    THEN CAST(round(sum(CASE WHEN is_init THEN cosr END), 6)
+                              AS DOUBLE)
+                         / sum(CASE WHEN is_init THEN 1 ELSE 0 END)
+               END AS avg_cos_initial,
+               CAST(sum(CASE WHEN is_init THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_appended,
+               CASE WHEN sum(CASE WHEN is_init THEN 0 ELSE 1 END) > 0
+                    THEN CAST(round(sum(CASE WHEN NOT is_init THEN cosr END), 6)
+                              AS DOUBLE)
+                         / sum(CASE WHEN is_init THEN 0 ELSE 1 END)
+               END AS avg_cos_appended
+        FROM m GROUP BY cell
+    """,
+    description="per-cell centroid-drift report over the incrementally "
+    "maintained store: member counts and mean member-to-centroid cosine for "
+    "the build generation vs the appended generation — the rebuild-trigger "
+    "signal of the production ANN loop (one scan of the lists, broadcast "
+    "centroids, centroid-table-sized output)",
+    tags=("llm", "similarity", "index", "incremental", "quality"),
+)
+def ivf_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_incr_store(spark, sf_dir)
+    return sim.ivf_centroid_drift(spark, path)

@@ -690,3 +690,75 @@ def test_keep_list_verdicts(spark):
     for d in (6, 7):  # 3-member exact group: star edges reach the middle member
         assert rows[d]["verdict"] == "drop" and rows[d]["reason"] == "exact"
         assert rows[d]["dup_of"] == 5
+
+
+def test_ivf_append_equals_rebuild(spark, tmp_path):
+    # Incremental maintenance invariant: appending a batch to the store
+    # (cells assigned from the STORED centroids) must produce exactly the
+    # store a from-scratch build over initial ∪ appended yields when
+    # seeded with the initial batch's centroids.
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.io.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    initial = emb.filter(F.col("vec_id") % 4 == 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 2)
+
+    incr = str(tmp_path / "incr")
+    sim.build_ivf_index(initial, incr, n_centroids=8)
+    sim.append_ivf_index(spark, incr, batch, gen=1)
+
+    scratch = str(tmp_path / "scratch")
+    sim.build_ivf_index(
+        initial.unionByName(batch), scratch, n_centroids=8,
+        centroid_source=initial,
+    )
+
+    def snap(path):
+        return {
+            (r.vec_id, r.cell, tuple(r.v))
+            for r in spark.read.parquet(f"{path}/lists").collect()
+        }
+
+    assert snap(incr) == snap(scratch)
+    cents_a = {
+        (r.cid, tuple(r.cv))
+        for r in spark.read.parquet(f"{incr}/centroids").collect()
+    }
+    cents_b = {
+        (r.cid, tuple(r.cv))
+        for r in spark.read.parquet(f"{scratch}/centroids").collect()
+    }
+    assert cents_a == cents_b
+    # generation bookkeeping: appended rows carry gen=1, build rows gen=0
+    gens = dict(
+        spark.read.parquet(f"{incr}/lists").groupBy("gen").count().collect()
+    )
+    assert set(gens) == {0, 1}
+
+
+def test_ivf_centroid_drift_report(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.io.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "store")
+    sim.build_ivf_index(emb.filter(F.col("vec_id") % 4 == 0), path, n_centroids=8)
+    sim.append_ivf_index(spark, path, emb.filter(F.col("vec_id") % 4 == 2), gen=1)
+    rows = sim.ivf_centroid_drift(spark, path).collect()
+    assert len(rows) == 8
+    n_init = sum(r.n_initial for r in rows)
+    n_app = sum(r.n_appended for r in rows)
+    assert n_init == emb.filter(F.col("vec_id") % 4 == 0).count()
+    assert n_app == emb.filter(F.col("vec_id") % 4 == 2).count()
+    for r in rows:
+        if r.n_initial:
+            assert -1.0 <= r.avg_cos_initial <= 1.0
+        else:
+            assert r.avg_cos_initial is None
+        if r.n_appended:
+            assert -1.0 <= r.avg_cos_appended <= 1.0
+        else:
+            assert r.avg_cos_appended is None
