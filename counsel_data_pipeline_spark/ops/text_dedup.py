@@ -157,6 +157,38 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup: pairs where the SMALLER shingle set is mostly
+    contained in the larger one — containment = inter / min(|A|, |B|).
+
+    Jaccard misses sub-document duplication (a paragraph pasted into a
+    much longer doc scores inter/union ≈ 0); containment is the standard
+    complement (Broder's resemblance vs containment). Reuses the
+    jaccard candidate machinery (shared-shingle equi-join + df cap as the
+    skew guard), so the scale shape is identical — only the final score
+    and filter differ. Returns (id_a, id_b, inter, size_a, size_b,
+    containment), id_a < id_b.
+    """
+    pairs = jaccard_pairs(
+        df, id_col, text_col, n, threshold=0.0, max_shingle_df=max_shingle_df
+    )
+    return (
+        pairs.withColumn(
+            "containment",
+            F.col("inter") / F.least(F.col("size_a"), F.col("size_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "inter", "size_a", "size_b", "containment")
+    )
+
+
 def _signature_rows(
     df: DataFrame,
     id_col: str,

@@ -751,3 +751,154 @@ def weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("source", "doc_id", "n_chars", "es_key", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination: the 100 TB shape of the benchmark-
+# overlap check. curation_decontam_overlap joins every corpus shingle
+# against the benchmark set; here the corpus stream instead passes through
+# a broadcast m-bit Bloom filter of the benchmark shingles — three
+# map-side broadcast word lookups per shingle, NO shuffle of the corpus —
+# and only may-hit shingles would need exact verification. The exact
+# verdict is carried alongside so the filter's false-positive behavior is
+# itself oracle-checked (no false NEGATIVES ever: a Bloom miss is
+# definitive, so dropped-from-verification docs are provably clean).
+# ---------------------------------------------------------------------------
+
+_DB_K, _DB_M, _DB_N = 3, 65536, 8  # hashes, bits, shingle width
+# DuckDB twin of ops/sketches.md5_bucket over a `shingle` column with a
+# `seed` column in scope (same shape as plans/sketches._bucket_sql)
+_DB_BUCKET = (
+    f"CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), ':', "
+    f"CAST(shingle AS VARCHAR))), 1, 8)) AS UBIGINT) % {_DB_M}"
+)
+
+
+@register(
+    "curation_decontam_bloom_prefilter",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, source, string_split_regex({_SQL_NORM}, ' ') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, source,
+                 unnest(list_transform(range(1, len(t) - {_DB_N - 2}),
+                        i -> array_to_string(t[i:i+{_DB_N - 1}], ' '))) AS shingle
+          FROM tok
+        ),
+        c AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+        b AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+        seeds AS (SELECT unnest(range({_DB_K})) AS seed),
+        pos AS (
+          SELECT DISTINCT {_DB_BUCKET} AS pos
+          FROM b CROSS JOIN seeds
+        ),
+        words AS (
+          SELECT pos // 32 AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+          FROM pos GROUP BY 1
+        ),
+        probed AS (
+          SELECT doc_id, shingle,
+                 bool_and(coalesce((bits >> CAST(pos % 32 AS INT)) & 1, 0) = 1)
+                   AS may
+          FROM (
+            SELECT doc_id, shingle, seed,
+                   {_DB_BUCKET} AS pos
+            FROM c CROSS JOIN seeds
+          ) p LEFT JOIN words ON (pos // 32) = word
+          GROUP BY doc_id, shingle
+        ),
+        shared AS (SELECT DISTINCT doc_id, shingle FROM c JOIN b USING (shingle))
+        SELECT p.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN may THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_maybe_shingles,
+               CAST(sum(CASE WHEN s.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_true_shared,
+               bool_or(may) AS may_contaminated,
+               bool_or(s.shingle IS NOT NULL) AS is_contaminated
+        FROM probed p
+        LEFT JOIN shared s ON p.doc_id = s.doc_id AND p.shingle = s.shingle
+        GROUP BY p.doc_id
+    """,
+    description=f"Bloom-prefiltered benchmark decontamination: corpus "
+    f"{_DB_N}-gram shingles pass through a broadcast {_DB_M}-bit/k={_DB_K} "
+    "md5-Bloom of the eval-set shingles — three map-side word lookups per "
+    "shingle, zero corpus shuffle before the per-doc aggregate; exact "
+    "verdict carried alongside (Bloom misses are provably clean, so only "
+    "may-hit docs ever need the exact join at scale)",
+    tags=("llm", "curation", "dedup", "sketch"),
+)
+def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops import sketches as sk
+    from counsel_data_pipeline_spark.ops.text_dedup import norm_text, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def shingled(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(
+                F.col("doc_id").alias(out_id),
+                F.explode_outer(
+                    word_shingles(norm_text(F.col("text")), _DB_N)
+                ).alias("shingle"),
+            )
+            .filter(F.col("shingle").isNotNull())
+            .distinct()
+        )
+
+    corpus_sh = shingled(docs.filter(F.col("source") != "src0"), "doc_id")
+    bench_sh = shingled(docs.filter(F.col("source") == "src0"), "bench_id")
+    bloom = sk.bloom_build(
+        bench_sh.select("shingle"), "shingle", _DB_K, _DB_M
+    )
+
+    # Three independent broadcast word lookups evaluated map-side on the
+    # corpus stream (one renamed copy of the <=m/32-row word table per
+    # hash) — the stream itself never shuffles until the per-doc aggregate.
+    probed = corpus_sh
+    bit_cols = []
+    for s in range(_DB_K):
+        pos = sk.md5_bucket(F.col("shingle"), s, _DB_M)
+        probed = probed.withColumn(f"__pos{s}", pos).withColumn(
+            f"__word{s}", (F.col(f"__pos{s}") / 32).cast("int")
+        )
+        w = bloom.select(
+            F.col("word").alias(f"__word{s}"), F.col("bits").alias(f"__bits{s}")
+        )
+        probed = probed.join(F.broadcast(w), f"__word{s}", "left")
+        bit_cols.append(
+            F.coalesce(
+                F.expr(f"shiftright(__bits{s}, CAST(__pos{s} % 32 AS INT)) & 1")
+                == 1,
+                F.lit(False),
+            )
+        )
+    may = bit_cols[0] & bit_cols[1] & bit_cols[2]
+    shared = (
+        corpus_sh.join(
+            F.broadcast(bench_sh.select("shingle").distinct()), "shingle"
+        )
+        .select("doc_id", "shingle")
+        .withColumn("__shared", F.lit(True))
+    )
+    return (
+        probed.withColumn("__may", may)
+        .join(shared, ["doc_id", "shingle"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__may"), 1).otherwise(0)).alias(
+                "n_maybe_shingles"
+            ),
+            F.sum(F.when(F.col("__shared"), 1).otherwise(0)).alias(
+                "n_true_shared"
+            ),
+            F.max(F.col("__may")).alias("may_contaminated"),
+            F.max(F.coalesce(F.col("__shared"), F.lit(False))).alias(
+                "is_contaminated"
+            ),
+        )
+    )

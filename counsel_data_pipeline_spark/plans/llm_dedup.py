@@ -742,3 +742,48 @@ def keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     from counsel_data_pipeline_spark.ops.clusters import keep_list_frame
 
     return keep_list_frame(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_containment_pairs",
+    # no df cap (mirrors the jaccard registration): the capped variant is
+    # the production path; the oracle checks the exact uncapped score
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS t FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter,
+               sa.sz AS size_a, sb.sz AS size_b,
+               CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.8
+    """,
+    description="asymmetric near-dup (Broder containment): pairs where the "
+    "smaller 3-gram shingle set is >= 80% contained in the larger — catches "
+    "sub-document duplication (a paragraph pasted into a longer doc) that "
+    "Jaccard's inter/union score misses; same candidate machinery and skew "
+    "guards as the jaccard path",
+    tags=("llm", "dedup"),
+)
+def containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return td.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.8,
+        max_shingle_df=None,
+    )

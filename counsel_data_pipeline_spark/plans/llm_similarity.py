@@ -645,3 +645,109 @@ def ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_incr_store(spark, sf_dir)
     return sim.ivf_centroid_drift(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space outlier scoring — the data-cleaning signal: vectors whose
+# direction is farthest from the corpus mean direction are mislabeled/noise
+# candidates in a training corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_embedding_outliers",
+    # parity grid: per-dim means via the decimal path (= dim-profile);
+    # the vector·mean dot product sums per-term round-to-1e-9 in exact
+    # DECIMAL (the BM25 trick) so the fold order can't drift; the vector
+    # norm is the established bit-exact left-to-right fold; mean-norm² is
+    # a 64-term rounded-decimal sum. The final division is one IEEE op
+    # over identical inputs.
+    oracle="""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+          WHERE sqrt(list_dot_product(v, v)) > 0
+        ),
+        x AS (
+          SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+          FROM n
+        ),
+        dims AS (
+          SELECT pos,
+                 CAST(round(sum(CAST(x AS DECIMAL(30,6))), 6) AS DOUBLE)
+                   / count(*) AS dm
+          FROM x GROUP BY pos
+        ),
+        mn AS (
+          SELECT sqrt(CAST(round(sum(CAST(round(dm * dm, 12)
+                   AS DECIMAL(30,12))), 12) AS DOUBLE)) AS mnorm
+          FROM dims
+        ),
+        dots AS (
+          SELECT vec_id,
+                 CAST(round(sum(CAST(round(x * dm, 9) AS DECIMAL(30,9))), 9)
+                   AS DOUBLE) AS dotm
+          FROM x JOIN dims USING (pos)
+          GROUP BY vec_id
+        )
+        SELECT n.vec_id, dotm / (nrm * mnorm) AS center_cos
+        FROM n JOIN dots USING (vec_id) CROSS JOIN mn
+        ORDER BY center_cos, n.vec_id
+        LIMIT 30
+    """,
+    description="embedding-space outlier report: the 30 vectors whose "
+    "direction is farthest (lowest cosine) from the corpus mean direction — "
+    "the noise/mislabel cleaning signal; one posexplode pass for the "
+    "64-row dim-mean table (broadcast back), per-vector dot via rounded-"
+    "decimal terms, no pairwise work anywhere",
+    tags=("llm", "similarity", "quality"),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.plans._parity import dec, to_double
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", sim.as_double_array(F.col("embedding")).alias("v")
+        )
+        .withColumn("nrm", sim.l2_norm(F.col("v")))
+        .filter(F.col("nrm") > 0)
+    )
+    x = emb.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    dims = x.groupBy("pos").agg(
+        (to_double(F.sum(dec("x")), 6) / F.count("x")).alias("dm")
+    )
+    mn = dims.agg(
+        F.sqrt(
+            to_double(
+                F.sum(
+                    F.round(F.col("dm") * F.col("dm"), 12).cast("decimal(30,12)")
+                ),
+                12,
+            )
+        ).alias("mnorm")
+    )
+    dots = (
+        x.join(F.broadcast(dims), "pos")
+        .groupBy("vec_id")
+        .agg(
+            to_double(
+                F.sum(
+                    F.round(F.col("x") * F.col("dm"), 9).cast("decimal(30,9)")
+                ),
+                9,
+            ).alias("dotm")
+        )
+    )
+    return (
+        emb.join(dots, "vec_id")
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "vec_id",
+            (F.col("dotm") / (F.col("nrm") * F.col("mnorm"))).alias("center_cos"),
+        )
+        .orderBy("center_cos", "vec_id")
+        .limit(30)
+    )

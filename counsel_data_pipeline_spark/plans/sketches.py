@@ -30,6 +30,14 @@ def _bucket_sql(key_sql: str, width: int) -> str:
     )
 
 
+def _bucket_sql_const(seed: int, key_sql: str, width: int) -> str:
+    """DuckDB twin of ops/sketches.md5_bucket with a LITERAL seed."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{seed}:', "
+        f"CAST({key_sql} AS VARCHAR))), 1, 8)) AS UBIGINT) % {width}"
+    )
+
+
 @register(
     "sketch_cms_user_counts",
     oracle=f"""
@@ -163,3 +171,114 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_quantiles")[1].alias("p90"),
         F.col("approx_quantiles")[2].alias("p99"),
     ).orderBy("event_type")
+
+
+_SQ_SEED, _SQ_RATE = 41, 10  # 10% deterministic sample
+
+
+@register(
+    "sketch_sampled_quantiles",
+    # r6: an oracle-CHECKABLE quantile sketch beside the rows-only KLL
+    # twin (sketch_value_quantiles): a deterministic md5 10% row sample
+    # (union-mergeable, replay-idempotent — the same hash-filter shape as
+    # curation_hash_split) + exact interpolated percentiles over the
+    # sample. percentile ≡ quantile_cont is bit-equal cross-engine
+    # (agg_order_value_percentiles), and the sample membership is md5,
+    # so the whole estimate hash-matches.
+    oracle=f"""
+        SELECT event_type,
+               quantile_cont(value, 0.50) AS p50_est,
+               quantile_cont(value, 0.90) AS p90_est,
+               quantile_cont(value, 0.99) AS p99_est,
+               CAST(count(*) AS BIGINT) AS sample_n
+        FROM events
+        WHERE {_bucket_sql_const(_SQ_SEED, 'event_id', 100)} < {_SQ_RATE}
+        GROUP BY event_type
+    """,
+    description=f"sampled-quantile sketch: deterministic md5 {_SQ_RATE}% row "
+    "sample (mergeable, idempotent under replay) + exact interpolated "
+    "p50/p90/p99 per event type — the oracle-checkable alternative to the "
+    "engine-internal KLL; the per-group sort runs over the sample, not the "
+    "stream",
+    tags=("sketch", "events", "sampling"),
+)
+def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sample = ev.filter(
+        sk.md5_bucket(F.col("event_id"), _SQ_SEED, 100) < _SQ_RATE
+    )
+    return sample.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.50D)").alias("p50_est"),
+        F.expr("percentile(value, 0.90D)").alias("p90_est"),
+        F.expr("percentile(value, 0.99D)").alias("p99_est"),
+        F.count(F.lit(1)).alias("sample_n"),
+    )
+
+
+# Skew-audit sketch: a wider CMS (overestimate ~ N/width must stay small
+# against the skew margin, so the width scales with N, not the key count)
+# and a threshold relative to the MEAN key frequency — the shape a salting
+# decision needs ("which keys run hot?"), robust to uniform-ish data where
+# fraction-of-N heavy hitters are degenerate.
+_HH_WIDTH, _HH_FACTOR = 8192, 1.2
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+        WITH seeds AS (SELECT unnest(range({_CMS_DEPTH})) AS seed),
+        cms AS (
+          SELECT seed, {_bucket_sql('user_id', _HH_WIDTH)} AS bucket,
+                 count(*) AS cnt
+          FROM events CROSS JOIN seeds
+          GROUP BY 1, 2
+        ),
+        probes AS (SELECT DISTINCT user_id AS key FROM events),
+        n AS (
+          SELECT count(*) AS total, (SELECT count(*) FROM probes) AS nk
+          FROM events
+        ),
+        est AS (
+          SELECT key, min(cnt) AS est_cnt
+          FROM (SELECT key, seed, {_bucket_sql('key', _HH_WIDTH)} AS bucket
+                FROM probes CROSS JOIN seeds) p
+          JOIN cms USING (seed, bucket)
+          GROUP BY key
+        ),
+        tru AS (SELECT user_id AS key, count(*) AS true_cnt FROM events GROUP BY 1)
+        SELECT key, est_cnt, true_cnt,
+               true_cnt >= {_HH_FACTOR} * total / nk AS is_true_hot
+        FROM est JOIN tru USING (key) CROSS JOIN n
+        WHERE est_cnt >= {_HH_FACTOR} * total / nk
+    """,
+    description=f"sketch-driven skew audit: keys whose {_CMS_DEPTH}x{_HH_WIDTH} "
+    f"CMS estimate exceeds {_HH_FACTOR}x the mean key frequency — the hot-key "
+    "candidates a salting strategy would split, found without a full per-key "
+    "count shuffle; CM never underestimates, so no hot key is missed "
+    "(is_true_hot marks the sketch's false positives)",
+    tags=("sketch", "events", "skew"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sketch = sk.cms_build(ev, "user_id", _CMS_DEPTH, _HH_WIDTH)
+    probes = ev.select("user_id").distinct()
+    est = sk.cms_estimate(sketch, probes, "user_id", _CMS_DEPTH, _HH_WIDTH)
+    true = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    totals = ev.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("user_id").alias("nk"),
+    )
+    thresh = F.lit(_HH_FACTOR) * F.col("total") / F.col("nk")
+    return (
+        est.join(true, "key")
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("est_cnt") >= thresh)
+        .select(
+            "key",
+            "est_cnt",
+            "true_cnt",
+            (F.col("true_cnt") >= thresh).alias("is_true_hot"),
+        )
+    )

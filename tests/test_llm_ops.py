@@ -762,3 +762,19 @@ def test_ivf_centroid_drift_report(spark, tmp_path):
             assert -1.0 <= r.avg_cos_appended <= 1.0
         else:
             assert r.avg_cos_appended is None
+
+
+def test_containment_catches_subdocument_duplication(spark):
+    # A paragraph pasted verbatim into a much longer doc: jaccard is
+    # diluted below its 0.5 gate, containment stays ~1.0.
+    para = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    filler = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, para), (2, para + " " + filler)], "doc_id long, text string"
+    )
+    cont = td.containment_pairs(docs, n=3, threshold=0.8, max_shingle_df=None)
+    rows = cont.collect()
+    assert len(rows) == 1 and (rows[0].id_a, rows[0].id_b) == (1, 2)
+    assert rows[0].containment == 1.0
+    jac = td.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
+    assert jac.count() == 0  # the pair jaccard's gate misses

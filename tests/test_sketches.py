@@ -233,3 +233,41 @@ def test_decontaminate_finds_planted_overlap(spark):
     assert [r.doc_id for r in out] == [1]
     assert out[0].n_benchmark_docs == 1
     assert out[0].n_shared_shingles >= 3
+
+
+def test_sampled_quantiles_track_exact(events):
+    # The md5 10% sample's interpolated percentiles should sit near the
+    # exact full-data percentiles (sanity of the sketch's accuracy).
+    from counsel_data_pipeline_spark.catalog import all_queries
+
+    out = {
+        r.event_type: r
+        for r in all_queries()["sketch_sampled_quantiles"]
+        .fn(events.sparkSession, SF)
+        .collect()
+    }
+    exact = {
+        r.event_type: r.m
+        for r in events.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    assert out.keys() == exact.keys()
+    for k, r in out.items():
+        assert r.sample_n > 0
+        # quantile-estimate noise shrinks ~1/sqrt(n); at sf0.001 the 10%
+        # sample is ~17 rows/group, so the bound must scale with it
+        tol = max(1.0, 3.0 * abs(exact[k]) / (r.sample_n ** 0.5))
+        assert abs(r.p50_est - exact[k]) <= tol
+
+
+def test_bloom_decontam_prefilter_no_false_negatives(spark):
+    # A Bloom miss must be definitive: every truly-contaminated doc is
+    # flagged may_contaminated (the prefilter can never drop a dirty doc).
+    from counsel_data_pipeline_spark.catalog import all_queries
+
+    out = all_queries()["curation_decontam_bloom_prefilter"].fn(spark, SF)
+    bad = out.filter(F.col("is_contaminated") & ~F.col("may_contaminated"))
+    assert bad.count() == 0
+    # and the exact-shared count never exceeds the bloom-hit count
+    assert out.filter(F.col("n_true_shared") > F.col("n_maybe_shingles")).count() == 0
