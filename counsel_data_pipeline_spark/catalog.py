@@ -68,80 +68,76 @@ def register(
 # registration order. Rotate per round: once a family has its green
 # CORRECTNESS row, swap the next unverified family in.
 #
-# Round 5 window: the driver regenerated events.parquet mid-round-4
-# (ts -> timestamp[us]/NTZ), so every green row from r1/r2 predates the
-# current environment. This window re-attests (a) the two queries that were
-# BROKEN by the drift and are now fixed at the load boundary
-# (events_sessionize_30m — red in r4; window_rolling_7day_user_value —
-# r2-green but broken today pre-fix), (b) the new native-session-window
-# twin, (c) every other query whose last driver row is r1/r2 — events/
-# sketch families first since their inputs physically changed. r4-green
-# rows (48 queries) are fresh against the new data and yield their slots.
-# Twelve stale-but-lowest-risk queries (TPC-H q1, q6, q13, q16, q17, q19,
-# order_value_histogram, order_gap_days, part_price_rank, and the three
-# customer/orders window queries customer_balance_quartiles,
-# running_customer_spend, top3_orders_per_customer — none reads events)
-# are deferred to the r6 window to make room for the eight new r5 queries
-# (incl. the six late-r5 queries text_bm25_search /
-# curation_weighted_sample / text_source_entropy / text_bigram_lm_score /
-# sim_ivf_persisted_query / quality_token_drift_psi;
-# tpch_top_customer_per_nation, tpch_q8_market_share and
-# tpch_q7_volume_shipping join the r6 deferrals).
+# Round 6 window (ledger in COVERAGE.md): (a) the nine queries that have
+# never had a driver row — the eight new-in-r6 operators plus
+# curation_weighted_sample_stratified, which registered past r5's 50-slot
+# window; (b) three r5/r6-changed queries whose existing green rows
+# attest a superseded oracle or implementation (dedup_duplicate_spans:
+# span-hash shuffle projection mirrored into the oracle;
+# sim_ivf_persisted_query: oracle centroid derivation decoupled from the
+# id layout; sketch_hll_distinct_users: flipped from no_oracle to the
+# md5-register HLL); (c) the seventeen queries whose last green row is
+# r2 — the only rows that still predate the r4 testdata regeneration
+# (incl. tpch_q1_pricing_summary, rewritten this round on integer
+# cents); (d) twenty-one r4-attested queries as fill, oldest evidence
+# first, diverse across the multimodal/similarity/dedup/text families.
+# The fifty r5-green rows are current and yield their slots.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- broken by the r4 testdata drift, fixed this round --
-    "events_sessionize_30m",
-    "window_rolling_7day_user_value",
-    # -- new in r5 --
-    "events_sessionize_native_window",
-    "curation_gopher_filters",
-    "dedup_duplicate_spans",
-    "curation_shuffle_order",
-    "curation_c4_filters",
-    "llm_corpus_prep_v2",
-    "dedup_keep_list",
-    "quality_profile_documents",
-    "text_bm25_search",
-    "curation_weighted_sample",
-    "text_source_entropy",
-    "text_bigram_lm_score",
-    "sim_ivf_persisted_query",
-    "quality_token_drift_psi",
-    # -- events-reading queries whose green rows predate the regeneration --
-    "window_event_value_delta",
-    "window_fill_forward_last_purchase",
-    "sketch_cms_user_counts",
+    # -- (a) never driver-attested: new in r6 --
+    "streaming_weighted_reservoir",
+    "sim_ivf_incremental_append",
+    "sim_ivf_centroid_drift",
+    "sketch_sampled_quantiles",
+    "sketch_cms_heavy_hitters",
+    "curation_decontam_bloom_prefilter",
+    "quality_embedding_outliers",
+    "dedup_containment_pairs",
+    # -- (a) registered past r5's window, locally green since r5 --
+    "curation_weighted_sample_stratified",
+    # -- (b) green rows superseded by r6 oracle/implementation changes --
     "sketch_hll_distinct_users",
-    "sketch_value_quantiles",
-    # -- remaining r1/r2-attested queries (stale vs current environment) --
-    "agg_brand_volume",
-    "agg_order_value_percentiles",
-    "cube_orders_status_priority",
-    "grouping_sets_lineitem",
-    "join_anti_customers_without_orders",
-    "join_outer_nation_customer_counts",
-    "join_semi_suppliers_of_big_items",
-    "ops_clean_anchor_extract",
-    "ops_first_wins_dedup",
-    "ops_keyed_merge_two_sources",
-    "ops_snapshot_carry_forward",
-    "ops_stable_sort_topk",
-    "quality_profile_lineitem",
-    "quality_referential_integrity",
-    "rollup_revenue_region_nation",
-    "setop_lapsed_buyers_except",
-    "setop_repeat_buyers_intersect",
-    "setop_union_priority_buckets",
-    "sketch_bloom_custkey_probe",
-    "text_bpe_token_counts",
-    "text_tfidf_top_terms",
-    "text_top_ngrams_per_lang",
-    "tpch_copurchase_part_pairs",
-    "tpch_q10_returned_customers",
-    "tpch_q18_large_volume",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "window_balance_quartiles_distributed",
+    "dedup_duplicate_spans",
+    "sim_ivf_persisted_query",
+    # -- (c) last green row is r2 (pre-regeneration evidence) --
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_part_supplier_diversity",
+    "tpch_q17_small_quantity",
+    "tpch_q19_like_disjunctive",
+    "tpch_order_value_histogram",
+    "tpch_quantity_discount_correlation",
+    "tpch_top_customer_per_nation",
+    "window_customer_balance_quartiles",
+    "window_order_gap_days",
+    "window_part_price_rank",
+    "window_running_customer_spend",
+    "window_top3_orders_per_customer",
+    # -- (d) r4-attested fill, family-diverse --
+    "multimodal_binary_stats",
+    "multimodal_decode_metadata",
+    "multimodal_frame_sample_stats",
+    "sim_cosine_topk_bruteforce",
+    "sim_ivf_topk",
+    "sim_lsh_bucketed_topk",
+    "sim_quantized_topk",
+    "sim_embedding_dim_profile",
+    "sim_neighbor_doc_quality",
+    "dedup_exact_content_hash",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_incremental_batch",
+    "dedup_semantic_blocked_pairs",
+    "dedup_fuzzy_fingerprint_block",
+    "dedup_connected_clusters",
+    "dedup_embedding_cosine_topn",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_fingerprints",
 )
 
 
