@@ -85,6 +85,7 @@ def register(
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) never driver-attested: new in r6 --
     "streaming_weighted_reservoir",
+    "streaming_cms_user_counts",
     "sim_ivf_incremental_append",
     "sim_ivf_centroid_drift",
     "sketch_sampled_quantiles",
@@ -137,7 +138,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_embedding_cosine_topn",
     "text_lang_id",
     "text_quality_scores",
-    "text_fingerprints",
 )
 
 

@@ -106,3 +106,104 @@ def streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema).select(
         "doc_id", "source", "n_chars", "es_key"
     )
+
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 64  # must match sketch_cms_user_counts
+
+
+def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events(user_id) staged as N parquet files (one micro-batch each),
+    cached by source fingerprint like the documents staging."""
+    stage = derived_cache_dir("counsel_stream_stage_events", sf_dir, "events")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").select("user_id").repartition(
+            _N_FILES
+        ).write.mode("overwrite").parquet(stage)
+    return stage
+
+
+@register(
+    "streaming_cms_user_counts",
+    # Identical oracle to sketch_cms_user_counts: every CMS counter is a
+    # plain count, so the counter-wise SUM of per-micro-batch partials
+    # equals the batch-built sketch — streamed maintenance changes the
+    # execution, not the value.
+    oracle=f"""
+        WITH seeds AS (SELECT unnest(range({_CMS_DEPTH})) AS seed),
+        cms AS (
+          SELECT seed,
+                 CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), ':',
+                      CAST(user_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                   % {_CMS_WIDTH} AS bucket,
+                 count(*) AS cnt
+          FROM events CROSS JOIN seeds
+          GROUP BY 1, 2
+        ),
+        probes AS (SELECT DISTINCT user_id AS key FROM events),
+        est AS (
+          SELECT key, min(cnt) AS est_cnt
+          FROM (SELECT key, seed,
+                       CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR),
+                            ':', CAST(key AS VARCHAR))), 1, 8)) AS UBIGINT)
+                         % {_CMS_WIDTH} AS bucket
+                FROM probes CROSS JOIN seeds) p
+          JOIN cms USING (seed, bucket)
+          GROUP BY key
+        ),
+        tru AS (SELECT user_id AS key, count(*) AS true_cnt FROM events GROUP BY 1)
+        SELECT key, est_cnt, true_cnt, est_cnt - true_cnt AS overestimate
+        FROM est JOIN tru USING (key)
+    """,
+    description=f"CMS maintained BY Structured Streaming: an AvailableNow "
+    f"stream over {_N_FILES} staged micro-batches writes one "
+    f"{_CMS_DEPTH}x{_CMS_WIDTH} partial per batch, partials merge by "
+    "counter addition, and the merged sketch answers the same per-user "
+    "frequency estimates as the batch-built CMS — verified against the "
+    "identical oracle (streamed maintenance changes execution, not values)",
+    tags=("sketch", "events", "streaming"),
+)
+def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.ops import sketches as sk
+    from counsel_data_pipeline_spark.streaming.sketches import (
+        merge_cms_partials,
+        run_cms_stream,
+    )
+
+    stage = _staged_events_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="counsel_stream_cms_")
+    try:
+        stream = (
+            spark.readStream.schema("user_id BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        partials = run_cms_stream(
+            stream,
+            "user_id",
+            _CMS_DEPTH,
+            _CMS_WIDTH,
+            partials_path=os.path.join(work, "partials"),
+            checkpoint_path=os.path.join(work, "ckpt"),
+        )
+        merged = merge_cms_partials(spark, partials)
+        # the merged sketch is bounded (<= depth*width rows) — collect it
+        # so the scratch dir can be removed before returning
+        sketch_rows = merged.collect()
+        sketch_schema = merged.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    sketch = spark.createDataFrame(sketch_rows, sketch_schema)
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.select("user_id").distinct()
+    est = sk.cms_estimate(sketch, probes, "user_id", _CMS_DEPTH, _CMS_WIDTH)
+    true = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    return est.join(true, "key").select(
+        "key",
+        "est_cnt",
+        "true_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).alias("overestimate"),
+    )

@@ -31,13 +31,16 @@ def run_cms_stream(
     depth: int = 4,
     width: int = 64,
     partials_path: str | None = None,
+    checkpoint_path: str | None = None,
 ) -> str:
     """Consume a streaming DataFrame with Trigger.AvailableNow, writing one
     CMS partial (depth×width counters) per micro-batch. Returns the
     partials path (an append-only parquet log of (batch_id, seed, bucket,
-    cnt) — at real scale, a tiny keyed table)."""
+    cnt) — at real scale, a tiny keyed table). Pass ``checkpoint_path``
+    to keep the checkpoint inside a caller-owned scratch dir (so the
+    caller's cleanup removes it)."""
     out = partials_path or tempfile.mkdtemp(prefix="cms_partials_")
-    ckpt = tempfile.mkdtemp(prefix="ckpt_cms_")
+    ckpt = checkpoint_path or tempfile.mkdtemp(prefix="ckpt_cms_")
 
     def write_partial(batch_df: DataFrame, batch_id: int) -> None:
         (
