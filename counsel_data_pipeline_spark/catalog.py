@@ -86,6 +86,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) never driver-attested: new in r6 --
     "streaming_weighted_reservoir",
     "streaming_cms_user_counts",
+    "incremental_orders_state_merge",
+    "join_bucketed_order_revenue",
     "sim_ivf_incremental_append",
     "sim_ivf_centroid_drift",
     "sketch_sampled_quantiles",
@@ -136,8 +138,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_fuzzy_fingerprint_block",
     "dedup_connected_clusters",
     "dedup_embedding_cosine_topn",
-    "text_lang_id",
-    "text_quality_scores",
 )
 
 

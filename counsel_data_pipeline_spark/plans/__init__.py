@@ -8,6 +8,7 @@ from counsel_data_pipeline_spark.plans import (  # noqa: F401
     llm_multimodal,
     llm_similarity,
     llm_text,
+    maintenance,
     quality,
     reference_ops,
     rollup,
