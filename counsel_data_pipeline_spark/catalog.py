@@ -86,6 +86,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) never driver-attested: new in r6 --
     "streaming_weighted_reservoir",
     "streaming_cms_user_counts",
+    "streaming_incremental_dedup",
     "incremental_orders_state_merge",
     "join_bucketed_order_revenue",
     "sim_ivf_incremental_append",
@@ -137,7 +138,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_semantic_blocked_pairs",
     "dedup_fuzzy_fingerprint_block",
     "dedup_connected_clusters",
-    "dedup_embedding_cosine_topn",
 )
 
 

@@ -207,3 +207,190 @@ def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_cnt",
         (F.col("est_cnt") - F.col("true_cnt")).alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest dedup: every micro-batch judged against the accumulated
+# corpus store — the central streaming operator of an LLM data pipeline
+# ---------------------------------------------------------------------------
+
+_ID_N_BATCHES = 4
+_ID_NH, _ID_BANDS, _ID_THRESH = 16, 4, 0.5
+
+
+def _staged_range_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """documents staged as ascending doc_id-range files, one micro-batch
+    each, with strictly increasing mtimes so FileStreamSource's
+    modification-time ordering replays them in range order. Arrival order
+    therefore equals doc_id order, which makes the stream's
+    first-arrival-wins verdicts a deterministic function of the data —
+    exactly what the oracle needs. (The ntile staging window is
+    single-partition, but staging is a one-time test-scale convenience;
+    a production ingest is already arriving in time order.)"""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import Window
+
+    stage = derived_cache_dir("counsel_stream_stage_docranges", sf_dir, "documents")
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        from pyspark.sql import functions as F
+
+        with_b = docs.withColumn(
+            "b", F.ntile(_ID_N_BATCHES).over(Window.orderBy("doc_id")) - 1
+        )
+        os.makedirs(stage, exist_ok=True)
+        now = _time.time()
+        for k in range(_ID_N_BATCHES):
+            tmp = os.path.join(stage, f"tmp{k}")
+            with_b.filter(F.col("b") == k).drop("b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stage, f"{k:03d}.parquet")
+            os.replace(src, dst)
+            _shutil.rmtree(tmp)
+            os.utime(dst, (now + k, now + k))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return stage
+
+
+def _streaming_dedup_oracle() -> str:
+    """DuckDB twin of the streamed incremental dedup: batches are ntile
+    quartiles of doc_id order; a doc's 'existing' corpus is every earlier
+    batch, its 'new' peers are lower-id batchmates — the same verdict
+    lattice as dedup_incremental_batch's oracle, with the odd/even split
+    replaced by the batch relation."""
+    from counsel_data_pipeline_spark.ops import text_dedup as td
+
+    nh, bands = _ID_NH, _ID_BANDS
+    rows = nh // bands
+    w1, w2 = td.sql_md5_words("shingle")
+    hs = ",\n                 ".join(
+        f"min(({a} * w1 + {b} * w2 + {c}) % 4294967296) AS h{i}"
+        for i, (a, b, c) in enumerate(td.mh_coeffs(nh))
+    )
+    band_rows = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(','"
+        + "".join(f", h{b * rows + r}" for r in range(rows))
+        + f") AS bucket, {', '.join(f'h{i}' for i in range(nh))} FROM sig"
+        for b in range(bands)
+    )
+    est = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(nh)
+    )
+    norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH docs0 AS (
+          SELECT doc_id, {norm} AS nt FROM documents
+        ),
+        bt AS (
+          SELECT doc_id,
+                 ntile({_ID_N_BATCHES}) OVER (ORDER BY doc_id) - 1 AS bat
+          FROM docs0
+        ),
+        hashes AS (
+          SELECT d.doc_id, md5(nt) AS h, bat
+          FROM docs0 d JOIN bt USING (doc_id)
+        ),
+        exact_ex AS (
+          SELECT n.doc_id, min(e.doc_id) AS p
+          FROM hashes n JOIN hashes e ON e.h = n.h AND e.bat < n.bat
+          GROUP BY n.doc_id
+        ),
+        exact_nw AS (
+          SELECT n.doc_id, min(e.doc_id) AS p
+          FROM hashes n JOIN hashes e
+            ON e.h = n.h AND e.bat = n.bat AND e.doc_id < n.doc_id
+          GROUP BY n.doc_id
+        ),
+        toks AS (
+          SELECT doc_id, string_split_regex(nt, ' ') AS t FROM docs0
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks
+        ),
+        w AS (SELECT doc_id, {w1} AS w1, {w2} AS w2 FROM sh),
+        sig AS (
+          SELECT doc_id,
+                 {hs}
+          FROM w GROUP BY doc_id
+        ),
+        banded AS (
+          {band_rows}
+        ),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS id_a,
+                 ba.bat AS bat_a, bb.bat AS bat_b,
+                 ({est}) / {float(nh)} AS est
+          FROM banded a JOIN banded b USING (band, bucket)
+          JOIN bt ba ON ba.doc_id = a.doc_id
+          JOIN bt bb ON bb.doc_id = b.doc_id
+          WHERE (ba.bat < bb.bat)
+             OR (ba.bat = bb.bat AND a.doc_id < b.doc_id)
+        ),
+        near AS (
+          SELECT doc_id,
+                 min(CASE WHEN bat_a < bat_b THEN id_a END) AS pex,
+                 min(CASE WHEN bat_a = bat_b THEN id_a END) AS pnw
+          FROM cand WHERE est >= {_ID_THRESH} GROUP BY doc_id
+        )
+        SELECT n.doc_id,
+               CASE WHEN ee.p IS NOT NULL THEN 'exact_existing'
+                    WHEN en.p IS NOT NULL THEN 'exact_new'
+                    WHEN nr.pex IS NOT NULL THEN 'near_existing'
+                    WHEN nr.pnw IS NOT NULL THEN 'near_new'
+                    ELSE 'unique' END AS verdict,
+               COALESCE(ee.p, en.p, nr.pex, nr.pnw, -1) AS dup_of,
+               CAST(n.bat AS BIGINT) AS batch_id
+        FROM hashes n
+        LEFT JOIN exact_ex ee ON ee.doc_id = n.doc_id
+        LEFT JOIN exact_nw en ON en.doc_id = n.doc_id
+        LEFT JOIN near nr ON nr.doc_id = n.doc_id
+    """
+
+
+@register(
+    "streaming_incremental_dedup",
+    oracle=_streaming_dedup_oracle(),
+    description=f"ingest dedup BY Structured Streaming: {_ID_N_BATCHES} "
+    "ascending doc_id-range micro-batches, each judged against the "
+    "persisted signature store of every prior batch (exact md5 + MinHash "
+    "band candidates; existing text never re-read) — the first-arrival "
+    "verdict lattice, deterministic because arrival order equals id order, "
+    "verified against a full DuckDB oracle",
+    tags=("llm", "dedup", "incremental", "streaming"),
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.streaming.incremental import (
+        run_incremental_dedup_stream,
+    )
+
+    stage = _staged_range_batches_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="counsel_stream_dedup_")
+    try:
+        verdicts = run_incremental_dedup_stream(
+            spark,
+            input_dir=stage,
+            work_dir=work,
+            schema="doc_id BIGINT, text STRING",
+            max_files_per_trigger=1,
+            n=3,
+            n_hashes=_ID_NH,
+            bands=_ID_BANDS,
+            est_threshold=_ID_THRESH,
+        )
+        rows = verdicts.collect()
+        schema = verdicts.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).select(
+        "doc_id", "verdict", "dup_of", "batch_id"
+    )
