@@ -167,3 +167,58 @@ def oov_trigram_ratio_frame(docs, vocab_size: int = 100):
         .otherwise(F.lit(0.0))
         .alias("oov_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: hashing-trick linear classifier
+# ---------------------------------------------------------------------------
+
+#: hashed feature space and weight grid for hashed_linear_score — the
+#: weight for a token is derived deterministically from md5 so the scorer
+#: (and therefore the keep/drop verdict) is reproducible in any engine
+#: with md5, which is what makes the filter oracle-checkable end to end.
+HASH_CLS_BUCKETS = 1024
+HASH_CLS_WEIGHT_RANGE = 2001  # weights are integers in [-1000, 1000]
+HASH_CLS_SEED_BUCKET = 101
+HASH_CLS_SEED_WEIGHT = 202
+
+
+def hashed_linear_score(tokens: Column) -> Column:
+    """fastText-style hashing-trick linear classifier score (×1000, exact).
+
+    Each token hashes into one of HASH_CLS_BUCKETS feature buckets
+    (hashing trick — no vocabulary table to broadcast or look up), and
+    each bucket carries a fixed integer weight in [-1000, 1000] derived
+    from md5 of the bucket id. The document score is the plain sum of its
+    token weights — a linear model over hashed bag-of-words features, the
+    shape of the fastText / quality-classifier filters used by C4-style
+    corpus curation (reference analogy: the rule-based keep/drop gates in
+    ops/curation.py; this is their model-based sibling).
+
+    Returns the UNnormalized BIGINT score-sum; divide by
+    (n_tokens × 1000) for the mean-pooled score in [-1, 1]. Everything is
+    integer arithmetic inside a per-row array fold — zero shuffles, zero
+    UDFs, and bit-identical in any md5-capable engine. At 100 TB this is
+    a map-only pass fused into whatever scan precedes it.
+
+    In production the md5-derived weight grid would be replaced by a
+    trained weight table keyed by bucket id (a ≤HASH_CLS_BUCKETS-row
+    broadcast join, or a literal array baked into the plan); the hashing,
+    pooling, and thresholding machinery is identical.
+    """
+
+    def bucket(col: Column, seed: int, width: int) -> Column:
+        payload = F.concat(F.lit(f"{seed}:"), col.cast("string"))
+        h = F.conv(F.substring(F.md5(F.encode(payload, "UTF-8")), 1, 8), 16, 10)
+        return h.cast("bigint") % width
+
+    def weight(t: Column) -> Column:
+        b = bucket(t, HASH_CLS_SEED_BUCKET, HASH_CLS_BUCKETS)
+        return (
+            bucket(b.cast("string"), HASH_CLS_SEED_WEIGHT, HASH_CLS_WEIGHT_RANGE)
+            - (HASH_CLS_WEIGHT_RANGE - 1) // 2
+        )
+
+    return F.aggregate(
+        F.transform(tokens, weight), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )

@@ -138,3 +138,139 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucketed join plan contains an Exchange — co-location lost"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout vs single-column sort: zone-map pruning audit
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from counsel_data_pipeline_spark.ops.partitioning import morton_interleave8_sql
+
+    z = morton_interleave8_sql("bx", "by")
+    return f"""
+        -- Layout planner audit: assign each lineitem row to one of 256
+        -- shards under (a) Z-order on (l_partkey, l_suppkey) and (b) a
+        -- plain l_partkey sort, compute per-shard zone maps (min/max of
+        -- both keys), then count how many shards a 2-D box predicate
+        -- (middle partkey quarter x middle suppkey quarter) can touch
+        -- after zone-map pruning. Buckets are range-based
+        -- (key*256 // (max+1)) so shard order preserves locality; all
+        -- arithmetic is integer, shifts included.
+        WITH mx AS (
+          SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem
+        ),
+        b AS (
+          SELECT l_partkey AS pk, l_suppkey AS sk,
+                 (l_partkey * 256) // (mp + 1) AS bx,
+                 (l_suppkey * 256) // (ms + 1) AS by,
+                 (mp >> 2) AS p_lo, (mp >> 1) AS p_hi,
+                 (ms >> 2) AS s_lo, (ms >> 1) AS s_hi
+          FROM lineitem CROSS JOIN mx
+        ),
+        assigned AS (
+          SELECT pk, sk, p_lo, p_hi, s_lo, s_hi,
+                 ({z}) >> 8 AS shard_z,
+                 bx AS shard_lin
+          FROM b
+        ),
+        box AS (
+          SELECT CAST(count(*) AS BIGINT) AS rows_in_box FROM assigned
+          WHERE pk BETWEEN p_lo AND p_hi AND sk BETWEEN s_lo AND s_hi
+        ),
+        zones AS (
+          SELECT layout, shard, min(pk) AS min_p, max(pk) AS max_p,
+                 min(sk) AS min_s, max(sk) AS max_s,
+                 max(p_lo) AS p_lo, max(p_hi) AS p_hi,
+                 max(s_lo) AS s_lo, max(s_hi) AS s_hi
+          FROM (
+            SELECT 'zorder' AS layout, shard_z AS shard, * FROM assigned
+            UNION ALL
+            SELECT 'partkey_sort', shard_lin, * FROM assigned
+          )
+          GROUP BY 1, 2
+        )
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(sum(CASE WHEN min_p <= p_hi AND max_p >= p_lo
+                              AND min_s <= s_hi AND max_s >= s_lo
+                        THEN 1 ELSE 0 END) AS BIGINT) AS shards_touched,
+               (SELECT rows_in_box FROM box) AS rows_in_box
+        FROM zones
+        GROUP BY layout
+    """
+
+
+@register(
+    "layout_zorder_pruning",
+    oracle=_zorder_oracle(),
+    description="data-layout audit: Z-order (Morton) sharding on "
+    "(l_partkey, l_suppkey) vs plain partkey sort — per-shard zone maps, "
+    "then the shard count a 2-D box predicate touches under each layout "
+    "(the OPTIMIZE ZORDER story: multidimensional data skipping from "
+    "min/max file stats; one shuffle per layout, 256-row zone tables)",
+    tags=("layout", "tpch", "planner"),
+    bench=True,
+)
+def zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies WHY a 100 TB table queried on two dimensions should be
+    written in Z-order: under a partkey-only sort the middle-quarter
+    suppkey predicate prunes nothing (every shard's suppkey zone spans the
+    full range), while the Morton layout bounds both dimensions per shard.
+    The audit itself is scale-safe — two bounded aggregations whose output
+    is shard-count-sized, with the two-key max broadcast back."""
+    from counsel_data_pipeline_spark.ops.partitioning import morton_interleave8
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    )
+    mx = li.agg(F.max("pk").alias("mp"), F.max("sk").alias("ms"))
+    b = li.crossJoin(F.broadcast(mx)).select(
+        "pk",
+        "sk",
+        F.expr("div(pk * 256, mp + 1)").alias("bx"),
+        F.expr("div(sk * 256, ms + 1)").alias("by"),
+        F.shiftright(F.col("mp"), 2).alias("p_lo"),
+        F.shiftright(F.col("mp"), 1).alias("p_hi"),
+        F.shiftright(F.col("ms"), 2).alias("s_lo"),
+        F.shiftright(F.col("ms"), 1).alias("s_hi"),
+    )
+    assigned = b.select(
+        "pk", "sk", "p_lo", "p_hi", "s_lo", "s_hi",
+        F.shiftright(morton_interleave8(F.col("bx"), F.col("by")), 8).alias("shard_z"),
+        F.col("bx").alias("shard_lin"),
+    ).persist()
+    box = assigned.filter(
+        F.col("pk").between(F.col("p_lo"), F.col("p_hi"))
+        & F.col("sk").between(F.col("s_lo"), F.col("s_hi"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("rows_in_box"))
+    stacked = assigned.select(
+        F.lit("zorder").alias("layout"), F.col("shard_z").alias("shard"),
+        "pk", "sk", "p_lo", "p_hi", "s_lo", "s_hi",
+    ).unionByName(
+        assigned.select(
+            F.lit("partkey_sort").alias("layout"), F.col("shard_lin").alias("shard"),
+            "pk", "sk", "p_lo", "p_hi", "s_lo", "s_hi",
+        )
+    )
+    zones = stacked.groupBy("layout", "shard").agg(
+        F.min("pk").alias("min_p"), F.max("pk").alias("max_p"),
+        F.min("sk").alias("min_s"), F.max("sk").alias("max_s"),
+        F.max("p_lo").alias("p_lo"), F.max("p_hi").alias("p_hi"),
+        F.max("s_lo").alias("s_lo"), F.max("s_hi").alias("s_hi"),
+    )
+    touched = (
+        (F.col("min_p") <= F.col("p_hi"))
+        & (F.col("max_p") >= F.col("p_lo"))
+        & (F.col("min_s") <= F.col("s_hi"))
+        & (F.col("max_s") >= F.col("s_lo"))
+    )
+    return (
+        zones.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum(touched.cast("int")).cast("bigint").alias("shards_touched"),
+        )
+        .crossJoin(F.broadcast(box))
+    )

@@ -275,3 +275,73 @@ def token_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((p - q) * F.log(p / q), 6).cast("double").alias("psi_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: hashing-trick linear classifier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_classifier_score",
+    oracle="""
+        -- Hashing-trick linear quality classifier (ops/text_analysis.
+        -- hashed_linear_score): token -> md5 feature bucket (1024) ->
+        -- md5-derived integer weight in [-1000, 1000]; document score =
+        -- mean token weight / 1000. Pure integer arithmetic until the
+        -- single final division, so the verdict hashes bit-for-bit.
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(
+                   lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS tok
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, len(tok) AS n_tok,
+                 CAST(list_sum(list_transform(tok, t ->
+                   CAST(CAST(concat('0x', substr(md5(concat('202:', CAST(
+                     CAST(concat('0x', substr(md5(concat('101:', t)), 1, 8))
+                          AS UBIGINT) % 1024 AS VARCHAR))), 1, 8))
+                        AS UBIGINT) % 2001 AS BIGINT) - 1000)) AS BIGINT) AS score_sum
+          FROM t
+        )
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, score_sum,
+               round(CAST(score_sum AS DOUBLE) / (n_tok * 1000), 6) AS score,
+               score_sum > 0 AS keep
+        FROM s
+    """,
+    description="model-based corpus filter: fastText-style hashing-trick "
+    "linear classifier (1024 md5 feature buckets, integer weights, "
+    "mean-pooled score, keep = score > 0) — a map-only per-row array fold "
+    "with no shuffle, no UDF, and no vocabulary broadcast",
+    tags=("llm", "quality", "curation"),
+    bench=True,
+)
+def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-based sibling of the Gopher/C4 rule gates
+    (ops/curation.gopher_flags / c4_flags): score every document with a
+    hashed-feature linear model and emit the keep verdict. The scorer is a
+    per-row fold over the token array — at 100 TB this fuses into the scan
+    (zero shuffles); a trained variant swaps the md5 weight grid for a
+    ≤1024-row broadcast weight table without changing the plan shape."""
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.ops import text_analysis as ta
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    tok = F.split(ta.norm_text(F.col("text")), " ")
+    s = docs.select(
+        "doc_id",
+        F.size(tok).cast("bigint").alias("n_tok"),
+        ta.hashed_linear_score(tok).alias("score_sum"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tok",
+        "score_sum",
+        F.round(
+            F.col("score_sum").cast("double") / (F.col("n_tok") * 1000), 6
+        ).alias("score"),
+        (F.col("score_sum") > 0).alias("keep"),
+    )

@@ -282,3 +282,250 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("true_cnt") >= thresh).alias("is_true_hot"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation from CMS inner products (AMS F2 shape)
+# ---------------------------------------------------------------------------
+
+_JS_DEPTH, _JS_WIDTH = 4, 1024
+
+
+@register(
+    "sketch_cms_join_size",
+    oracle=f"""
+        -- Join-size estimation from count-min inner products: for an
+        -- equi-join R ⋈ S the exact size is Σ_k f_R(k)·f_S(k); the CMS
+        -- estimate is min over depth rows of Σ_b cR[d,b]·cS[d,b]
+        -- (collisions only ADD, so the estimate never underestimates —
+        -- same guarantee family as the point-estimate CMS). The self-join
+        -- case (S = R) is the second frequency moment F2, the classic
+        -- AMS statistic planners use for skew detection. All-integer
+        -- arithmetic end to end.
+        WITH seeds AS (SELECT unnest(range({_JS_DEPTH})) AS seed),
+        cms_lo AS (
+          SELECT seed, {_bucket_sql('l_orderkey', _JS_WIDTH)} AS bucket,
+                 count(*) AS cnt
+          FROM lineitem CROSS JOIN seeds GROUP BY 1, 2
+        ),
+        cms_oo AS (
+          SELECT seed, {_bucket_sql('o_orderkey', _JS_WIDTH)} AS bucket,
+                 count(*) AS cnt
+          FROM orders CROSS JOIN seeds GROUP BY 1, 2
+        ),
+        cms_lp AS (
+          SELECT seed, {_bucket_sql('l_partkey', _JS_WIDTH)} AS bucket,
+                 count(*) AS cnt
+          FROM lineitem CROSS JOIN seeds GROUP BY 1, 2
+        ),
+        est1 AS (
+          SELECT min(s) AS est_rows FROM (
+            SELECT a.seed, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS s
+            FROM cms_lo a JOIN cms_oo b USING (seed, bucket) GROUP BY 1)
+        ),
+        est2 AS (
+          SELECT min(s) AS est_rows FROM (
+            SELECT seed, CAST(sum(cnt * cnt) AS BIGINT) AS s
+            FROM cms_lp GROUP BY 1)
+        ),
+        ex1 AS (
+          SELECT CAST(sum(l.c * o.c) AS BIGINT) AS exact_rows
+          FROM (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1) l
+          JOIN (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1) o
+          USING (k)
+        ),
+        ex2 AS (
+          SELECT CAST(sum(c * c) AS BIGINT) AS exact_rows
+          FROM (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1)
+        )
+        SELECT 'lineitem_join_orders_on_orderkey' AS relation,
+               est1.est_rows, ex1.exact_rows,
+               est1.est_rows - ex1.exact_rows AS overestimate
+        FROM est1 CROSS JOIN ex1
+        UNION ALL
+        SELECT 'lineitem_selfjoin_on_partkey',
+               est2.est_rows, ex2.exact_rows,
+               est2.est_rows - ex2.exact_rows
+        FROM est2 CROSS JOIN ex2
+    """,
+    description=f"planner-statistics join-cardinality estimation: CMS "
+    f"({_JS_DEPTH}x{_JS_WIDTH}) inner-product estimates of "
+    f"|lineitem ⋈ orders| and the partkey self-join size (AMS F2) vs "
+    f"exact — each sketch is one map-side-combined pass bounded by "
+    f"depth×width; the inner product touches only sketch rows",
+    tags=("sketch", "tpch", "planner"),
+    bench=True,
+)
+def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation (the statistic a cost-based
+    optimizer wants before committing to a join strategy at 100 TB —
+    computable in one pass per relation, mergeable across partitions,
+    never underestimating). min-over-depth of the bucket inner product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(
+                b.select("seed", "bucket", F.col("cnt").alias("cnt_b")),
+                ["seed", "bucket"],
+            )
+            .groupBy("seed")
+            .agg(F.sum(F.col("cnt") * F.col("cnt_b")).cast("bigint").alias("s"))
+            .agg(F.min("s").alias("est_rows"))
+        )
+
+    cms_lo = sk.cms_build(li, "l_orderkey", _JS_DEPTH, _JS_WIDTH)
+    cms_oo = sk.cms_build(orders, "o_orderkey", _JS_DEPTH, _JS_WIDTH)
+    cms_lp = sk.cms_build(li, "l_partkey", _JS_DEPTH, _JS_WIDTH)
+    est1 = inner_product(cms_lo, cms_oo)
+    est2 = inner_product(cms_lp, cms_lp)
+    ex1 = (
+        li.groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(
+            orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+                F.count(F.lit(1)).alias("c_b")
+            ),
+            "k",
+        )
+        .agg(F.sum(F.col("c") * F.col("c_b")).cast("bigint").alias("exact_rows"))
+    )
+    ex2 = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_rows"))
+    )
+
+    def row(label: str, est: DataFrame, ex: DataFrame) -> DataFrame:
+        return est.crossJoin(ex).select(
+            F.lit(label).alias("relation"),
+            "est_rows",
+            "exact_rows",
+            (F.col("est_rows") - F.col("exact_rows")).alias("overestimate"),
+        )
+
+    return row("lineitem_join_orders_on_orderkey", est1, ex1).unionByName(
+        row("lineitem_selfjoin_on_partkey", est2, ex2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: union by register max-merge, intersection by
+# inclusion-exclusion — the mergeable-sketch story made user-visible
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_hll_set_ops",
+    oracle=f"""
+        -- Set algebra on HLL sketches over the even/odd event halves
+        -- (stand-ins for two corpus shards): per-half distinct-user
+        -- estimates, the union estimated from MAX-merged registers, and
+        -- the intersection by inclusion-exclusion (a + b - union; can be
+        -- noisy/negative at sketch error, reported as-is). The oracle's
+        -- union estimate scans the full table — equality with the Spark
+        -- plan, which only max-merges the two per-half register sets, IS
+        -- the mergeability property under test.
+        WITH a AS ({sk.hll_md5_oracle_sql("user_id", "'even_half'",
+                    "(SELECT user_id FROM events WHERE event_id % 2 = 0) te", _HLL_P)}),
+        b AS ({sk.hll_md5_oracle_sql("user_id", "'odd_half'",
+                    "(SELECT user_id FROM events WHERE event_id % 2 = 1) to_", _HLL_P)}),
+        u AS ({sk.hll_md5_oracle_sql("user_id", "'union'", "events", _HLL_P)}),
+        ex AS (
+          SELECT
+            (SELECT count(DISTINCT user_id) FROM events WHERE event_id % 2 = 0) AS xa,
+            (SELECT count(DISTINCT user_id) FROM events WHERE event_id % 2 = 1) AS xb,
+            (SELECT count(DISTINCT user_id) FROM events) AS xu
+        )
+        SELECT 'even_half' AS set_name, a.est_distinct,
+               CAST(ex.xa AS BIGINT) AS exact_distinct FROM a CROSS JOIN ex
+        UNION ALL
+        SELECT 'odd_half', b.est_distinct, CAST(ex.xb AS BIGINT)
+        FROM b CROSS JOIN ex
+        UNION ALL
+        SELECT 'union', u.est_distinct, CAST(ex.xu AS BIGINT)
+        FROM u CROSS JOIN ex
+        UNION ALL
+        SELECT 'intersection',
+               a.est_distinct + b.est_distinct - u.est_distinct,
+               CAST(ex.xa + ex.xb - ex.xu AS BIGINT)
+        FROM a CROSS JOIN b CROSS JOIN u CROSS JOIN ex
+    """,
+    description=f"HLL set algebra across two shards: per-shard distinct "
+    f"users, union via register MAX-merge (no rescan of either shard), "
+    f"intersection via inclusion-exclusion — the single-pass mergeable "
+    f"sketch that replaces cross-shard COUNT(DISTINCT) at 100 TB",
+    tags=("sketch", "events"),
+)
+def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan builds BOTH per-half register sets (half is just a group
+    key); the union sketch is a register max-merge of those ≤2·2^p rows —
+    the whole set-algebra layer never touches the data again. This is how
+    per-shard/per-day sketches roll up to corpus-level distinct counts
+    without a second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    halves = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("even_half"))
+        .otherwise(F.lit("odd_half"))
+        .alias("half"),
+        "user_id",
+    )
+    regs = sk.hll_md5_registers(halves, ["half"], "user_id", _HLL_P)
+    per = sk.hll_md5_estimate(regs, ["half"], _HLL_P)
+    union_regs = regs.groupBy("idx").agg(F.max("reg").alias("reg"))
+    est_u = sk.hll_md5_estimate(union_regs, [], _HLL_P).select(
+        F.col("est_distinct").alias("est_u")
+    )
+    ea = per.filter(F.col("half") == "even_half").select(
+        F.col("est_distinct").alias("est_a")
+    )
+    eb = per.filter(F.col("half") == "odd_half").select(
+        F.col("est_distinct").alias("est_b")
+    )
+    ex = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_id") % 2 == 0, F.col("user_id"))
+        ).alias("xa"),
+        F.countDistinct(
+            F.when(F.col("event_id") % 2 == 1, F.col("user_id"))
+        ).alias("xb"),
+        F.countDistinct("user_id").alias("xu"),
+    )
+    n = (
+        ea.crossJoin(eb)
+        .crossJoin(est_u)
+        .crossJoin(F.broadcast(ex))
+    )
+    return (
+        n.select(
+            F.lit("even_half").alias("set_name"),
+            F.col("est_a").alias("est_distinct"),
+            F.col("xa").cast("bigint").alias("exact_distinct"),
+        )
+        .unionByName(
+            n.select(
+                F.lit("odd_half").alias("set_name"),
+                F.col("est_b").alias("est_distinct"),
+                F.col("xb").cast("bigint").alias("exact_distinct"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.lit("union").alias("set_name"),
+                F.col("est_u").alias("est_distinct"),
+                F.col("xu").cast("bigint").alias("exact_distinct"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.lit("intersection").alias("set_name"),
+                (F.col("est_a") + F.col("est_b") - F.col("est_u")).alias(
+                    "est_distinct"
+                ),
+                (F.col("xa") + F.col("xb") - F.col("xu"))
+                .cast("bigint")
+                .alias("exact_distinct"),
+            )
+        )
+    )
