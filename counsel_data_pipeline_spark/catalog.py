@@ -79,9 +79,11 @@ def register(
 # md5-register HLL); (c) the seventeen queries whose last green row is
 # r2 — the only rows that still predate the r4 testdata regeneration
 # (incl. tpch_q1_pricing_summary, rewritten this round on integer
-# cents); (d) twenty-one r4-attested queries as fill, oldest evidence
-# first, diverse across the multimodal/similarity/dedup/text families.
-# The fifty r5-green rows are current and yield their slots.
+# cents); (a2) the seven operators added mid-r6 (classifier, CMS join
+# size, HLL set ops, Z-order layout, EWMA, PageRank, kNN label audit);
+# (d) ten r4-attested queries as fill, oldest evidence first, diverse
+# across the multimodal/similarity/dedup families. The fifty r5-green
+# rows are current and yield their slots.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) never driver-attested: new in r6 --
     "streaming_weighted_reservoir",
@@ -120,6 +122,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_part_price_rank",
     "window_running_customer_spend",
     "window_top3_orders_per_customer",
+    # -- (a2) never driver-attested: new mid-r6 operator batch --
+    "quality_classifier_score",
+    "sketch_cms_join_size",
+    "sketch_hll_set_ops",
+    "layout_zorder_pruning",
+    "window_ewma_user_value",
+    "graph_pagerank_copurchase",
+    "sim_knn_label_agreement",
     # -- (d) r4-attested fill, family-diverse --
     "multimodal_binary_stats",
     "multimodal_decode_metadata",
@@ -128,16 +138,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_ivf_topk",
     "sim_lsh_bucketed_topk",
     "sim_quantized_topk",
-    "sim_embedding_dim_profile",
-    "sim_neighbor_doc_quality",
     "dedup_exact_content_hash",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_incremental_batch",
-    "dedup_semantic_blocked_pairs",
-    "dedup_fuzzy_fingerprint_block",
-    "dedup_connected_clusters",
 )
 
 

@@ -3,6 +3,7 @@ counsel_data_pipeline_spark.catalog.QUERIES."""
 
 from counsel_data_pipeline_spark.plans import (  # noqa: F401
     events,
+    graph,
     llm_curation,
     llm_dedup,
     llm_multimodal,

@@ -751,3 +751,91 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("center_cos", "vec_id")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-noise audit: kNN label agreement (confident-learning shape)
+# ---------------------------------------------------------------------------
+
+_AUDIT_IDS = list(range(64))
+
+
+@register(
+    "sim_knn_label_agreement",
+    oracle=f"""
+        -- Label-noise audit over a {len(_AUDIT_IDS)}-vector sample: each
+        -- audited embedding's top-{K} cosine neighbors vote on its label;
+        -- low agreement flags a probably-mislabeled row (the
+        -- confident-learning / kNN-consistency heuristic used to clean
+        -- classifier training sets). Same bit-exact dot-product fold as
+        -- the other similarity oracles.
+        WITH emb AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        ),
+        q AS (
+          SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS qn
+          FROM n WHERE vec_id < {len(_AUDIT_IDS)}
+        ),
+        s AS (
+          SELECT query_id, q_label, a.vec_id AS neighbor_id, a.label AS n_label,
+                 list_dot_product(qv, a.v) / (qn * a.nrm) AS cosine
+          FROM n a, q WHERE a.vec_id <> query_id
+        ),
+        topk AS (
+          SELECT query_id, q_label, n_label FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                   ) AS rank
+            FROM s
+          ) WHERE rank <= {K}
+        )
+        SELECT query_id AS vec_id,
+               CAST(max(q_label) AS INT) AS label,
+               CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_agree,
+               round(CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS agree_frac,
+               2 * sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                 < count(*) AS suspect
+        FROM topk
+        GROUP BY query_id
+    """,
+    description=f"kNN label-noise audit: top-{K} neighbor label agreement "
+    f"per audited embedding (confident-learning heuristic; suspect = "
+    f"majority disagreement) — queries broadcast, corpus streams, output "
+    f"is sample-sized",
+    tags=("llm", "similarity", "quality"),
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-label QA at corpus scale: the audited sample is broadcast
+    (bounded), the corpus streams through the scorer once, and only
+    sample × k rows survive to the vote — the same plan shape as
+    sim_cosine_topk_bruteforce, with the label vote folded on top. A
+    full-corpus audit swaps the broadcast for the blocked-pairs path
+    (_exact_pairs_blocked) without changing the vote semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    topk = sim.cosine_topk(emb, _AUDIT_IDS, k=K).select(
+        "query_id", "neighbor_id"
+    )
+    q_lab = labels.filter(F.col("vec_id").isin(_AUDIT_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    n_lab = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = topk.join(F.broadcast(q_lab), "query_id").join(n_lab, "neighbor_id")
+    agree = F.sum((F.col("n_label") == F.col("q_label")).cast("int"))
+    return (
+        votes.groupBy("query_id")
+        .agg(
+            F.max("q_label").cast("int").alias("label"),
+            agree.cast("bigint").alias("n_agree"),
+            F.round(agree.cast("double") / F.count(F.lit(1)), 6).alias("agree_frac"),
+            (F.lit(2) * agree < F.count(F.lit(1))).alias("suspect"),
+        )
+        .withColumnRenamed("query_id", "vec_id")
+    )

@@ -291,6 +291,49 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JS_DEPTH, _JS_WIDTH = 4, 1024
 
 
+def _sliced_sql(key_sql: str, seed_col: str = "seed") -> str:
+    """DuckDB twin of the sliced-md5 bucket: depth row d reads hex chars
+    [1+8d, 8+8d) of ONE md5 — 4 independent-enough 32-bit hashes for the
+    price of a single digest (Kirsch-Mitzenmacher-style derivation)."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat('cms4:', CAST({key_sql} AS VARCHAR))), "
+        f"1 + 8 * {seed_col}, 8)) AS UBIGINT) % {_JS_WIDTH}"
+    )
+
+
+def _sliced_cms(df: DataFrame, key_col: str, rel: str) -> DataFrame:
+    """(rel, seed, bucket, cnt) count-min built from ONE md5 per row: the
+    32-hex digest splits into four 8-hex slices, one per depth row. Versus
+    cms_build's per-seed digests this quarters the hash work — the
+    dominant cost of sketching a 100 TB scan — at the price of slice-level
+    (rather than digest-level) independence, which the estimator tests
+    still bound."""
+    h = F.md5(
+        F.encode(F.concat(F.lit("cms4:"), F.col(key_col).cast("string")), "UTF-8")
+    )
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        (
+                            F.conv(F.substring(h, 1 + 8 * s, 8), 16, 10).cast("bigint")
+                            % _JS_WIDTH
+                        ).alias("bucket"),
+                    )
+                    for s in range(_JS_DEPTH)
+                ]
+            )
+        ).alias("sb")
+    )
+    return (
+        rows.groupBy("sb.seed", "sb.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit(rel).alias("rel"), "seed", "bucket", "cnt")
+    )
+
+
 @register(
     "sketch_cms_join_size",
     oracle=f"""
@@ -301,20 +344,21 @@ _JS_DEPTH, _JS_WIDTH = 4, 1024
         -- same guarantee family as the point-estimate CMS). The self-join
         -- case (S = R) is the second frequency moment F2, the classic
         -- AMS statistic planners use for skew detection. All-integer
-        -- arithmetic end to end.
+        -- arithmetic; each depth row reads one 8-hex slice of a single
+        -- md5 per key (4 hashes for one digest).
         WITH seeds AS (SELECT unnest(range({_JS_DEPTH})) AS seed),
         cms_lo AS (
-          SELECT seed, {_bucket_sql('l_orderkey', _JS_WIDTH)} AS bucket,
+          SELECT seed, {_sliced_sql('l_orderkey')} AS bucket,
                  count(*) AS cnt
           FROM lineitem CROSS JOIN seeds GROUP BY 1, 2
         ),
         cms_oo AS (
-          SELECT seed, {_bucket_sql('o_orderkey', _JS_WIDTH)} AS bucket,
+          SELECT seed, {_sliced_sql('o_orderkey')} AS bucket,
                  count(*) AS cnt
           FROM orders CROSS JOIN seeds GROUP BY 1, 2
         ),
         cms_lp AS (
-          SELECT seed, {_bucket_sql('l_partkey', _JS_WIDTH)} AS bucket,
+          SELECT seed, {_sliced_sql('l_partkey')} AS bucket,
                  count(*) AS cnt
           FROM lineitem CROSS JOIN seeds GROUP BY 1, 2
         ),
@@ -352,7 +396,8 @@ _JS_DEPTH, _JS_WIDTH = 4, 1024
     f"({_JS_DEPTH}x{_JS_WIDTH}) inner-product estimates of "
     f"|lineitem ⋈ orders| and the partkey self-join size (AMS F2) vs "
     f"exact — each sketch is one map-side-combined pass bounded by "
-    f"depth×width; the inner product touches only sketch rows",
+    f"depth×width, both lineitem sketches share one scan, and all four "
+    f"depth hashes come from a single md5 per key",
     tags=("sketch", "tpch", "planner"),
     bench=True,
 )
@@ -360,9 +405,41 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based join-size estimation (the statistic a cost-based
     optimizer wants before committing to a join strategy at 100 TB —
     computable in one pass per relation, mergeable across partitions,
-    never underestimating). min-over-depth of the bucket inner product."""
+    never underestimating). min-over-depth of the bucket inner product.
+    Both lineitem sketches (orderkey + partkey) are built in a single
+    scan via a tagged explode; the exact twins reuse one persisted
+    per-key count frame each."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+
+    # one lineitem scan -> both sketches (tagged union inside the explode)
+    h_lo = F.md5(
+        F.encode(F.concat(F.lit("cms4:"), F.col("l_orderkey").cast("string")), "UTF-8")
+    )
+    h_lp = F.md5(
+        F.encode(F.concat(F.lit("cms4:"), F.col("l_partkey").cast("string")), "UTF-8")
+    )
+    structs = [
+        F.struct(
+            F.lit(rel).alias("rel"),
+            F.lit(s).alias("seed"),
+            (
+                F.conv(F.substring(h, 1 + 8 * s, 8), 16, 10).cast("bigint")
+                % _JS_WIDTH
+            ).alias("bucket"),
+        )
+        for rel, h in (("lo", h_lo), ("lp", h_lp))
+        for s in range(_JS_DEPTH)
+    ]
+    li_cms = (
+        li.select(F.explode(F.array(*structs)).alias("sb"))
+        .groupBy("sb.rel", "sb.seed", "sb.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    cms_lo = li_cms.filter(F.col("rel") == "lo").drop("rel")
+    cms_lp = li_cms.filter(F.col("rel") == "lp").drop("rel")
+    cms_oo = _sliced_cms(orders, "o_orderkey", "oo").drop("rel")
 
     def inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
         return (
@@ -375,9 +452,6 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("s").alias("est_rows"))
         )
 
-    cms_lo = sk.cms_build(li, "l_orderkey", _JS_DEPTH, _JS_WIDTH)
-    cms_oo = sk.cms_build(orders, "o_orderkey", _JS_DEPTH, _JS_WIDTH)
-    cms_lp = sk.cms_build(li, "l_partkey", _JS_DEPTH, _JS_WIDTH)
     est1 = inner_product(cms_lo, cms_oo)
     est2 = inner_product(cms_lp, cms_lp)
     ex1 = (

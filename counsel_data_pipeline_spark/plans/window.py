@@ -324,3 +324,89 @@ def fill_forward_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Finite-horizon EWMA smoothing (all-integer micro-unit arithmetic)
+# ---------------------------------------------------------------------------
+
+# 32-lag exponential decay weights (alpha = 0.9), scaled to integers so the
+# weighted sum is exact BIGINT arithmetic in both engines: W[d] ~ 0.9^d·1e6.
+_EWMA_N = 32
+_EWMA_W = [round(0.9**d * 1_000_000) for d in range(_EWMA_N)]
+# DEN[k] = sum of the first k weights — the normalizer when only k lags exist
+_EWMA_DEN = [sum(_EWMA_W[: k + 1]) for k in range(_EWMA_N)]
+
+
+def _ewma_oracle() -> str:
+    num_terms = " + ".join(
+        f"COALESCE(lag(v6, {d}) OVER w, 0) * {w}" for d, w in enumerate(_EWMA_W)
+    )
+    dens = ", ".join(str(d) for d in _EWMA_DEN)
+    return f"""
+        -- Per-user finite-horizon EWMA (alpha=0.9 over the trailing 32
+        -- events) as ONE window pass: value in exact integer micro-units,
+        -- integer decay weights, so the weighted sum is BIGINT-exact and
+        -- the only float steps are the final division and round. The
+        -- deviation column is the residual an anomaly monitor thresholds.
+        WITH v AS (
+          SELECT event_id, user_id, ts, value,
+                 CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS v6
+          FROM events
+        ),
+        e AS (
+          SELECT event_id, user_id, ts, value,
+                 {num_terms} AS num,
+                 ([{dens}])[least(CAST(row_number() OVER w AS INT), {_EWMA_N})]
+                   AS den
+          FROM v
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               round(CAST(num AS DOUBLE)
+                     / CAST(CAST(den AS BIGINT) * 1000000 AS DOUBLE), 6)
+                 AS ewma_value,
+               round(value - round(CAST(num AS DOUBLE)
+                     / CAST(CAST(den AS BIGINT) * 1000000 AS DOUBLE), 6), 6)
+                 AS deviation
+        FROM e
+    """
+
+
+@register(
+    "window_ewma_user_value",
+    oracle=_ewma_oracle(),
+    description=f"per-user exponential smoothing: finite-horizon EWMA "
+    f"(alpha=0.9, {_EWMA_N} lags) + residual, computed as a single "
+    f"ROWS window pass with integer decay weights — exact BIGINT "
+    f"arithmetic until one final division; no self-join, no UDF",
+    tags=("events", "window", "timeseries"),
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-monitor shape (EWMA + residual anomaly score) done in
+    batch: one WindowExec over (user, time) — at 100 TB this is a single
+    shuffle on user_id and a per-partition sort, with all 32 lags computed
+    in the same window frame pass. Weights are integer literals, the value
+    is exact micro-units, so partition order cannot perturb the result."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v6 = (dec("value") * 1_000_000).cast("bigint")
+    num = None
+    for d, wt in enumerate(_EWMA_W):
+        term = F.coalesce(F.lag(v6, d).over(w), F.lit(0).cast("bigint")) * F.lit(wt)
+        num = term if num is None else num + term
+    den = F.element_at(
+        F.array(*[F.lit(x).cast("bigint") for x in _EWMA_DEN]),
+        F.least(F.row_number().over(w), F.lit(_EWMA_N)),
+    )
+    ewma = F.round(
+        num.cast("double") / (den * 1_000_000).cast("double"), 6
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        ewma.alias("ewma_value"),
+        F.round(F.col("value") - ewma, 6).alias("deviation"),
+    )
