@@ -130,6 +130,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_ewma_user_value",
     "graph_pagerank_copurchase",
     "sim_knn_label_agreement",
+    "join_bloom_runtime_filter",
+    "sim_label_centroid_stats",
     # -- (d) r4-attested fill, family-diverse --
     "multimodal_binary_stats",
     "multimodal_decode_metadata",
@@ -139,8 +141,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_lsh_bucketed_topk",
     "sim_quantized_topk",
     "dedup_exact_content_hash",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
 )
 
 

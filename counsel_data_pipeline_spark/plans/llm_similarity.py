@@ -839,3 +839,74 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("query_id", "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Class prototypes: per-label centroid + per-dimension variance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_label_centroid_stats",
+    oracle="""
+        -- Per-label class prototypes over the embedding table: centroid
+        -- and variance per dimension, computed on a 1e-6 integer grid so
+        -- the sums are exact BIGINT and the only float steps per output
+        -- value are two divisions, one subtraction, one multiply, and the
+        -- final round — same-order IEEE in both engines.
+        WITH d AS (
+          SELECT label,
+                 unnest(range(len(embedding))) AS dim,
+                 unnest(embedding::DOUBLE[]) AS val
+          FROM embeddings
+        ),
+        g AS (
+          SELECT label, dim,
+                 count(*) AS n,
+                 CAST(sum(CAST(round(val * 1000000, 0) AS BIGINT)) AS BIGINT) AS s6,
+                 CAST(sum(CAST(round(val * 1000000, 0) AS BIGINT)
+                          * CAST(round(val * 1000000, 0) AS BIGINT)) AS BIGINT) AS ss6
+          FROM d GROUP BY 1, 2
+        )
+        SELECT CAST(label AS INT) AS label, CAST(dim AS INT) AS dim,
+               CAST(n AS BIGINT) AS n,
+               round(CAST(s6 AS DOUBLE) / n / 1000000, 6) AS centroid,
+               round((CAST(ss6 AS DOUBLE) / n
+                      - (CAST(s6 AS DOUBLE) / n) * (CAST(s6 AS DOUBLE) / n))
+                     / 1000000000000, 6) AS variance
+        FROM g
+    """,
+    description="per-label embedding class prototypes: centroid and "
+    "variance per dimension on a 1e-6 integer grid (exact BIGINT sums, "
+    "two aggregates in one pass) — one posexplode + one map-side-combined "
+    "shuffle whose output is labels x dims regardless of corpus size",
+    tags=("llm", "similarity", "quality"),
+)
+def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-set health check ANN curation needs: compact class
+    prototypes (for centroid-distance outlier scoring, per-class drift,
+    or seeding IVF with class-aware centroids). At 100 TB the explode is
+    map-local and the aggregate's partial combine bounds the shuffle at
+    partitions x (labels x dims)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label", F.posexplode(sim.as_double_array(F.col("embedding"))).alias("dim", "val")
+    )
+    v6 = F.round(F.col("val") * 1_000_000, 0).cast("bigint")
+    g = d.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v6).cast("bigint").alias("s6"),
+        F.sum(v6 * v6).cast("bigint").alias("ss6"),
+    )
+    mean6 = F.col("s6").cast("double") / F.col("n")
+    return g.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean6 / 1_000_000, 6).alias("centroid"),
+        F.round(
+            (F.col("ss6").cast("double") / F.col("n") - mean6 * mean6)
+            / 1_000_000_000_000,
+            6,
+        ).alias("variance"),
+    )

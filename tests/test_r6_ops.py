@@ -206,3 +206,43 @@ def test_knn_label_agreement_consistency(spark):
         assert 0 <= r.n_agree <= 10
         assert r.suspect == (2 * r.n_agree < 10)
         assert abs(r.agree_frac - round(r.n_agree / 10, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# join_bloom_runtime_filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_runtime_filter_guarantees(spark):
+    r = _rows("join_bloom_runtime_filter", spark)[0]
+    # no false negatives: every true join row survives the pre-filter
+    assert r.n_prefiltered >= r.n_joined
+    assert r.n_false_positive == r.n_prefiltered - r.n_joined
+    # the filter actually filters (URGENT is ~20% of orders)
+    assert r.n_prefiltered < r.n_fact_rows
+    assert r.n_joined > 0 and r.revenue > 0
+
+
+def test_bloom_runtime_filter_no_extra_fact_shuffle(spark):
+    from counsel_data_pipeline_spark.catalog import all_queries
+
+    df = all_queries()["join_bloom_runtime_filter"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the probe side must reach the filter via a broadcast of the ONE-row
+    # bloom map, never via a hash repartition of the fact table by key
+    assert "hashpartitioning(l_orderkey" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sim_label_centroid_stats
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroids_shape_and_variance(spark):
+    rows = _rows("sim_label_centroid_stats", spark)
+    dims = {r.dim for r in rows}
+    labels = {r.label for r in rows}
+    assert len(rows) == len(dims) * len(labels)
+    for r in rows:
+        assert r.variance >= -1e-9  # variance is nonnegative up to rounding
+        assert r.n > 0
