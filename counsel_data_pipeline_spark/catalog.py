@@ -132,13 +132,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_knn_label_agreement",
     "join_bloom_runtime_filter",
     "sim_label_centroid_stats",
+    "curation_contamination_matrix",
+    "streaming_ewma_user_value",
     # -- (d) r4-attested fill, family-diverse --
     "multimodal_binary_stats",
     "multimodal_decode_metadata",
     "multimodal_frame_sample_stats",
     "sim_cosine_topk_bruteforce",
-    "sim_ivf_topk",
-    "sim_lsh_bucketed_topk",
     "sim_quantized_topk",
     "dedup_exact_content_hash",
 )

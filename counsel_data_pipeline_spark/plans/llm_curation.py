@@ -902,3 +902,119 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix: pairwise 8-gram overlap between
+# corpus sources — the many-benchmarks generalization of decontam_overlap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_contamination_matrix",
+    oracle=f"""
+        -- For every pair of sources: how many distinct 8-gram shingles
+        -- they share, plus per-source totals and the Jaccard overlap.
+        -- Shingles travel as 16-hex md5 prefixes (shuffle compression,
+        -- same trick as the duplicate-span audit); the pair expansion is
+        -- bounded by the source count, never the corpus.
+        WITH tok AS (
+          SELECT source, string_split_regex({_SQL_NORM}, ' ') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT source,
+                 substr(md5(unnest(list_transform(range(1, len(t) - 6),
+                        i -> array_to_string(t[i:i+7], ' ')))), 1, 16) AS gh
+          FROM tok
+        ),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS n_shared
+          FROM sh a JOIN sh b USING (gh)
+          WHERE a.source < b.source
+          GROUP BY 1, 2
+        ),
+        tot AS (SELECT source, count(*) AS n FROM sh GROUP BY 1)
+        SELECT source_a, source_b,
+               CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(ta.n AS BIGINT) AS n_grams_a,
+               CAST(tb.n AS BIGINT) AS n_grams_b,
+               round(CAST(n_shared AS DOUBLE) / (ta.n + tb.n - n_shared), 6)
+                 AS jaccard
+        FROM pairs
+        JOIN tot ta ON ta.source = source_a
+        JOIN tot tb ON tb.source = source_b
+    """,
+    description="cross-source contamination matrix: distinct shared "
+    "8-gram shingles and Jaccard overlap for every source pair — one "
+    "distinct pass over md5-prefixed shingles, then a collect_set whose "
+    "size is bounded by the source count (≤20), pairs exploded from the "
+    "set (never a corpus self-join)",
+    tags=("llm", "curation", "dedup"),
+    bench=True,
+)
+def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matrix form of benchmark decontamination: which corpora leak
+    into which. The heavy side (distinct source×gram) is one shuffle of
+    16-hex hashes; the per-gram source set is bounded by the number of
+    sources, so the pair fan-out is O(sources²) per gram worst-case and
+    the output is sources² rows. At 100 TB no stage ever joins corpus
+    against corpus — contrast the naive sh⋈sh self-join the oracle uses."""
+    from counsel_data_pipeline_spark.ops import text_analysis as ta
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    t = F.split(ta.norm_text(F.col("text")), " ")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(ta.word_shingles_from_tokens(t, 8)).alias("shingle"),
+        )
+        .select(
+            "source",
+            F.substring(F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 16).alias("gh"),
+        )
+        .distinct()
+    )
+    per = (
+        sh.groupBy("gh")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    pairs = (
+        per.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.source_a", "p.source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        pairs.join(
+            F.broadcast(tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_grams_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_grams_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_grams_a",
+            "n_grams_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -394,3 +394,94 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema).select(
         "doc_id", "verdict", "dup_of", "batch_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming EWMA: applyInPandasWithState vs the batch window
+# ---------------------------------------------------------------------------
+
+_EW_N_BATCHES = 4
+
+
+def _staged_ts_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events staged as ascending (ts, event_id)-range files, one
+    micro-batch each, strictly increasing mtimes so FileStreamSource
+    replays them in event-time order — the arrival-order contract the
+    stateful EWMA's determinism (and therefore its batch-window oracle)
+    requires. Same one-time staging pattern as the doc-range batches."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    stage = derived_cache_dir("counsel_stream_stage_evranges", sf_dir, "events")
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        with_b = ev.withColumn(
+            "b",
+            F.ntile(_EW_N_BATCHES).over(Window.orderBy("ts", "event_id")) - 1,
+        )
+        os.makedirs(stage, exist_ok=True)
+        now = _time.time()
+        for k in range(_EW_N_BATCHES):
+            tmp = os.path.join(stage, f"tmp{k}")
+            with_b.filter(F.col("b") == k).drop("b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stage, f"{k:03d}.parquet")
+            os.replace(src, dst)
+            _shutil.rmtree(tmp)
+            os.utime(dst, (now + k, now + k))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return stage
+
+
+def _ewma_stream_oracle() -> str:
+    from counsel_data_pipeline_spark.plans.window import _ewma_oracle
+
+    return _ewma_oracle()
+
+
+@register(
+    "streaming_ewma_user_value",
+    # Identical oracle to window_ewma_user_value: with micro-batches
+    # arriving in event-time order, the per-user state (last 31 integer
+    # micro-unit values) makes the streamed EWMA a pure function of the
+    # data — applyInPandasWithState changes the execution, not the value.
+    oracle=_ewma_stream_oracle(),
+    description="per-user EWMA maintained BY a stateful Structured "
+    "Streaming job (applyInPandasWithState, state = last 31 integer "
+    f"micro-unit values per user, {_EW_N_BATCHES} ascending event-time "
+    "micro-batches, AvailableNow) — verified against the batch window "
+    "twin's full DuckDB oracle",
+    tags=("events", "window", "timeseries", "streaming"),
+)
+def streaming_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.plans.window import _EWMA_W
+    from counsel_data_pipeline_spark.streaming.ewma import run_ewma_stream
+
+    stage = _staged_ts_batches_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="counsel_stream_ewma_")
+    try:
+        out = run_ewma_stream(
+            spark,
+            input_dir=stage,
+            work_dir=work,
+            schema="event_id BIGINT, user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+            weights=_EWMA_W,
+            max_files_per_trigger=1,
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).select(
+        "event_id", "user_id", "ts_s", "ewma_value", "deviation"
+    )

@@ -246,3 +246,36 @@ def test_label_centroids_shape_and_variance(spark):
     for r in rows:
         assert r.variance >= -1e-9  # variance is nonnegative up to rounding
         assert r.n > 0
+
+
+# ---------------------------------------------------------------------------
+# curation_contamination_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_matrix_symmetric_and_bounded(spark):
+    rows = _rows("curation_contamination_matrix", spark)
+    assert rows, "planted cross-source duplicates should overlap"
+    for r in rows:
+        assert r.source_a < r.source_b  # canonical pair orientation
+        assert 0 < r.n_shared <= min(r.n_grams_a, r.n_grams_b)
+        assert 0.0 < r.jaccard <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# streaming_ewma_user_value — batch ≡ stream
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_ewma_equals_batch_window(spark):
+    batch = {
+        r.event_id: (r.ewma_value, r.deviation)
+        for r in _rows("window_ewma_user_value", spark)
+    }
+    stream = {
+        r.event_id: (r.ewma_value, r.deviation)
+        for r in _rows("streaming_ewma_user_value", spark)
+    }
+    assert set(batch) == set(stream)
+    diff = [k for k in batch if batch[k] != stream[k]]
+    assert not diff, diff[:5]
