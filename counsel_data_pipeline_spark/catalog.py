@@ -79,11 +79,14 @@ def register(
 # md5-register HLL); (c) the seventeen queries whose last green row is
 # r2 — the only rows that still predate the r4 testdata regeneration
 # (incl. tpch_q1_pricing_summary, rewritten this round on integer
-# cents); (a2) the seven operators added mid-r6 (classifier, CMS join
-# size, HLL set ops, Z-order layout, EWMA, PageRank, kNN label audit);
-# (d) ten r4-attested queries as fill, oldest evidence first, diverse
-# across the multimodal/similarity/dedup families. The fifty r5-green
-# rows are current and yield their slots.
+# cents); (a2) the twelve operators added mid-r6 (hashing-trick
+# classifier, CMS join-size estimation, HLL set algebra, Z-order layout
+# audit, integer-exact EWMA + its stateful-streaming twin, exact integer
+# PageRank, kNN label audit, Bloom runtime-filter join, label centroid
+# stats, contamination matrix, integer power-iteration PCA); (d) five
+# r4-attested queries as fill, oldest evidence first, diverse across the
+# multimodal/similarity/dedup families. The fifty r5-green rows are
+# current and yield their slots.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) never driver-attested: new in r6 --
     "streaming_weighted_reservoir",
@@ -134,12 +137,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_label_centroid_stats",
     "curation_contamination_matrix",
     "streaming_ewma_user_value",
+    "sim_pca_power_iteration",
     # -- (d) r4-attested fill, family-diverse --
     "multimodal_binary_stats",
     "multimodal_decode_metadata",
     "multimodal_frame_sample_stats",
     "sim_cosine_topk_bruteforce",
-    "sim_quantized_topk",
     "dedup_exact_content_hash",
 )
 

@@ -910,3 +910,135 @@ def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("variance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: one-pass moments + exact integer power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_DIMS = 64
+_PCA_ITERS = 96
+
+
+def _pca_oracle() -> str:
+    its = []
+    prev = "it0"
+    for k in range(1, _PCA_ITERS + 1):
+        its.append(f"""
+        w{k} AS MATERIALIZED (
+          SELECT c.i AS i, CAST(sum(c.mm * p.x) AS BIGINT) AS w
+          FROM cov c JOIN {prev} p ON p.i = c.j GROUP BY 1
+        ),
+        n{k} AS MATERIALIZED (
+          SELECT greatest(max(abs(w)) // 1000000, 1) AS d FROM w{k}
+        ),
+        it{k} AS MATERIALIZED (
+          SELECT i, w // d AS x FROM w{k} CROSS JOIN n{k}
+        )""")
+        prev = f"it{k}"
+    d = _PCA_DIMS
+    return f"""
+        -- Distributed PCA, method-of-moments form: ONE corpus pass builds
+        -- the d x d scaled-integer covariance (sums of v6_i*v6_j products
+        -- on the 1e-6 grid); the dominant eigenvector then comes from
+        -- {_PCA_ITERS} power iterations over that tiny matrix in EXACT
+        -- integer arithmetic (truncating division — identical in both
+        -- engines), so the iterative eigensolve itself hash-matches.
+        WITH arr AS MATERIALIZED (
+          SELECT list_transform(embedding::DOUBLE[],
+                 x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS v
+          FROM embeddings
+        ),
+        pairs AS MATERIALIZED (
+          SELECT unnest(flatten(list_transform(range({d}), i ->
+                   list_transform(range({d}), j ->
+                     {{'i': i, 'j': j, 'p': v[i+1] * v[j+1]}})))) AS s
+          FROM arr
+        ),
+        m AS MATERIALIZED (
+          SELECT s.i AS i, s.j AS j, count(*) AS n,
+                 CAST(sum(s.p) AS BIGINT) AS sp
+          FROM pairs GROUP BY 1, 2
+        ),
+        s1 AS MATERIALIZED (
+          SELECT i, CAST(sum(v[i+1]) AS BIGINT) AS s6, count(*) AS n
+          FROM arr CROSS JOIN (SELECT unnest(range({d})) AS i)
+          GROUP BY i
+        ),
+        cov AS MATERIALIZED (
+          SELECT m.i, m.j,
+                 (m.sp // m.n - (a.s6 // a.n) * (b.s6 // b.n)) // 1000 AS mm
+          FROM m JOIN s1 a ON a.i = m.i JOIN s1 b ON b.i = m.j
+        ),
+        it0 AS (SELECT unnest(range({d})) AS i, CAST(1000000 AS BIGINT) AS x),
+        {",".join(its)}
+        SELECT CAST(i AS INT) AS dim, x AS eigvec_scaled FROM it{_PCA_ITERS}
+    """
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division — matches Spark div() and DuckDB //."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@register(
+    "sim_pca_power_iteration",
+    oracle=_pca_oracle(),
+    description=f"distributed PCA: one-pass {_PCA_DIMS}x{_PCA_DIMS} "
+    f"scaled-integer covariance moments (map-side combined, output d² "
+    f"rows regardless of corpus) + {_PCA_ITERS} exact integer power "
+    f"iterations for the dominant eigenvector — the iterative eigensolve "
+    f"is fully oracle-checked (truncating division, no float anywhere)",
+    tags=("llm", "similarity", "iterative"),
+    bench=True,
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textbook distributed-PCA split: the corpus-sized work is ONE
+    scan producing d² exact integer moments (the only shuffle, bounded at
+    partitions × d² by map-side combine); the eigensolve runs on that
+    d²-row matrix — data-independent, bounded by construction — with
+    truncating-division integer arithmetic that both engines (and this
+    driver-side loop) compute identically. At 100 TB nothing after the
+    scan grows with the data; collecting a fixed 4096-cell matrix is the
+    same bounded-small class as the 64-row prefix-sum collects."""
+    d, scale = _PCA_DIMS, 1_000_000
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = emb.select(
+        F.expr(
+            f"transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            f"x -> CAST(round(x * {scale}, 0) AS BIGINT))"
+        ).alias("v")
+    )
+    pairs = arr.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(v, (x, i) -> "
+                "transform(v, (y, j) -> struct(i AS i, j AS j, x * y AS p))))"
+            )
+        ).alias("s")
+    )
+    m = pairs.groupBy("s.i", "s.j").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("s.p").cast("bigint").alias("sp")
+    )
+    s1 = (
+        arr.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").cast("bigint").alias("s6"), F.count(F.lit(1)).alias("n"))
+    )
+    # bounded-by-construction collects: d^2 + d rows, data-independent
+    mom = {(r.i, r.j): (r.n, r.sp) for r in m.collect()}
+    s1m = {r.i: (r.s6, r.n) for r in s1.collect()}
+    mean = {i: _tdiv(s6, n) for i, (s6, n) in s1m.items()}
+    cov = {
+        (i, j): _tdiv(_tdiv(sp, n) - mean[i] * mean[j], 1000)
+        for (i, j), (n, sp) in mom.items()
+    }
+    x = [scale] * d
+    for _ in range(_PCA_ITERS):
+        w = [sum(cov[(i, j)] * x[j] for j in range(d)) for i in range(d)]
+        dd = max(max(abs(v) for v in w) // scale, 1)
+        x = [_tdiv(v, dd) for v in w]
+    return spark.createDataFrame(
+        [(i, x[i]) for i in range(d)], "dim int, eigvec_scaled bigint"
+    )

@@ -279,3 +279,33 @@ def test_streaming_ewma_equals_batch_window(spark):
     assert set(batch) == set(stream)
     diff = [k for k in batch if batch[k] != stream[k]]
     assert not diff, diff[:5]
+
+
+# ---------------------------------------------------------------------------
+# sim_pca_power_iteration
+# ---------------------------------------------------------------------------
+
+
+def test_pca_converges_to_dominant_eigenvector(spark):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = sorted(_rows("sim_pca_power_iteration", spark), key=lambda r: r.dim)
+    x = np.array([float(r.eigvec_scaled) for r in rows])
+    x /= np.linalg.norm(x)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    V = np.stack([np.array(v) for v in t["embedding"].to_pylist()]).astype(
+        np.float64
+    )
+    C = np.cov(V.T, bias=True)
+    _, vec = np.linalg.eigh(C)
+    top = vec[:, -1]
+    # integer power iteration must align with the float dominant
+    # eigenvector despite the 1e-6 grid and //1000 covariance truncation
+    assert abs(float(x @ top)) > 0.95
+
+
+def test_pca_deterministic(spark):
+    a = [(r.dim, r.eigvec_scaled) for r in _rows("sim_pca_power_iteration", spark)]
+    b = [(r.dim, r.eigvec_scaled) for r in _rows("sim_pca_power_iteration", spark)]
+    assert sorted(a) == sorted(b)
