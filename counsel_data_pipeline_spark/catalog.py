@@ -83,9 +83,10 @@ def register(
 # classifier, CMS join-size estimation, HLL set algebra, Z-order layout
 # audit, integer-exact EWMA + its stateful-streaming twin, exact integer
 # PageRank, kNN label audit, Bloom runtime-filter join, label centroid
-# stats, contamination matrix, integer power-iteration PCA); (d) five
-# r4-attested queries as fill, oldest evidence first, diverse across the
-# multimodal/similarity/dedup families. The fifty r5-green rows are
+# stats, contamination matrix, integer power-iteration PCA, vocabulary
+# growth, content-addressed payload dedup); (d) three r4-attested
+# queries as fill, oldest evidence first, across the multimodal/dedup
+# families. The fifty r5-green rows are
 # current and yield their slots.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) never driver-attested: new in r6 --
@@ -138,11 +139,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "curation_contamination_matrix",
     "streaming_ewma_user_value",
     "sim_pca_power_iteration",
+    "text_vocab_growth",
+    "multimodal_payload_dedup",
     # -- (d) r4-attested fill, family-diverse --
-    "multimodal_binary_stats",
     "multimodal_decode_metadata",
     "multimodal_frame_sample_stats",
-    "sim_cosine_topk_bruteforce",
     "dedup_exact_content_hash",
 )
 

@@ -128,3 +128,30 @@ def sample_frames(media: DataFrame, every_n: int = 24) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def cas_audit(media: DataFrame) -> DataFrame:
+    """Per-media-type content-addressed storage audit: how many blobs,
+    how many distinct content hashes, duplicate copy counts, and the
+    bytes a CAS store reclaims by keeping one copy per hash. Two
+    map-side-combined aggregates; output is media-type-sized. Reclaim
+    accounting keeps max(n_bytes) per group as the retained copy (all
+    copies of a hash are byte-identical, so any representative works)."""
+    from pyspark.sql import functions as F
+
+    g = media.groupBy(
+        "media_type", F.col("meta.content_hash").alias("content_hash")
+    ).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max(F.col("meta.n_bytes")).alias("n_bytes"),
+        F.sum(F.col("meta.n_bytes")).cast("bigint").alias("bytes_all"),
+    )
+    return g.groupBy("media_type").agg(
+        F.sum("n_copies").cast("bigint").alias("n_blobs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_blobs"),
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_dup_copies"),
+        F.sum("bytes_all").cast("bigint").alias("bytes_total"),
+        F.sum(F.col("bytes_all") - F.col("n_bytes")).cast("bigint").alias(
+            "bytes_reclaimable"
+        ),
+    )

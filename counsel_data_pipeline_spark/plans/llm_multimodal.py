@@ -112,3 +112,44 @@ def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+@register(
+    "multimodal_payload_dedup",
+    oracle=f"""
+        -- Content-addressed storage audit per media type: blob counts,
+        -- distinct blobs, duplicate copies, and the bytes a CAS object
+        -- store reclaims by keeping one copy per content hash — the
+        -- no-decode storage dedup for a multimodal lake. (The synthetic
+        -- corpus plants byte-identical blobs only at sf0.1; at smaller
+        -- scales the dup columns are legitimately zero and the audit
+        -- still attests the full counting pipeline.)
+        WITH m AS (
+          SELECT doc_id, {_SQL_MEDIA_TYPE} AS media_type,
+                 md5(text) AS content_hash,
+                 octet_length(encode(text)) AS n_bytes
+          FROM documents
+        ),
+        g AS (
+          SELECT media_type, content_hash, count(*) AS n_copies,
+                 max(n_bytes) AS n_bytes,
+                 CAST(sum(n_bytes) AS BIGINT) AS bytes_all
+          FROM m GROUP BY 1, 2
+        )
+        SELECT media_type,
+               CAST(sum(n_copies) AS BIGINT) AS n_blobs,
+               CAST(count(*) AS BIGINT) AS n_distinct_blobs,
+               CAST(sum(n_copies - 1) AS BIGINT) AS n_dup_copies,
+               CAST(sum(bytes_all) AS BIGINT) AS bytes_total,
+               CAST(sum(bytes_all - n_bytes) AS BIGINT) AS bytes_reclaimable
+        FROM g GROUP BY 1
+    """,
+    description="content-addressed storage audit per media type: blob/"
+    "distinct counts, duplicate copies, bytes reclaimable by CAS dedup — "
+    "one hash-groupBy over (media_type, content_hash) then a 3-row "
+    "rollup; the no-decode storage dedup for a multimodal lake",
+    tags=("llm", "multimodal", "dedup"),
+)
+def payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return mm.cas_audit(media)

@@ -752,3 +752,61 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("tf").cast("bigint")
         ).alias("avg_logp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth / type-token statistics per source (Heaps-law audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+        -- Corpus-linguistics health metrics per source: token volume,
+        -- vocabulary size, hapax legomena, and the type-token +
+        -- hapax-vocabulary ratios. A source whose TTR collapses is
+        -- boilerplate/templated; one whose hapax share explodes is noisy
+        -- OCR — the cheap first-line corpus triage before any model runs.
+        WITH tok AS (
+          SELECT source,
+                 unnest(string_split_regex({_SQL_NORM}, ' ')) AS term
+          FROM documents
+        ),
+        c AS (
+          SELECT source, term, count(*) AS cnt FROM tok GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               round(CAST(count(*) AS DOUBLE) / sum(cnt), 6)
+                 AS type_token_ratio,
+               round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS hapax_ratio
+        FROM c GROUP BY source
+    """,
+    description="per-source vocabulary statistics: tokens, types, hapax "
+    "legomena, type-token and hapax ratios (Heaps-law corpus triage) — "
+    "one (source, term) count aggregate then a source-sized rollup, both "
+    "map-side combined",
+    tags=("llm", "text", "quality"),
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(F.split(ta.norm_text(F.col("text")), " ")).alias("term")
+    )
+    c = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    hapax = F.sum((F.col("cnt") == 1).cast("int"))
+    return c.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        hapax.cast("bigint").alias("n_hapax"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("cnt"), 6
+        ).alias("type_token_ratio"),
+        F.round(hapax.cast("double") / F.count(F.lit(1)), 6).alias("hapax_ratio"),
+    )

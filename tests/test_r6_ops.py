@@ -309,3 +309,44 @@ def test_pca_deterministic(spark):
     a = [(r.dim, r.eigvec_scaled) for r in _rows("sim_pca_power_iteration", spark)]
     b = [(r.dim, r.eigvec_scaled) for r in _rows("sim_pca_power_iteration", spark)]
     assert sorted(a) == sorted(b)
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_growth / multimodal_payload_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_growth_invariants(spark):
+    rows = _rows("text_vocab_growth", spark)
+    assert rows
+    for r in rows:
+        # hapax may legitimately be 0 for a templated source
+        assert 0 <= r.n_hapax <= r.n_types <= r.n_tokens
+        assert 0.0 < r.type_token_ratio <= 1.0
+        assert 0.0 <= r.hapax_ratio <= 1.0
+
+
+def test_payload_cas_audit_consistency(spark):
+    rows = _rows("multimodal_payload_dedup", spark)
+    assert {r.media_type for r in rows} == {"image", "audio", "video"}
+    for r in rows:
+        assert r.n_distinct_blobs + r.n_dup_copies == r.n_blobs
+        assert 0 <= r.bytes_reclaimable < r.bytes_total
+        # no duplicates <=> no reclaimable bytes
+        assert (r.n_dup_copies == 0) == (r.bytes_reclaimable == 0)
+
+
+def test_payload_cas_audit_reclaims_planted_dups(spark):
+    # planted fixture: three copies of one blob + a singleton
+    from counsel_data_pipeline_spark.ops import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, "dup dup"), (3, "dup dup"), (6, "dup dup"), (9, "only one")],
+        "doc_id bigint, text string",
+    )
+    rows = mm.cas_audit(mm.documents_as_media(docs)).collect()
+    assert len(rows) == 1 and rows[0].media_type == "image"  # all ids % 3 == 0
+    r = rows[0]
+    assert r.n_blobs == 4 and r.n_distinct_blobs == 2
+    assert r.n_dup_copies == 2
+    assert r.bytes_reclaimable == 2 * len(b"dup dup")
