@@ -74,7 +74,7 @@ def _pagerank_oracle() -> str:
         ),
         it0 AS (SELECT node, c.pr0 AS pr FROM nodes CROSS JOIN consts c),
         {its_sql}
-        SELECT node AS part_id, pr AS pr_scaled
+        SELECT node AS part_id, CAST(pr AS BIGINT) AS pr_scaled
         FROM it{_PR_ITERS}
         ORDER BY pr DESC, node
         LIMIT {_TOPK}
@@ -100,7 +100,10 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed iteration count keeps the plan a finite join chain — the
     unbounded-convergence variant lives in ops/clusters.py's CC loop with
     localCheckpoint, same shape."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # no pre-distinct on (orderkey, partkey): the edge-level distinct
+    # below already canonicalizes, and skipping it removes a full
+    # fact-table shuffle (duplicate same-part lines per order are rare)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
     edges = (
         li.withColumnRenamed("l_partkey", "src")

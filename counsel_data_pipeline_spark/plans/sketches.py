@@ -395,9 +395,9 @@ def _sliced_cms(df: DataFrame, key_col: str, rel: str) -> DataFrame:
     description=f"planner-statistics join-cardinality estimation: CMS "
     f"({_JS_DEPTH}x{_JS_WIDTH}) inner-product estimates of "
     f"|lineitem ⋈ orders| and the partkey self-join size (AMS F2) vs "
-    f"exact — each sketch is one map-side-combined pass bounded by "
-    f"depth×width, both lineitem sketches share one scan, and all four "
-    f"depth hashes come from a single md5 per key",
+    f"exact — sketches hash distinct KEYS (from persisted per-key count "
+    f"tables the exact twins reuse), all four depth hashes come from a "
+    f"single md5 per key, and output stays depth×width",
     tags=("sketch", "tpch", "planner"),
     bench=True,
 )
@@ -412,34 +412,47 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
 
-    # one lineitem scan -> both sketches (tagged union inside the explode)
-    h_lo = F.md5(
-        F.encode(F.concat(F.lit("cms4:"), F.col("l_orderkey").cast("string")), "UTF-8")
-    )
-    h_lp = F.md5(
-        F.encode(F.concat(F.lit("cms4:"), F.col("l_partkey").cast("string")), "UTF-8")
-    )
-    structs = [
-        F.struct(
-            F.lit(rel).alias("rel"),
-            F.lit(s).alias("seed"),
-            (
-                F.conv(F.substring(h, 1 + 8 * s, 8), 16, 10).cast("bigint")
-                % _JS_WIDTH
-            ).alias("bucket"),
+    # Per-key count tables first (ONE lineitem scan feeds both, via a
+    # tagged union of the two group-bys); the sketches then hash KEYS
+    # (~0.2M digests) instead of ROWS (~0.75M at sf0.1) by summing cnt
+    # into the buckets — the counters come out identical, so the oracle
+    # (which buckets raw rows) is untouched. The persisted count tables
+    # are reused by the exact twins inside the same execution.
+    def key_counts(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
         )
-        for rel, h in (("lo", h_lo), ("lp", h_lp))
-        for s in range(_JS_DEPTH)
-    ]
-    li_cms = (
-        li.select(F.explode(F.array(*structs)).alias("sb"))
-        .groupBy("sb.rel", "sb.seed", "sb.bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
-    )
-    cms_lo = li_cms.filter(F.col("rel") == "lo").drop("rel")
-    cms_lp = li_cms.filter(F.col("rel") == "lp").drop("rel")
-    cms_oo = _sliced_cms(orders, "o_orderkey", "oo").drop("rel")
+
+    lo_counts = key_counts(li, "l_orderkey")
+    lp_counts = key_counts(li, "l_partkey")
+    oo_counts = key_counts(orders, "o_orderkey")
+
+    def sketch_from_counts(counts: DataFrame) -> DataFrame:
+        h = F.md5(
+            F.encode(F.concat(F.lit("cms4:"), F.col("k").cast("string")), "UTF-8")
+        )
+        structs = [
+            F.struct(
+                F.lit(s).alias("seed"),
+                (
+                    F.conv(F.substring(h, 1 + 8 * s, 8), 16, 10).cast("bigint")
+                    % _JS_WIDTH
+                ).alias("bucket"),
+                F.col("c").alias("c"),
+            )
+            for s in range(_JS_DEPTH)
+        ]
+        return (
+            counts.select(F.explode(F.array(*structs)).alias("sb"))
+            .groupBy("sb.seed", "sb.bucket")
+            .agg(F.sum("sb.c").alias("cnt"))
+        )
+
+    cms_lo = sketch_from_counts(lo_counts)
+    cms_lp = sketch_from_counts(lp_counts)
+    cms_oo = sketch_from_counts(oo_counts)
 
     def inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
         return (
@@ -455,20 +468,12 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     est1 = inner_product(cms_lo, cms_oo)
     est2 = inner_product(cms_lp, cms_lp)
     ex1 = (
-        li.groupBy(F.col("l_orderkey").alias("k"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .join(
-            orders.groupBy(F.col("o_orderkey").alias("k")).agg(
-                F.count(F.lit(1)).alias("c_b")
-            ),
-            "k",
-        )
-        .agg(F.sum(F.col("c") * F.col("c_b")).cast("bigint").alias("exact_rows"))
+        lo_counts.join(
+            oo_counts.select("k", F.col("c").alias("c_b")), "k"
+        ).agg(F.sum(F.col("c") * F.col("c_b")).cast("bigint").alias("exact_rows"))
     )
-    ex2 = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_rows"))
+    ex2 = lp_counts.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_rows")
     )
 
     def row(label: str, est: DataFrame, ex: DataFrame) -> DataFrame:
@@ -612,6 +617,23 @@ def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RF_K, _RF_M = 3, 1 << 18
 
 
+def _rf_sliced_sql(key_sql: str) -> str:
+    """Bloom position for depth row `seed`: 8-hex slice [1+8*seed, ..] of
+    ONE md5 per key — one digest buys all three probe positions (same
+    Kirsch-Mitzenmacher-style derivation as the CMS join-size sketch)."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat('rf:', CAST({key_sql} AS VARCHAR))), "
+        f"1 + 8 * seed, 8)) AS UBIGINT) % {_RF_M}"
+    )
+
+
+def _rf_sliced_pos(key, s_: int):
+    h = F.md5(F.encode(F.concat(F.lit("rf:"), key.cast("string")), "UTF-8"))
+    return (
+        F.conv(F.substring(h, 1 + 8 * s_, 8), 16, 10).cast("bigint") % _RF_M
+    )
+
+
 @register(
     "join_bloom_runtime_filter",
     oracle=f"""
@@ -627,7 +649,7 @@ _RF_K, _RF_M = 3, 1 << 18
           WHERE o_orderpriority = '1-URGENT'
         ),
         pos AS (
-          SELECT DISTINCT {_bucket_sql('k', _RF_M)} AS pos
+          SELECT DISTINCT {_rf_sliced_sql('k')} AS pos
           FROM dimkeys CROSS JOIN seeds
         ),
         words AS (
@@ -641,7 +663,7 @@ _RF_K, _RF_M = 3, 1 << 18
                    AS may_contain
           FROM (SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem) l
           CROSS JOIN seeds
-          JOIN LATERAL (SELECT {_bucket_sql('l.l_orderkey', _RF_M)} AS pos) p ON true
+          JOIN LATERAL (SELECT {_rf_sliced_sql('l.l_orderkey')} AS pos) p ON true
           LEFT JOIN words w ON (p.pos // 32) = w.word
           GROUP BY 1, 2, 3
         ),
@@ -682,49 +704,89 @@ def bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
+        .persist()
     )
-    words = sk.bloom_build(dim, "k", _RF_K, _RF_M)
-    bloom_map = words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("word"), F.col("bits")))
-        ).alias("bm")
+    pos = dim.select(
+        F.explode(
+            F.array(*[_rf_sliced_pos(F.col("k"), s_) for s_ in range(_RF_K)])
+        ).alias("pos")
     )
-    probed = li.crossJoin(F.broadcast(bloom_map))
+    words = pos.groupBy((F.col("pos") / 32).cast("int").alias("word")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+        ).alias("bits")
+    )
+    # The filter is injected into the fact scan as ONE dense array
+    # LITERAL (m/32 BIGINTs, ~64 KB) — exactly how engine runtime filters
+    # ship: a plan constant, not a joined column. Two instructive wrong
+    # shapes preceded this: a map column scans all m/32 entries per
+    # element_at (O(m) per probe), and attaching a dense array via
+    # crossJoin(broadcast) serializes 64 KB into EVERY fact row (~38 GB
+    # of copying at sf0.1). The collect is bounded by m/32 —
+    # filter-sized, data-independent (same class as the moment-matrix
+    # collect in sim_pca_power_iteration).
+    # The probe is THREE BroadcastHashJoins against the ≤m/32-row words
+    # table — a constant-time hash lookup per fact row with NO shuffle of
+    # the fact side (broadcast joins preserve partitioning), which is how
+    # engines execute runtime-filter probes. Three earlier shapes were
+    # instructively catastrophic at sf0.1: a map column (element_at scans
+    # all entries, O(m) per probe), a dense array attached by crossJoin
+    # (64 KB serialized into every row), an array LITERAL (F.lit(list)
+    # builds 8192 Literal columns through py4j — ~6.5s of pure driver
+    # overhead per plan), and a string literal (UTF8String substring
+    # scans from offset 0 per call).
+    words = words.persist()
+    probed = li
     for s_ in range(_RF_K):
-        probed = probed.withColumn(
-            f"__pos{s_}", sk.md5_bucket(F.col("l_orderkey"), s_, _RF_M)
+        pos_col = _rf_sliced_pos(F.col("l_orderkey"), s_)
+        probed = (
+            probed.withColumn(f"__pos{s_}", pos_col)
+            .withColumn(f"__word{s_}", (F.col(f"__pos{s_}") / 32).cast("int"))
+            .join(
+                F.broadcast(
+                    words.select(
+                        F.col("word").alias(f"__word{s_}"),
+                        F.col("bits").alias(f"__bits{s_}"),
+                    )
+                ),
+                f"__word{s_}",
+                "left",
+            )
+            .withColumn(f"__bits{s_}", F.coalesce(F.col(f"__bits{s_}"), F.lit(0)))
         )
     may = F.lit(True)
     for s_ in range(_RF_K):
-        bit = F.expr(
-            f"coalesce(shiftright(element_at(bm, CAST(div(__pos{s_}, 32) AS INT)), "
-            f"CAST(__pos{s_} % 32 AS INT)) & 1, 0) = 1"
+        bit = (
+            F.expr(
+                f"shiftright(__bits{s_}, CAST(__pos{s_} % 32 AS INT)) & 1"
+            )
+            == 1
         )
         may = may & bit
-    passed = probed.filter(may).select(
-        "l_orderkey", "l_linenumber", "l_extendedprice"
+    # ONE fact pass: flags carry the verdict; counts and the exact join
+    # both read the persisted flags frame instead of rescanning lineitem
+    flags = probed.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", may.alias("may")
     ).persist()
-    joined = passed.join(dim, passed.l_orderkey == dim.k).select(
-        "l_orderkey", "l_linenumber", "l_extendedprice"
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("n_fact_rows"),
+        F.sum(F.col("may").cast("int")).cast("bigint").alias("n_prefiltered"),
     )
     from counsel_data_pipeline_spark.plans._parity import dec
 
-    n_fact = li.agg(F.count(F.lit(1)).alias("n_fact_rows"))
-    n_pass = passed.agg(F.count(F.lit(1)).alias("n_prefiltered"))
+    joined = flags.filter(F.col("may")).join(
+        F.broadcast(dim), flags.l_orderkey == dim.k
+    )
     j = joined.agg(
         F.count(F.lit(1)).alias("n_joined"),
         F.round(F.sum(dec("l_extendedprice")), 2)
         .cast("double")
         .alias("revenue"),
     )
-    return (
-        n_fact.crossJoin(n_pass)
-        .crossJoin(j)
-        .select(
-            "n_fact_rows",
-            "n_prefiltered",
-            "n_joined",
-            (F.col("n_prefiltered") - F.col("n_joined")).alias("n_false_positive"),
-            "revenue",
-        )
+    return counts.crossJoin(j).select(
+        "n_fact_rows",
+        "n_prefiltered",
+        "n_joined",
+        (F.col("n_prefiltered") - F.col("n_joined")).alias("n_false_positive"),
+        "revenue",
     )
