@@ -305,8 +305,13 @@ def token_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS UBIGINT) % 2001 AS BIGINT) - 1000)) AS BIGINT) AS score_sum
           FROM t
         )
+        -- score is the RAW quotient, not rounded: a ratio of integers can
+        -- tie exactly at a rounding grid (doc 2764 at sf0.1:
+        -- -1039/16000 = -0.0649375) and the engines' round() split ties
+        -- differently; the single int/int IEEE division itself is
+        -- bit-identical in both engines (plans/_parity.py rule)
         SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, score_sum,
-               round(CAST(score_sum AS DOUBLE) / (n_tok * 1000), 6) AS score,
+               CAST(score_sum AS DOUBLE) / (n_tok * 1000) AS score,
                score_sum > 0 AS keep
         FROM s
     """,
@@ -340,8 +345,8 @@ def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tok",
         "score_sum",
-        F.round(
-            F.col("score_sum").cast("double") / (F.col("n_tok") * 1000), 6
-        ).alias("score"),
+        (F.col("score_sum").cast("double") / (F.col("n_tok") * 1000)).alias(
+            "score"
+        ),
         (F.col("score_sum") > 0).alias("keep"),
     )
