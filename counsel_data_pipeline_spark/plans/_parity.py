@@ -22,6 +22,14 @@ disagreed by 1 ulp. So: ROUND the exact decimal sum to a coarse scale
 arithmetic (half-away-from-zero in both engines), and the result converts
 identically.
 
+Rounding has its own trap: round(x, k) of an INTEGER-RATIO double is
+tie-UNSAFE — a ratio of integers can equal the rounding grid's midpoint
+exactly (sf0.1 classifier: -1039/16000 = -0.0649375) and the engines
+split ties differently. Rule: a plain int/int (or int-cast) division is
+already bit-identical across engines — output it RAW, never rounded.
+Reserve round-to-6 for transcendental outputs (ln/exp/sqrt chains),
+where exact grid ties have measure zero.
+
 Integer sums have their own trap: DuckDB widens ``sum(int/bigint)`` to
 HUGEINT (int128). A fetch path that materializes through pandas/Arrow
 renders HUGEINT as float ("150.0") while Spark's bigint renders as int

@@ -940,7 +940,7 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(n_shared AS BIGINT) AS n_shared,
                CAST(ta.n AS BIGINT) AS n_grams_a,
                CAST(tb.n AS BIGINT) AS n_grams_b,
-               round(CAST(n_shared AS DOUBLE) / (ta.n + tb.n - n_shared), 6)
+               CAST(n_shared AS DOUBLE) / (ta.n + tb.n - n_shared)
                  AS jaccard
         FROM pairs
         JOIN tot ta ON ta.source = source_a
@@ -1011,10 +1011,9 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shared",
             "n_grams_a",
             "n_grams_b",
-            F.round(
+            (
                 F.col("n_shared").cast("double")
-                / (F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared")),
-                6,
+                / (F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared"))
             ).alias("jaccard"),
         )
     )

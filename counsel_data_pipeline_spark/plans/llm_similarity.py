@@ -796,8 +796,8 @@ _AUDIT_IDS = list(range(64))
                CAST(max(q_label) AS INT) AS label,
                CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_agree,
-               round(CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
-                          AS DOUBLE) / count(*), 6) AS agree_frac,
+               CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*) AS agree_frac,
                2 * sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
                  < count(*) AS suspect
         FROM topk
@@ -834,7 +834,7 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("q_label").cast("int").alias("label"),
             agree.cast("bigint").alias("n_agree"),
-            F.round(agree.cast("double") / F.count(F.lit(1)), 6).alias("agree_frac"),
+            (agree.cast("double") / F.count(F.lit(1))).alias("agree_frac"),
             (F.lit(2) * agree < F.count(F.lit(1))).alias("suspect"),
         )
         .withColumnRenamed("query_id", "vec_id")
@@ -870,10 +870,10 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(label AS INT) AS label, CAST(dim AS INT) AS dim,
                CAST(n AS BIGINT) AS n,
-               round(CAST(s6 AS DOUBLE) / n / 1000000, 6) AS centroid,
-               round((CAST(ss6 AS DOUBLE) / n
+               CAST(s6 AS DOUBLE) / n / 1000000 AS centroid,
+               (CAST(ss6 AS DOUBLE) / n
                       - (CAST(s6 AS DOUBLE) / n) * (CAST(s6 AS DOUBLE) / n))
-                     / 1000000000000, 6) AS variance
+                     / 1000000000000 AS variance
         FROM g
     """,
     description="per-label embedding class prototypes: centroid and "
@@ -903,11 +903,10 @@ def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("int").alias("label"),
         F.col("dim").cast("int").alias("dim"),
         F.col("n").cast("bigint").alias("n"),
-        F.round(mean6 / 1_000_000, 6).alias("centroid"),
-        F.round(
+        (mean6 / 1_000_000).alias("centroid"),
+        (
             (F.col("ss6").cast("double") / F.col("n") - mean6 * mean6)
-            / 1_000_000_000_000,
-            6,
+            / 1_000_000_000_000
         ).alias("variance"),
     )
 

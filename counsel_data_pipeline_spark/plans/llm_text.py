@@ -780,10 +780,10 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_types,
                CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_hapax,
-               round(CAST(count(*) AS DOUBLE) / sum(cnt), 6)
+               CAST(count(*) AS DOUBLE) / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE)
                  AS type_token_ratio,
-               round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                     / count(*), 6) AS hapax_ratio
+               CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) AS hapax_ratio
         FROM c GROUP BY source
     """,
     description="per-source vocabulary statistics: tokens, types, hapax "
@@ -805,8 +805,9 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         hapax.cast("bigint").alias("n_hapax"),
-        F.round(
-            F.count(F.lit(1)).cast("double") / F.sum("cnt"), 6
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.sum("cnt").cast("bigint").cast("double")
         ).alias("type_token_ratio"),
-        F.round(hapax.cast("double") / F.count(F.lit(1)), 6).alias("hapax_ratio"),
+        (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_ratio"),
     )

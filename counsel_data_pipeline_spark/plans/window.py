@@ -364,11 +364,11 @@ def _ewma_oracle() -> str:
         )
         SELECT event_id, user_id,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-               round(CAST(num AS DOUBLE)
-                     / CAST(CAST(den AS BIGINT) * 1000000 AS DOUBLE), 6)
+               CAST(num AS DOUBLE)
+                     / CAST(CAST(den AS BIGINT) * 1000000 AS DOUBLE)
                  AS ewma_value,
-               round(value - round(CAST(num AS DOUBLE)
-                     / CAST(CAST(den AS BIGINT) * 1000000 AS DOUBLE), 6), 6)
+               value - (CAST(num AS DOUBLE)
+                     / CAST(CAST(den AS BIGINT) * 1000000 AS DOUBLE))
                  AS deviation
         FROM e
     """
@@ -400,13 +400,15 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(x).cast("bigint") for x in _EWMA_DEN]),
         F.least(F.row_number().over(w), F.lit(_EWMA_N)),
     )
-    ewma = F.round(
-        num.cast("double") / (den * 1_000_000).cast("double"), 6
-    )
+    # raw quotient, not rounded: integer ratios can tie EXACTLY at any
+    # rounding grid and engine round()s split ties differently (the
+    # classifier hit this at sf0.1); the int/int IEEE division itself is
+    # bit-identical across engines and the python/streaming twins
+    ewma = num.cast("double") / (den * 1_000_000).cast("double")
     return ev.select(
         "event_id",
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         ewma.alias("ewma_value"),
-        F.round(F.col("value") - ewma, 6).alias("deviation"),
+        (F.col("value") - ewma).alias("deviation"),
     )

@@ -66,14 +66,17 @@ def ewma_stateful(events: DataFrame, weights: list[int]) -> DataFrame:
                 lags = hist[::-1]
                 num = sum(v * w for v, w in zip(lags, weights))
                 den = dens[len(lags) - 1]
-                ewma = round(num / float(den * 1_000_000), 6)
+                # raw IEEE quotient (int->double casts then one divide),
+                # mirroring the batch twin exactly — no rounding anywhere,
+                # so engine/python tie-splitting can never diverge
+                ewma = float(num) / float(den * 1_000_000)
                 out.append(
                     (
                         int(r.event_id),
                         int(r.user_id),
                         pd.Timestamp(r.ts).strftime("%Y-%m-%d %H:%M:%S"),
                         ewma,
-                        round(float(r.value) - ewma, 6),
+                        float(r.value) - ewma,
                     )
                 )
         # keep at most n-1 values: the next row's EWMA uses them as lags

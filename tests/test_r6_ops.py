@@ -177,7 +177,7 @@ def test_ewma_matches_reference_recurrence(spark):
         lags = h[-_EWMA_N:][::-1]
         num = sum(v * w for v, w in zip(lags, _EWMA_W))
         den = sum(_EWMA_W[: len(lags)])
-        expect[r.event_id] = round(num / (den * 1_000_000), 6)
+        expect[r.event_id] = float(num) / float(den * 1_000_000)
     got = {r.event_id: r.ewma_value for r in rows}
     assert len(got) == len(expect)
     mismatch = [k for k in expect if abs(got[k] - expect[k]) > 1e-9]
