@@ -347,7 +347,8 @@ def _ewma_oracle() -> str:
         -- Per-user finite-horizon EWMA (alpha=0.9 over the trailing 32
         -- events) as ONE window pass: value in exact integer micro-units,
         -- integer decay weights, so the weighted sum is BIGINT-exact and
-        -- the only float steps are the final division and round. The
+        -- the only float step is the final raw division (unrounded —
+        -- integer ratios tie exactly at rounding grids). The
         -- deviation column is the residual an anomaly monitor thresholds.
         WITH v AS (
           SELECT event_id, user_id, ts, value,

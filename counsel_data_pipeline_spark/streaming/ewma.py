@@ -41,8 +41,8 @@ def ewma_stateful(events: DataFrame, weights: list[int]) -> DataFrame:
     """Per-user streaming EWMA over a streaming DataFrame with columns
     (event_id, user_id, ts, value). Emits one row per input row with the
     same ewma/deviation arithmetic as the batch window twin: value on a
-    1e-6 integer grid, integer decay weights, one float division + round
-    at the end."""
+    1e-6 integer grid, integer decay weights, one raw float division at
+    the end (never rounded — integer ratios tie at rounding grids)."""
     n = len(weights)
     dens = [sum(weights[: k + 1]) for k in range(n)]
 
