@@ -413,3 +413,65 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma.alias("ewma_value"),
         (F.col("value") - ewma).alias("deviation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history: changelog -> validity intervals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_scd2_intervals",
+    oracle="""
+        -- Slowly-changing-dimension (type 2) history builder: collapse
+        -- each user's event stream into state-change rows (event_type as
+        -- the tracked attribute), then give every state a validity
+        -- interval [valid_from, valid_to) via lead(), with the open
+        -- current row flagged. Two window passes over the same
+        -- (user, time) partitioning — the standard changelog->dimension
+        -- materialization, no floats anywhere.
+        WITH c AS (
+          SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER w AS prev
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        ch AS (
+          SELECT user_id, event_type, ts, event_id FROM c
+          WHERE prev IS NULL OR event_type <> prev
+        )
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+               strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to_s,
+               lead(ts) OVER w2 IS NULL AS is_current
+        FROM ch
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    description="SCD2 dimension-history builder: per-user state-change "
+    "rows with [valid_from, valid_to) intervals and a current flag — two "
+    "windows sharing one (user, time) shuffle, the changelog-to-dimension "
+    "materialization of a warehouse merge",
+    tags=("events", "window", "incremental"),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse-side twin of ops/diff.py's snapshot carry-forward:
+    instead of diffing two snapshots, derive the FULL validity history
+    from the change stream. Both windows share the same partitioning, so
+    Catalyst plans one Exchange + one sort; at 100 TB this is a single
+    user-keyed shuffle regardless of history depth."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    ch = c.filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from_s"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to_s"),
+        nxt.isNull().alias("is_current"),
+    )

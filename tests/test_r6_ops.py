@@ -350,3 +350,24 @@ def test_payload_cas_audit_reclaims_planted_dups(spark):
     assert r.n_blobs == 4 and r.n_distinct_blobs == 2
     assert r.n_dup_copies == 2
     assert r.bytes_reclaimable == 2 * len(b"dup dup")
+
+
+# ---------------------------------------------------------------------------
+# window_scd2_intervals
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_intervals_partition_user_history(spark):
+    rows = _rows("window_scd2_intervals", spark)
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r.valid_from_s)
+        # exactly one open (current) interval per user, and it is the last
+        assert sum(r.is_current for r in hist) == 1
+        assert hist[-1].is_current and hist[-1].valid_to_s is None
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to_s == b.valid_from_s  # contiguous history
+            assert a.event_type != b.event_type  # rows only on state change
