@@ -380,6 +380,78 @@ def kmeans_centroids(
     return cents
 
 
+def kmeans_centroids_exact(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd's k-means in EXACT integer arithmetic — the trainer whose
+    every iterate an independent SQL engine reproduces bit-for-bit, which
+    turns trained-centroid IVF from "approximate by construction" into a
+    fully oracle-checkable query (the same scaled-integer trick as the
+    PageRank and PCA plans in ``plans/graph.py`` / ``plans/llm_similarity.py``).
+
+    Vectors live on a 1e-6 integer grid (``round(x*scale)`` as BIGINT);
+    assignment is argmin of exact BIGINT squared Euclidean distance with
+    lowest-cid tie-break; the centroid update is per-component truncating
+    division ``div(sum, count)`` — every step integer, so reruns and
+    engines agree exactly. Seeds are the ``n_centroids`` lowest-id grids.
+
+    Plan shape per iteration (same as the float trainer): one broadcast of
+    the tiny centroid table against the persisted integer corpus, one
+    map-side-combined hash aggregate over cells; ``localCheckpoint``
+    truncates lineage. Cells that lose all members drop out.
+
+    Returns (__cid, __cv, __cn) ready for ``ivf_topk(centroids_df=...)``
+    — ``__cv`` is the integer centroid divided back to double (exact IEEE
+    int→double below 2^53, identical in any engine).
+    """
+    emb6 = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.expr(
+            f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
+            f"x -> CAST(round(x * {scale}, 0) AS BIGINT))"
+        ).alias("__v6"),
+    ).persist()
+    cents = (
+        emb6.orderBy("__id")
+        .limit(n_centroids)
+        .select(F.col("__id").alias("__cid"), F.col("__v6").alias("__c6"))
+        .localCheckpoint()
+    )
+    sqdist = F.expr(
+        "aggregate(zip_with(__v6, __c6, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    for _ in range(n_iters):
+        scored = emb6.crossJoin(F.broadcast(cents)).select(
+            "__id",
+            F.struct(
+                sqdist.alias("d"), F.col("__cid").alias("cid"), F.col("__v6").alias("v6")
+            ).alias("s"),
+        )
+        # (d, cid) is unique per __id, so min(struct) IS the lowest-cid
+        # argmin; v6 rides along without affecting the order
+        best = scored.groupBy("__id").agg(F.min("s").alias("s"))
+        assigned = best.select(
+            F.col("s.cid").alias("__cid"), F.col("s.v6").alias("__v6")
+        )
+        new_c6 = F.array(
+            *[F.expr(f"div(sum(__v6[{d_}]), count(*))") for d_ in range(dim)]
+        )
+        cents = (
+            assigned.groupBy("__cid").agg(new_c6.alias("__c6")).localCheckpoint()
+        )
+    return cents.select(
+        "__cid",
+        F.expr(f"transform(__c6, x -> CAST(x AS DOUBLE) / {scale})").alias("__cv"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+
+
 def _nearest_cells(
     df: DataFrame, centroids: DataFrame, n: int, out_col: str
 ) -> DataFrame:

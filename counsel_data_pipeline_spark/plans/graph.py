@@ -100,6 +100,23 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed iteration count keeps the plan a finite join chain — the
     unbounded-convergence variant lives in ops/clusters.py's CC loop with
     localCheckpoint, same shape."""
+    return pagerank_copurchase_plan(spark, sf_dir, broadcast_ranks=True)
+
+
+def pagerank_copurchase_plan(
+    spark: SparkSession, sf_dir: str, broadcast_ranks: bool = True
+) -> DataFrame:
+    """``broadcast_ranks=True`` is the benchable-scale shape: the
+    node-sized rank vector broadcasts against the persisted edge list, so
+    edges never reshuffle. ``broadcast_ranks=False`` is the
+    billions-of-vertices shape the module docstring promises: the edge
+    list is hash-partitioned ONCE on src and persisted in that layout;
+    each iteration repartitions only the (small) rank vector to the same
+    key and localCheckpoints the result, so every edges⋈ranks join is a
+    co-partitioned sort-merge with zero edge movement and no node-sized
+    broadcast anywhere. Both paths run the identical integer arithmetic —
+    ``tests/test_r6_ops.py`` asserts rank-for-rank equality under
+    autoBroadcastJoinThreshold=-1."""
     # no pre-distinct on (orderkey, partkey): the edge-level distinct
     # below already canonicalizes, and skipping it removes a full
     # fact-table shuffle (duplicate same-part lines per order are rare)
@@ -112,17 +129,26 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("outdeg")
+    # deg is node-sized and feeds nodes/consts AND every iteration's rank
+    # rebuild — persisting it cuts the co-purchase self-join out of all of
+    # their lineages (without it, each of the 3 iterations re-ran the full
+    # fact self-join just to enumerate the node set).
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .persist()
     )
     # One materialized pass builds the degree-annotated edge list every
     # iteration reuses; outdeg rides along so the per-iteration work is a
     # single broadcast join + aggregate over this cached frame.
-    src_deg = (
-        edges.join(F.broadcast(deg), edges.src == deg.node)
-        .select("src", "dst", "outdeg")
-        .persist()
+    src_deg = edges.join(F.broadcast(deg), edges.src == deg.node).select(
+        "src", "dst", "outdeg"
     )
+    if not broadcast_ranks:
+        # pin the edge layout: hash-partitioned on the per-iteration join
+        # key, materialized once — iterations move only rank rows
+        src_deg = src_deg.repartition("src")
+    src_deg = src_deg.persist()
     nodes = deg.select("node")
     consts = nodes.agg(F.count(F.lit(1)).alias("n")).select(
         F.expr(f"div(15 * div({_PR_SCALE}, n), 100)").alias("base"),
@@ -132,18 +158,29 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("pr0").cast("bigint").alias("pr")
     )
     for _ in range(_PR_ITERS):
-        # rank vector is node-sized — broadcast it so the edge list is
-        # never reshuffled; the dst aggregate's map-side combine bounds
-        # the only shuffle at partitions × nodes
+        ranks_as_src = pr.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            # rank vector is node-sized — broadcast it so the edge list is
+            # never reshuffled; the dst aggregate's map-side combine bounds
+            # the only shuffle at partitions × nodes
+            ranks_side = F.broadcast(ranks_as_src)
+        else:
+            # extreme-scale path: ranks shuffle to the edges' pinned
+            # layout; the persisted edge side never moves
+            ranks_side = ranks_as_src.repartition("src")
         contrib = (
-            src_deg.join(F.broadcast(pr.withColumnRenamed("node", "src")), "src")
+            src_deg.join(ranks_side, "src")
             .select("dst", F.expr("div(pr, outdeg)").alias("c"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("contrib"))
         )
-        pr = (
+        new_pr = (
             nodes.crossJoin(F.broadcast(consts))
-            .join(F.broadcast(contrib), "node", "left")
+            .join(
+                F.broadcast(contrib) if broadcast_ranks else contrib,
+                "node",
+                "left",
+            )
             .select(
                 "node",
                 (
@@ -152,6 +189,9 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint").alias("pr"),
             )
         )
+        # without broadcasts the per-iteration plan would nest join trees
+        # _PR_ITERS deep — truncate lineage so iteration cost stays flat
+        pr = new_pr if broadcast_ranks else new_pr.localCheckpoint()
     return (
         pr.orderBy(F.col("pr").desc(), "node")
         .limit(_TOPK)

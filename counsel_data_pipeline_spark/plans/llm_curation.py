@@ -976,6 +976,11 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 16).alias("gh"),
         )
         .distinct()
+        # both downstream consumers (the per-gram source sets and the
+        # per-source totals) read this frame: persist makes the
+        # single-heavy-pass claim structural instead of relying on
+        # exchange reuse to dedupe the shingle explosion
+        .persist()
     )
     per = (
         sh.groupBy("gh")

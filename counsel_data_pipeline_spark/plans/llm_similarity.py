@@ -292,15 +292,111 @@ def semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_kmeans_oracle(
+    n_centroids: int = 16, n_iters: int = 3, n_probe: int = 4, dim: int = 64
+) -> str:
+    """DuckDB twin of exact-integer Lloyd training + trained-centroid IVF
+    search: every training iterate is reproduced bit-for-bit (BIGINT
+    squared distance, lowest-cid tie-break, truncating-division centroid
+    update), so the ITERATIVE trainer itself is oracle-checked — k-means
+    joins PageRank and PCA as the third exact iterative algorithm."""
+    its = []
+    prev = "c0"
+    for t in range(1, n_iters + 1):
+        its.append(f"""
+        a{t} AS MATERIALIZED (
+          SELECT id, v6, cid FROM (
+            SELECT id, v6, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+            FROM (
+              SELECT e.id, e.v6, c.cid,
+                     list_sum(list_transform(range({dim}), i ->
+                       (e.v6[i+1] - c.c6[i+1]) * (e.v6[i+1] - c.c6[i+1]))) AS d
+              FROM emb6 e CROSS JOIN {prev} c
+            )
+          ) WHERE rn = 1
+        ),
+        c{t} AS MATERIALIZED (
+          SELECT cid, list(s ORDER BY i) AS c6 FROM (
+            SELECT cid, i, sum(v6[i+1]) // count(*) AS s
+            FROM a{t} CROSS JOIN (SELECT unnest(range({dim})) AS i)
+            GROUP BY cid, i
+          ) GROUP BY cid
+        )""")
+        prev = f"c{t}"
+    return f"""
+        -- Exact integer Lloyd's k-means ({n_iters} iterations on the 1e-6
+        -- grid: BIGINT squared Euclidean assignment, lowest-cid ties,
+        -- truncating-division mean update) + IVF search over the trained
+        -- centroids — training AND search hash-match the Spark plan.
+        WITH emb6 AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 list_transform(embedding::DOUBLE[],
+                   x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS v6
+          FROM embeddings
+        ),
+        c0 AS (SELECT id AS cid, v6 AS c6 FROM emb6 WHERE id < {n_centroids}),
+        {",".join(its)},
+        cd AS (
+          SELECT cid, list_transform(c6, x -> CAST(x AS DOUBLE) / 1000000) AS cv
+          FROM {prev}
+        ),
+        c AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cd),
+        n AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        ),
+        ranked AS (
+          SELECT vec_id, v, nrm, cid,
+                 row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid
+                 ) AS crank
+          FROM n, c
+        ),
+        assigned AS (
+          SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE crank = 1
+        ),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS qcell
+          FROM ranked WHERE vec_id < {len(QUERY_IDS)} AND crank <= {n_probe}
+        ),
+        s AS (
+          SELECT query_id, a.vec_id AS neighbor_id,
+                 list_dot_product(qv, a.v) / (qn * a.nrm) AS cosine
+          FROM assigned a JOIN q ON a.cell = qcell AND a.vec_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                 ) AS rank
+          FROM s
+        ) WHERE rank <= {K}
+    """
+
+
 @register(
     "sim_ivf_kmeans_topk",
-    oracle=None,  # trained-centroid ANN is approximate by construction; recall floor pytest-checked
-    description="IVF top-k with spherical k-means trained centroids (Lloyd's, 3 iterations)",
+    # r7: flipped from rows-only to a full value-hash oracle — the trainer
+    # now runs exact integer Lloyd iterations (ops/similarity.py
+    # kmeans_centroids_exact), so centroids, cell assignment, probe lists
+    # and in-cell ranking are all engine-independent
+    oracle=_ivf_kmeans_oracle(n_centroids=16, n_iters=3, n_probe=4),
+    description="IVF top-k with k-means trained centroids: 3 exact "
+    "integer Lloyd iterations (BIGINT squared distance on the 1e-6 grid, "
+    "truncating-division mean update) then 4-probe search — the iterative "
+    "trainer itself is oracle-checked, the third exact iterative "
+    "algorithm after PageRank and PCA",
     tags=("llm", "similarity", "ann", "iterative"),
 )
 def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-centroid ANN with nothing left to trust: per iteration one
+    broadcast of the tiny centroid table against the persisted integer
+    corpus + one map-side-combined aggregate (the float trainer's plan
+    shape, integer arithmetic). At 100 TB the corpus never reshuffles
+    during training; search is the standard IVF cell-probe plan."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = sim.kmeans_centroids(emb, n_centroids=16, n_iters=3)
+    cents = sim.kmeans_centroids_exact(emb, n_centroids=16, n_iters=3)
     return sim.ivf_topk(
         emb, QUERY_IDS, k=K, n_probe=4, centroids_df=cents
     ).orderBy("query_id", "rank")

@@ -716,15 +716,6 @@ def bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
         ).alias("bits")
     )
-    # The filter is injected into the fact scan as ONE dense array
-    # LITERAL (m/32 BIGINTs, ~64 KB) — exactly how engine runtime filters
-    # ship: a plan constant, not a joined column. Two instructive wrong
-    # shapes preceded this: a map column scans all m/32 entries per
-    # element_at (O(m) per probe), and attaching a dense array via
-    # crossJoin(broadcast) serializes 64 KB into EVERY fact row (~38 GB
-    # of copying at sf0.1). The collect is bounded by m/32 —
-    # filter-sized, data-independent (same class as the moment-matrix
-    # collect in sim_pca_power_iteration).
     # The probe is THREE BroadcastHashJoins against the ≤m/32-row words
     # table — a constant-time hash lookup per fact row with NO shuffle of
     # the fact side (broadcast joins preserve partitioning), which is how
@@ -774,9 +765,12 @@ def bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from counsel_data_pipeline_spark.plans._parity import dec
 
-    joined = flags.filter(F.col("may")).join(
-        F.broadcast(dim), flags.l_orderkey == dim.k
-    )
+    # No broadcast hint on the exact join: the dimension here is ~20% of
+    # orders (billions of keys at 100 TB — an executor-OOM broadcast
+    # inside the very query that demonstrates scale-safe pushdown). The
+    # Bloom prefilter has already shrunk the fact side, so AQE picks the
+    # strategy from the real post-filter sizes.
+    joined = flags.filter(F.col("may")).join(dim, flags.l_orderkey == dim.k)
     j = joined.agg(
         F.count(F.lit(1)).alias("n_joined"),
         F.round(F.sum(dec("l_extendedprice")), 2)

@@ -51,10 +51,16 @@ def ewma_stateful(events: DataFrame, weights: list[int]) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         hist: list[int] = list(state.get[0]) if state.exists else []
         out: list[tuple] = []
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Arrow hands the micro-batch as MULTIPLE record batches (default
+        # maxRecordsPerBatch=10000) in arbitrary relative order — sorting
+        # each chunk independently would fold rows into the EWMA state out
+        # of time order once a user's batch spans chunks. Concatenate
+        # first, sort ONCE, then fold.
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             for r in pdf.itertuples(index=False):
                 # int(round()) on a near-integer double (value has coarse
                 # decimals; *1e6 lands within 1 ulp of an integer) — tie
@@ -80,7 +86,9 @@ def ewma_stateful(events: DataFrame, weights: list[int]) -> DataFrame:
                     )
                 )
         # keep at most n-1 values: the next row's EWMA uses them as lags
-        state.update(([int(x) for x in hist[-(n - 1):]],))
+        # (n == 1 needs the explicit empty list — [-0:] would keep all n)
+        lags_kept = hist[-(n - 1):] if n > 1 else []
+        state.update(([int(x) for x in lags_kept],))
         if out:
             yield pd.DataFrame(
                 out,
