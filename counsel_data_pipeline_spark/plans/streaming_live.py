@@ -416,11 +416,13 @@ def _staged_ts_batches_dir(spark: SparkSession, sf_dir: str) -> str:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    stage = derived_cache_dir("counsel_stream_stage_evranges", sf_dir, "events")
+    # v2: carries event_type so the SCD2 stream shares the staging; each
+    # consumer projects its own columns via its readStream schema
+    stage = derived_cache_dir("counsel_stream_stage_evranges_v2", sf_dir, "events")
     marker = os.path.join(stage, "_STAGED")
     if not os.path.exists(marker):
         ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "ts", "value"
+            "event_id", "user_id", "ts", "event_type", "value"
         )
         with_b = ev.withColumn(
             "b",
@@ -484,4 +486,55 @@ def streaming_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema).select(
         "event_id", "user_id", "ts_s", "ewma_value", "deviation"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming SCD2: the changelog -> validity-interval builder
+# ---------------------------------------------------------------------------
+
+
+def _scd2_stream_oracle() -> str:
+    from counsel_data_pipeline_spark.plans.window import _SCD2_ORACLE
+
+    return _SCD2_ORACLE
+
+
+@register(
+    "streaming_scd2_intervals",
+    # Identical oracle to window_scd2_intervals: with micro-batches
+    # arriving in event-time order, the per-user open-interval state makes
+    # the streamed history a pure function of the data — the upsert
+    # changelog compacts to exactly the batch twin's dimension view.
+    oracle=_scd2_stream_oracle(),
+    description="SCD2 dimension history maintained BY a stateful "
+    "Structured Streaming job (applyInPandasWithState, state = each "
+    f"user's open interval, {_EW_N_BATCHES} ascending event-time "
+    "micro-batches, AvailableNow): interval opens/closes emitted as "
+    "warehouse upserts, compacted last-write-wins per interval — verified "
+    "against the batch twin's full DuckDB oracle",
+    tags=("events", "window", "incremental", "streaming"),
+)
+def streaming_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.streaming.scd2 import run_scd2_stream
+
+    stage = _staged_ts_batches_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="counsel_stream_scd2_")
+    try:
+        out = run_scd2_stream(
+            spark,
+            input_dir=stage,
+            work_dir=work,
+            schema=(
+                "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, "
+                "event_type STRING"
+            ),
+            max_files_per_trigger=1,
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).select(
+        "user_id", "event_type", "valid_from_s", "valid_to_s", "is_current"
     )

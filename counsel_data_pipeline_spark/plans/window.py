@@ -420,9 +420,9 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "window_scd2_intervals",
-    oracle="""
+# shared with the streaming twin (plans/streaming_live.py): identical
+# output contract, so the stream is verified against this same SQL
+_SCD2_ORACLE = """
         -- Slowly-changing-dimension (type 2) history builder: collapse
         -- each user's event stream into state-change rows (event_type as
         -- the tracked attribute), then give every state a validity
@@ -446,7 +446,12 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                lead(ts) OVER w2 IS NULL AS is_current
         FROM ch
         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
+    """
+
+
+@register(
+    "window_scd2_intervals",
+    oracle=_SCD2_ORACLE,
     description="SCD2 dimension-history builder: per-user state-change "
     "rows with [valid_from, valid_to) intervals and a current flag — two "
     "windows sharing one (user, time) shuffle, the changelog-to-dimension "

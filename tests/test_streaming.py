@@ -273,3 +273,59 @@ def test_streaming_weighted_sample_equals_batch(spark, tmp_path):
     # audit trail: one reservoir snapshot per micro-batch
     snaps = spark.read.parquet(str(tmp_path / "work" / "reservoir"))
     assert snaps.select("batch").distinct().count() == 3
+
+
+def test_streaming_scd2_equals_batch_twin(spark, tmp_path):
+    """Split sf0.001 events into three ascending (ts, event_id)-range
+    micro-batch files: the stateful SCD2 builder's compacted changelog
+    must equal the batch window twin row-for-row — including intervals
+    that OPEN in one micro-batch and CLOSE in a later one (the per-user
+    open-interval state crossing the batch boundary)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import Window
+
+    from counsel_data_pipeline_spark.io.sources import load_table
+    from counsel_data_pipeline_spark.streaming.scd2 import run_scd2_stream
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    ranked = ev.withColumn(
+        "b", F.ntile(3).over(Window.orderBy("ts", "event_id")) - 1
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    now = time.time()
+    # Spark-written files so ts round-trips as a Spark timestamp (a
+    # pandas write stores INT64 nanos the stream schema can't read)
+    for i in range(3):
+        tmp = tmp_path / f"tmp{i}"
+        ranked.filter(F.col("b") == i).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        src = glob.glob(str(tmp / "part-*.parquet"))[0]
+        dst = in_dir / f"b{i}.parquet"
+        os.replace(src, str(dst))
+        shutil.rmtree(tmp)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    got = run_scd2_stream(
+        spark,
+        str(in_dir),
+        str(tmp_path / "work"),
+        schema="event_id bigint, user_id bigint, ts timestamp, event_type string",
+    )
+    expected = all_queries()["window_scd2_intervals"].fn(spark, SF)
+    cols = ["user_id", "event_type", "valid_from_s", "valid_to_s", "is_current"]
+    assert _rows(got, cols) == _rows(expected, cols)
+    # cross-batch statefulness actually exercised: at least one close
+    # (upsert pair) must span micro-batches, i.e. the changelog holds
+    # more rows than a single batch could have produced alone
+    changelog = spark.read.parquet(str(tmp_path / "work" / "out"))
+    closes = changelog.filter(F.col("valid_to_s").isNotNull()).count()
+    opens = changelog.filter(F.col("valid_to_s").isNull()).count()
+    assert closes > 0 and opens > closes  # open rows include current ones
