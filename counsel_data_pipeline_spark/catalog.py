@@ -68,83 +68,76 @@ def register(
 # registration order. Rotate per round: once a family has its green
 # CORRECTNESS row, swap the next unverified family in.
 #
-# Round 6 window (ledger in COVERAGE.md): (a) the nine queries that have
-# never had a driver row — the eight new-in-r6 operators plus
-# curation_weighted_sample_stratified, which registered past r5's 50-slot
-# window; (b) three r5/r6-changed queries whose existing green rows
-# attest a superseded oracle or implementation (dedup_duplicate_spans:
-# span-hash shuffle projection mirrored into the oracle;
-# sim_ivf_persisted_query: oracle centroid derivation decoupled from the
-# id layout; sketch_hll_distinct_users: flipped from no_oracle to the
-# md5-register HLL); (c) the seventeen queries whose last green row is
-# r2 — the only rows that still predate the r4 testdata regeneration
-# (incl. tpch_q1_pricing_summary, rewritten this round on integer
-# cents); (a2) the twelve operators added mid-r6 (hashing-trick
-# classifier, CMS join-size estimation, HLL set algebra, Z-order layout
-# audit, integer-exact EWMA + its stateful-streaming twin, exact integer
-# PageRank, kNN label audit, Bloom runtime-filter join, label centroid
-# stats, contamination matrix, integer power-iteration PCA, vocabulary
-# growth, content-addressed payload dedup); (d) three r4-attested
-# queries as fill, oldest evidence first, across the multimodal/dedup
-# families. The fifty r5-green rows are
-# current and yield their slots.
+# Round 8 window (ledger in COVERAGE.md): (a) the three r7 additions that
+# have never had a driver row — batch SCD2, its Structured-Streaming twin
+# (would be the 5th driver row computed BY a real AvailableNow stream),
+# and the exact-integer-Lloyd k-means topk whose new oracle has never
+# been driver-seen; (b) sketch_value_quantiles (KLL) for its rows-only
+# attestation — no oracle by design, the driver records the weaker check;
+# (c) new-in-r8 queries, inserted at the front of this block as they
+# land (Z-order write->prune->read loop, enrichment waterfall, bucketed
+# dedup-store ingest, streaming k-means twin); (d) fill with the queries
+# whose last hash-green row is r4 — the oldest evidence in the ledger —
+# in registration order. The 46 r5-green and 50 r7-green rows are
+# current and yield their slots; r4 rows that miss this window's cut
+# rotate in next round.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- (a) never driver-attested: new in r6 --
-    "streaming_weighted_reservoir",
-    "streaming_cms_user_counts",
-    "streaming_incremental_dedup",
-    "incremental_orders_state_merge",
-    "join_bucketed_order_revenue",
-    "sim_ivf_incremental_append",
-    "sim_ivf_centroid_drift",
-    "sketch_sampled_quantiles",
-    "sketch_cms_heavy_hitters",
-    "curation_decontam_bloom_prefilter",
-    "quality_embedding_outliers",
-    "dedup_containment_pairs",
-    # -- (a) registered past r5's window, locally green since r5 --
-    "curation_weighted_sample_stratified",
-    # -- (b) green rows superseded by r6 oracle/implementation changes --
-    "sketch_hll_distinct_users",
-    "dedup_duplicate_spans",
-    "sim_ivf_persisted_query",
-    # -- (c) last green row is r2 (pre-regeneration evidence) --
-    "tpch_q1_pricing_summary",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_part_supplier_diversity",
-    "tpch_q17_small_quantity",
-    "tpch_q19_like_disjunctive",
-    "tpch_order_value_histogram",
-    "tpch_quantity_discount_correlation",
-    "tpch_top_customer_per_nation",
-    "window_customer_balance_quartiles",
-    "window_order_gap_days",
-    "window_part_price_rank",
-    "window_running_customer_spend",
-    "window_top3_orders_per_customer",
-    # -- (a2) never driver-attested: new mid-r6 operator batch --
-    "quality_classifier_score",
-    "sketch_cms_join_size",
-    "sketch_hll_set_ops",
-    "layout_zorder_pruning",
-    "window_ewma_user_value",
-    "graph_pagerank_copurchase",
-    "sim_knn_label_agreement",
-    "join_bloom_runtime_filter",
-    "sim_label_centroid_stats",
-    "curation_contamination_matrix",
-    "streaming_ewma_user_value",
-    "sim_pca_power_iteration",
-    "text_vocab_growth",
-    "multimodal_payload_dedup",
-    # -- (d) r4-attested fill, family-diverse --
-    "multimodal_decode_metadata",
-    "multimodal_frame_sample_stats",
-    "dedup_exact_content_hash",
+    # -- (a) never driver-attested: new in r7 --
+    "window_scd2_intervals",
+    "streaming_scd2_intervals",
+    "sim_ivf_kmeans_topk",
+    # -- (b) rows-only attestation for the KLL sketch --
+    "sketch_value_quantiles",
+    # -- (c) new in r8 --
+    # (inserted here as they land)
+    # -- (d) oldest-evidence fill: last hash-green row is r4 --
+    "events_tumbling_hourly",
+    "events_sliding_6h_daily",
+    "events_json_prop_buckets",
+    "events_top20_users_by_value",
+    "events_distinct_users_salted",
+    "events_asof_last_click_before_purchase",
+    "events_range_join_error_windows",
+    "events_funnel_view_click_purchase",
+    "events_weekly_cohort_retention",
+    "events_zscore_anomalies",
+    "events_daily_type_pivot",
+    "events_pivot_roundtrip_unpivot",
+    "curation_hash_split",
+    "curation_repetition_scores",
+    "curation_decontam_overlap",
+    "curation_numeric_scrub_props",
+    "curation_stratified_sample",
+    "curation_pack_sequences",
+    "curation_source_cap",
+    "curation_temperature_resample",
+    "curation_chunk_dedup_stats",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_connected_clusters",
+    "dedup_embedding_cosine_topn",
+    "dedup_fuzzy_fingerprint_block",
+    "llm_dedup_pipeline",
+    "dedup_incremental_batch",
+    "multimodal_binary_stats",
+    "sim_cosine_topk_bruteforce",
+    "sim_lsh_bucketed_topk",
+    "sim_ivf_topk",
+    "sim_neighbor_doc_quality",
+    "dedup_semantic_blocked_pairs",
+    "sim_quantized_topk",
+    "sim_embedding_dim_profile",
+    "text_token_stats_by_lang",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprints",
+    "llm_corpus_prep",
+    "text_boilerplate_ngrams",
+    "text_oov_trigram_ratio",
+    "tpch_q15_top_supplier",
+    # r4 rows deferred to r9 for slot budget: (none — 45 fit alongside
+    # the four above until r8 additions displace the tail)
 )
 
 
