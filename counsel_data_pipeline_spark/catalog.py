@@ -89,7 +89,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- (b) rows-only attestation for the KLL sketch --
     "sketch_value_quantiles",
     # -- (c) new in r8 --
-    # (inserted here as they land)
+    "layout_zorder_write_prune",
     # -- (d) oldest-evidence fill: last hash-green row is r4 --
     "events_tumbling_hourly",
     "events_sliding_6h_daily",

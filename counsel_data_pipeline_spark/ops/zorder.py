@@ -99,7 +99,7 @@ def zone_map_survivors(
     rows = zm.collect()
     (x_lo, x_hi), (y_lo, y_hi) = x_range, y_range
     survivors = sorted(
-        int(r.__shard)
+        int(r["__shard"])
         for r in rows
         if r.min_x <= x_hi and r.max_x >= x_lo
         and r.min_y <= y_hi and r.max_y >= y_lo
@@ -110,9 +110,15 @@ def zone_map_survivors(
 def read_pruned(
     spark: SparkSession, path: str, survivors: list[int]
 ) -> DataFrame:
-    """Read only the surviving shard directories via native partition
-    pruning on the ``__shard`` partition column (the predicate is against
-    directory names — no data file of a pruned shard is ever opened)."""
-    return spark.read.parquet(os.path.join(path, "data")).filter(
-        F.col("__shard").isin([int(s) for s in survivors])
-    )
+    """Read only the surviving shard directories, manifest-driven: the
+    scan is given EXACTLY the surviving ``__shard=N`` directories (with
+    ``basePath`` so ``__shard`` stays a partition column), the same way a
+    lakehouse reader turns a file-stats index lookup into a file list.
+    Pruned shards are never listed, let alone opened — ``inputFiles()``
+    on the result contains only surviving directories, which the catalog
+    query asserts."""
+    data = os.path.join(path, "data")
+    if not survivors:
+        return spark.read.parquet(data).filter(F.lit(False))
+    dirs = [os.path.join(data, f"__shard={int(s)}") for s in survivors]
+    return spark.read.option("basePath", data).parquet(*dirs)

@@ -202,6 +202,137 @@ def _zorder_oracle() -> str:
     """
 
 
+def _zorder_write_prune_oracle() -> str:
+    from counsel_data_pipeline_spark.ops.partitioning import morton_interleave8_sql
+
+    z = morton_interleave8_sql("bx", "by")
+    return f"""
+        -- Independent reconstruction of the write->prune->read loop: the
+        -- shard function is a pure function of the data (range-scaled
+        -- 8-bit buckets, Morton interleave, top 8 bits), so DuckDB can
+        -- recompute every shard's zone map, decide the same survivor
+        -- set for the middle-quarter 2-D box, and aggregate exactly the
+        -- rows the pruned Spark read returns.
+        WITH mx AS (
+          SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem
+        ),
+        bounds AS (
+          SELECT (mp >> 2) AS p_lo, (mp >> 1) AS p_hi,
+                 (ms >> 2) AS s_lo, (ms >> 1) AS s_hi
+          FROM mx
+        ),
+        a AS (
+          SELECT ({z}) >> 8 AS shard, pk, sk, qty
+          FROM (
+            SELECT l_partkey AS pk, l_suppkey AS sk,
+                   CAST(l_quantity AS BIGINT) AS qty,
+                   (l_partkey * 256) // (mp + 1) AS bx,
+                   (l_suppkey * 256) // (ms + 1) AS by
+            FROM lineitem CROSS JOIN mx
+          )
+        ),
+        zones AS (
+          SELECT shard,
+                 min(pk) AS min_p, max(pk) AS max_p,
+                 min(sk) AS min_s, max(sk) AS max_s,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN pk BETWEEN (SELECT p_lo FROM bounds)
+                                           AND (SELECT p_hi FROM bounds)
+                                AND sk BETWEEN (SELECT s_lo FROM bounds)
+                                           AND (SELECT s_hi FROM bounds)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS rows_in_box,
+                 CAST(sum(CASE WHEN pk BETWEEN (SELECT p_lo FROM bounds)
+                                           AND (SELECT p_hi FROM bounds)
+                                AND sk BETWEEN (SELECT s_lo FROM bounds)
+                                           AND (SELECT s_hi FROM bounds)
+                          THEN qty ELSE 0 END) AS BIGINT) AS box_qty
+          FROM a
+          GROUP BY shard
+        ),
+        surv AS (
+          SELECT z.* FROM zones z CROSS JOIN bounds b
+          WHERE z.min_p <= b.p_hi AND z.max_p >= b.p_lo
+            AND z.min_s <= b.s_hi AND z.max_s >= b.s_lo
+        )
+        SELECT CAST(shard AS BIGINT) AS shard, n_rows, rows_in_box, box_qty,
+               (SELECT CAST(count(*) AS BIGINT) FROM zones) AS n_shards_total,
+               (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_survivors
+        FROM surv
+    """
+
+
+@register(
+    "layout_zorder_write_prune",
+    oracle=_zorder_write_prune_oracle(),
+    description="Z-order WRITE path attested end-to-end: lineitem written "
+    "hive-partitioned by Morton shard of (l_partkey, l_suppkey) with a "
+    "per-shard zone-map manifest, survivors of the middle-quarter 2-D box "
+    "decided FROM the manifest, and only surviving shard directories read "
+    "back (native partition pruning) — the plan fn RAISES if the pruned "
+    "scan touches a non-survivor file, so the green row certifies values "
+    "AND the data-skipping behavior (ops/zorder.py:52,89,110)",
+    tags=("layout", "tpch", "planner", "write"),
+)
+def zorder_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deliverable behind the layout_zorder_pruning audit: a real
+    OPTIMIZE-ZORDER-style rewrite on plain parquet. Scale notes: the write
+    is one range-style shuffle on the z-value (the standard ZORDER rewrite
+    cost, amortized across every subsequent 2-D query); the manifest and
+    the survivor decision are shard-count-sized (bounded collect, same
+    class as a lakehouse file-stats index lookup); the pruned read lists
+    only surviving directories, so pruned shards cost nothing at any
+    scale."""
+    from counsel_data_pipeline_spark.ops.zorder import (
+        read_pruned,
+        write_zordered,
+        zone_map_survivors,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    # Two-scalar collect (bounded by construction: one row of maxima).
+    mp, ms = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    mp, ms = int(mp), int(ms)
+    path = derived_cache_dir("counsel_zorder", sf_dir, "lineitem")
+    if not os.path.exists(os.path.join(path, "data", "_SUCCESS")):
+        write_zordered(li, path, "l_partkey", "l_suppkey", mp, ms)
+    box_x, box_y = (mp >> 2, mp >> 1), (ms >> 2, ms >> 1)
+    survivors, n_shards = zone_map_survivors(spark, path, box_x, box_y)
+    pruned = read_pruned(spark, path, survivors)
+    # Certify the skipping, not just the values: every file the pruned
+    # scan resolves must live in a surviving shard directory.
+    allowed = {f"__shard={s}" for s in survivors}
+    bad = [
+        f
+        for f in pruned.inputFiles()
+        if not any(part in allowed for part in f.split("/"))
+    ]
+    if bad:
+        raise RuntimeError(
+            f"pruned read touched non-surviving shard files: {bad[:3]}"
+        )
+    in_box = F.col("l_partkey").between(*box_x) & F.col("l_suppkey").between(
+        *box_y
+    )
+    return pruned.groupBy(
+        F.col("__shard").cast("bigint").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(in_box.cast("int")).cast("bigint").alias("rows_in_box"),
+        F.sum(
+            F.when(in_box, F.col("l_quantity").cast("bigint")).otherwise(0)
+        ).cast("bigint").alias("box_qty"),
+    ).select(
+        "shard",
+        "n_rows",
+        "rows_in_box",
+        "box_qty",
+        F.lit(n_shards).cast("bigint").alias("n_shards_total"),
+        F.lit(len(survivors)).cast("bigint").alias("n_survivors"),
+    )
+
+
 @register(
     "layout_zorder_pruning",
     oracle=_zorder_oracle(),

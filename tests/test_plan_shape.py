@@ -284,3 +284,77 @@ def test_ivf_persisted_query_broadcasts_queries_not_lists(spark):
     for m in re.finditer(r"\(\d+\) BroadcastExchange", plan):
         section = plan[m.start() : m.start() + 400]
         assert "lists" not in section, section
+
+
+# ---------------------------------------------------------------------------
+# Z-order write -> zone-map prune -> pruned read (ops/zorder.py)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_write_prune_reads_only_surviving_dirs(spark, tmp_path):
+    """The pruned read must be manifest-driven: the scan's file list may
+    contain ONLY surviving shard directories (listing-level skipping, the
+    behavior a zone-map index exists to deliver), and the rows read must
+    equal a naive filter of the source to the surviving shards."""
+    from counsel_data_pipeline_spark.ops.zorder import (
+        morton_shard,
+        read_pruned,
+        write_zordered,
+        zone_map_survivors,
+    )
+    from pyspark.sql import functions as F
+
+    max_x, max_y = 1023, 255
+    df = spark.range(5000).select(
+        ((F.col("id") * 37) % (max_x + 1)).alias("x"),
+        ((F.col("id") * 101) % (max_y + 1)).alias("y"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "zo")
+    write_zordered(df, path, "x", "y", max_x, max_y)
+
+    box_x, box_y = (100, 180), (40, 90)
+    survivors, n_shards = zone_map_survivors(spark, path, box_x, box_y)
+    assert 0 < len(survivors) < n_shards  # the box must actually prune
+
+    pruned = read_pruned(spark, path, survivors)
+    allowed = {f"__shard={s}" for s in survivors}
+    for f in pruned.inputFiles():
+        assert any(part in allowed for part in f.split("/")), f
+
+    # value parity: pruned read == source rows whose shard survived
+    expect = (
+        df.withColumn("__shard", morton_shard("x", "y", max_x, max_y))
+        .filter(F.col("__shard").isin(survivors))
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+        .first()
+    )
+    got = pruned.groupBy().agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv")
+    ).first()
+    assert (got.n, got.sv) == (expect.n, expect.sv)
+    # zone-map completeness: every box row lives in a surviving shard
+    n_box = df.filter(
+        F.col("x").between(*box_x) & F.col("y").between(*box_y)
+    ).count()
+    n_box_pruned = pruned.filter(
+        F.col("x").between(*box_x) & F.col("y").between(*box_y)
+    ).count()
+    assert n_box_pruned == n_box
+
+
+def test_zorder_read_pruned_empty_survivors(spark, tmp_path):
+    from counsel_data_pipeline_spark.ops.zorder import (
+        read_pruned,
+        write_zordered,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") % 8).alias("y"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "zo")
+    write_zordered(df, path, "x", "y", 15, 7)
+    assert read_pruned(spark, path, []).count() == 0
