@@ -21,6 +21,13 @@ scale; a production CDC feed is already arriving in commit order). Under
 that contract the compacted output is a pure function of the data —
 identical to the batch twin and therefore to its DuckDB oracle.
 
+The contract is ENFORCED, not assumed: state additionally holds the
+high-water mark (last_ts, last_event) per user, and an event at or
+before it raises rather than silently emitting a wrong interval — the
+same fail-loud posture as the cluster-CC non-convergence guard. A feed
+that can genuinely deliver late data should be windowed/reordered
+upstream (or use the order-free batch twin over a bounded replay).
+
 Scale notes: state per user is two strings + one long — fixed, tiny; the
 state store shards by user across shuffle partitions. Each micro-batch
 touches only the users present in it, and each emitted row is
@@ -36,7 +43,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "open_type string, open_from string, open_event bigint"
+STATE_SCHEMA = (
+    "open_type string, open_from string, open_event bigint, "
+    # per-user event-time high-water mark enforcing the in-order contract;
+    # last_ts is microsecond-ISO so string compare == timestamp compare
+    "last_ts string, last_event bigint"
+)
 CHANGELOG_SCHEMA = (
     "user_id bigint, open_event bigint, event_type string, "
     "valid_from_s string, valid_to_s string"
@@ -57,9 +69,10 @@ def scd2_stateful(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         user = int(key[0])
         if state.exists:
-            open_type, open_from, open_event = state.get
+            open_type, open_from, open_event, last_ts, last_event = state.get
         else:
             open_type, open_from, open_event = None, None, None
+            last_ts, last_event = None, None
         out: list[tuple] = []
         # concat then ONE sort: Arrow chunk order within a micro-batch is
         # arbitrary (same pitfall the EWMA operator documents)
@@ -68,6 +81,23 @@ def scd2_stateful(events: DataFrame) -> DataFrame:
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 ["ts", "event_id"]
             )
+            # In-order contract enforcement: the batch is sorted, so only
+            # its FIRST event can regress the stored high-water mark.
+            first = next(pdf.itertuples(index=False))
+            first_key = (
+                pd.Timestamp(first.ts).strftime("%Y-%m-%d %H:%M:%S.%f"),
+                int(first.event_id),
+            )
+            if last_ts is not None and first_key <= (last_ts, last_event):
+                raise ValueError(
+                    f"out-of-order SCD2 feed for user {user}: event "
+                    f"{first_key} arrived at/behind high-water mark "
+                    f"({last_ts}, {last_event}); reorder the feed upstream "
+                    "or use the order-free batch twin"
+                )
+            last = pdf.iloc[-1]
+            last_ts = pd.Timestamp(last["ts"]).strftime("%Y-%m-%d %H:%M:%S.%f")
+            last_event = int(last["event_id"])
             for r in pdf.itertuples(index=False):
                 t = pd.Timestamp(r.ts).strftime("%Y-%m-%d %H:%M:%S")
                 typ = str(r.event_type)
@@ -81,7 +111,9 @@ def scd2_stateful(events: DataFrame) -> DataFrame:
                     open_type, open_from, open_event = typ, t, int(r.event_id)
                     out.append((user, open_event, typ, t, None))
         if open_type is not None:
-            state.update((open_type, open_from, int(open_event)))
+            state.update(
+                (open_type, open_from, int(open_event), last_ts, last_event)
+            )
         if out:
             yield pd.DataFrame(
                 out,
@@ -108,6 +140,9 @@ def compact_changelog(changelog: DataFrame) -> DataFrame:
     return (
         changelog.groupBy("user_id", "open_event")
         .agg(
+            # every changelog row of one interval identity carries the SAME
+            # event_type (open and close both emit the opening type), so
+            # max() is "the value", not a tiebreak
             F.max("event_type").alias("event_type"),
             F.max("valid_from_s").alias("valid_from_s"),
             F.max("valid_to_s").alias("valid_to_s"),

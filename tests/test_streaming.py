@@ -3,6 +3,7 @@ aggregations must produce exactly the batch plans' results when run with
 Trigger.AvailableNow over the same files (the reference's cron-micro-batch
 execution model, SURVEY §2.10 T4)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from counsel_data_pipeline_spark.catalog import all_queries
@@ -329,3 +330,46 @@ def test_streaming_scd2_equals_batch_twin(spark, tmp_path):
     closes = changelog.filter(F.col("valid_to_s").isNotNull()).count()
     opens = changelog.filter(F.col("valid_to_s").isNull()).count()
     assert closes > 0 and opens > closes  # open rows include current ones
+
+
+def test_streaming_scd2_raises_on_out_of_order_feed(spark, tmp_path):
+    """The determinism contract is enforced, not assumed: a micro-batch
+    regressing a user's event-time high-water mark must fail the stream
+    loudly (it would otherwise silently emit a wrong interval)."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time
+
+    from counsel_data_pipeline_spark.streaming.scd2 import run_scd2_stream
+
+    def _ts(minute):
+        return datetime.datetime(2024, 1, 1, 10, minute)
+
+    batches = [
+        [(1, 7, _ts(0), "view"), (2, 7, _ts(2), "click")],
+        # event_id 3 is BEHIND user 7's high-water mark (10:02)
+        [(3, 7, _ts(1), "purchase")],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        tmp = tmp_path / f"tmp{i}"
+        spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        src = glob.glob(str(tmp / "part-*.parquet"))[0]
+        dst = in_dir / f"b{i}.parquet"
+        os.replace(src, str(dst))
+        shutil.rmtree(tmp)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    with pytest.raises(Exception, match="out-of-order SCD2 feed"):
+        run_scd2_stream(
+            spark,
+            str(in_dir),
+            str(tmp_path / "work"),
+            schema="event_id bigint, user_id bigint, ts timestamp, event_type string",
+        )
