@@ -90,6 +90,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sketch_value_quantiles",
     # -- (c) new in r8 --
     "layout_zorder_write_prune",
+    "ops_enrich_waterfall",
     # -- (d) oldest-evidence fill: last hash-green row is r4 --
     "events_tumbling_hourly",
     "events_sliding_6h_daily",
@@ -135,9 +136,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "llm_corpus_prep",
     "text_boilerplate_ngrams",
     "text_oov_trigram_ratio",
-    "tpch_q15_top_supplier",
-    # r4 rows deferred to r9 for slot budget: (none — 45 fit alongside
-    # the four above until r8 additions displace the tail)
+    # r4 rows deferred to r9 for slot budget: tpch_q15_top_supplier
+    # (displaced by the r8 additions above; rotate in next round)
 )
 
 

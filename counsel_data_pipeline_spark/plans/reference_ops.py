@@ -259,3 +259,114 @@ def stable_sort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("is_open").desc(), F.col("o_orderkey"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# E1–E6: the geocode strategy waterfall, driver-attested
+# ---------------------------------------------------------------------------
+
+_ENRICH_COUNTIES = ["臺北市", "臺中市", "高雄市", "臺南市"]
+
+
+def _accepts_even_house(q: str) -> bool:
+    """Primary stub accepts only even house numbers — the deterministic
+    knob that routes odd-house rows past E1 into the E2 secondary leg."""
+    import re
+
+    m = re.search(r"(\d+)號$", q)
+    return bool(m) and int(m.group(1)) % 2 == 0
+
+
+def _accepts_any_house(q: str) -> bool:
+    return q.endswith("號")
+
+
+def _enrich_fixture_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TW-address fixture from the customer table: county
+    cycles over four real counties, address is an already-normalized
+    string (its own first F19 candidate), house number 1 + custkey % 40."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .filter(F.col("c_custkey") <= 200)
+    )
+    county = F.element_at(
+        F.array(*[F.lit(c) for c in _ENRICH_COUNTIES]),
+        (F.col("c_custkey") % 4 + 1).cast("int"),
+    )
+    return cust.select(
+        F.col("c_custkey"),
+        county.alias("county"),
+        F.concat(F.lit("Org"), F.col("c_custkey")).alias("org_name"),
+        F.concat(
+            county, F.lit("中山路"), (F.lit(1) + F.col("c_custkey") % 40),
+            F.lit("號"),
+        ).alias("address"),
+    )
+
+
+@register(
+    "ops_enrich_waterfall",
+    oracle="""
+        -- Independent restatement of the waterfall's routing function:
+        -- custkey % 5 = 0 rows are seeded into the cache (J3 broadcast
+        -- probe wins, E6); of the rest, even house numbers pass the
+        -- primary stub (E1), odd fall through to the secondary (E2).
+        -- Counts + exact custkey sums per (county, provenance) attest
+        -- that every row took exactly the strategy the fixture dictates.
+        WITH rows AS (
+          SELECT c_custkey,
+                 CASE (c_custkey % 4)
+                   WHEN 0 THEN '臺北市' WHEN 1 THEN '臺中市'
+                   WHEN 2 THEN '高雄市' ELSE '臺南市' END AS county
+          FROM customer WHERE c_custkey <= 200
+        ),
+        tagged AS (
+          SELECT county,
+                 CASE WHEN c_custkey % 5 = 0 THEN 'cache'
+                      WHEN (1 + c_custkey % 40) % 2 = 0 THEN 'opencage'
+                      ELSE 'nominatim' END AS source,
+                 c_custkey
+          FROM rows
+        )
+        SELECT county, source,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_custkey
+        FROM tagged GROUP BY county, source
+    """,
+    description="E1–E6 + J3 end-to-end: the REAL enrich() waterfall "
+    "(broadcast cache probe with county validation, then the rate-limited "
+    "sequential resolver waterfall in one mapInPandas partition) run over "
+    "a deterministic customer-derived TW-address fixture with stub "
+    "resolvers whose accept predicates partition the rows — provenance "
+    "counts and exact custkey sums per (county, source) prove every row "
+    "resolved via exactly the dictated strategy (src/geocode.js:472-514)",
+    tags=("reference-op", "enrich"),
+)
+def enrich_waterfall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.enrich import StubResolver, enrich
+
+    rows = _enrich_fixture_rows(spark, sf_dir)
+    # E6 seed: every custkey % 5 == 0 row's address pre-resolved, keyed by
+    # the row's own first candidate (the normalized address itself).
+    cache = rows.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("address").alias("query"),
+        (F.lit(22.0)).alias("lat"),
+        (F.lit(120.0)).alias("lng"),
+        F.lit(5).cast("long").alias("confidence"),
+        F.col("address").alias("formatted"),
+        F.create_map(F.lit("county"), F.col("county")).alias("components"),
+        F.lit("cache").alias("source"),
+        F.lit("cached").alias("approx"),
+    )
+    result = enrich(
+        rows,
+        cache,
+        StubResolver(name="opencage", accepts=_accepts_even_house),
+        nominatim=StubResolver(name="nominatim", accepts=_accepts_any_house),
+        min_interval_s=0.0,
+    )
+    return result.enriched.groupBy("county", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("sum_custkey"),
+    )
