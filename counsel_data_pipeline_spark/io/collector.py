@@ -1,0 +1,341 @@
+"""Landing-zone collector (SURVEY §2.1 S1/S2) — the one reference stage
+that previously stayed outside the engine.
+
+Reference behavior reproduced:
+
+- ``src/http_crawl.js:16-45`` (S2): GET the query form once to obtain the
+  session cookie + anti-forgery token, then POST the datagrid JSON API
+  per page with county/isYes/page/rows form fields (:47-78), echoing the
+  token both as a header and a form field.
+- ``src/index.js:285-316`` (S1 ``collectByCondition``): per (county,
+  yes|no) loop pages until the UI page count is exhausted, accumulate
+  rows, first-wins dedup by (countyName, org text, address text)
+  (``uniqByKey``, src/index.js:89-98), then write
+  ``<code>_<name>_{yes,no}_raw.json`` as ``{total, rows, totalPages}``
+  (``processOneCounty``, src/index.js:318-340).
+
+Engine integration: :func:`collect_landing` writes DATED landing files
+(`<out>/<YYYY-MM-DD>/...`, the T5 snapshot-retention layout) and returns
+the ordered ``county_files`` list that feeds
+:func:`pipeline.crawl_clean_merge` directly — the full §3.1 DAG now runs
+end-to-end from a transport, not from pre-staged fixtures.
+
+Transports are pluggable behind one two-method protocol, same pattern as
+ops/enrich's geocoder resolvers:
+
+- :class:`HttpTransport` — real stdlib-urllib implementation with exact
+  form-field parity to the reference (verified by mocked-transport
+  tests; this container has no network).
+- :class:`ReplayTransport` — deterministic replay of committed
+  ``*_raw.json`` fixtures, re-paginated, so tests and CI runs exercise
+  the identical pagination/uniq/write path without a browser or network.
+
+Scale note: the collector is landing-zone code — a single-site, politely
+paced scraper writing kilobyte JSON files. It is deliberately plain
+driver-side Python (the 100 TB engine starts AT the landing files); the
+pacing hook mirrors the reference's humanPause (F27) but is injectable
+and defaults to no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from typing import Any, Protocol
+
+
+class CollectorTransport(Protocol):
+    def fetch_page(
+        self, county_value: str, is_yes: bool, page: int, page_size: int
+    ) -> dict[str, Any]:
+        """One datagrid page: ``{"total": int, "rows": [raw_grid_row...]}``."""
+        ...
+
+
+# ---------------------------------------------------------------------------
+# raw-row first-wins uniq (src/index.js:89-98) — plain-Python twin of the
+# engine's ops/dedup.uniq_by_key, applied collector-side exactly like the
+# reference so landing files match its committed artifacts byte-for-row.
+# ---------------------------------------------------------------------------
+
+_ANCHOR_RE = re.compile(r"<a[^>]*href=['\"]([^'\"]+)['\"][^>]*>(.*?)</a>", re.I | re.S)
+_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def _unesc(s: Any) -> Any:
+    if not isinstance(s, str):
+        return s
+    return (
+        s.replace("\\u003c", "<")
+        .replace("\\u003e", ">")
+        .replace("\\u0026", "&")
+        .replace("&amp;", "&")
+    )
+
+
+def _anchor_text(html: Any) -> str | None:
+    if not html:
+        return None
+    s = _unesc(str(html))
+    m = _ANCHOR_RE.search(s)
+    if m:
+        return _unesc(_TAG_RE.sub("", m.group(2)))
+    return _unesc(_TAG_RE.sub("", s))
+
+
+def uniq_raw_rows(rows: Sequence[dict[str, Any]]) -> list[dict[str, Any]]:
+    """First-wins per (county, org text, address text) — uniqByKey."""
+    seen: dict[str, dict[str, Any]] = {}
+    for r in rows or []:
+        k = "||".join(
+            [
+                str(r.get("countyName") or ""),
+                str(_anchor_text(r.get("orgName")) or ""),
+                str(_anchor_text(r.get("address")) or ""),
+            ]
+        ).strip()
+        if k not in seen:
+            seen[k] = r
+    return list(seen.values())
+
+
+# ---------------------------------------------------------------------------
+# Transports
+# ---------------------------------------------------------------------------
+
+_FORM_PATH = "/Home/QueryServiceOrg"
+_API_PATH = "/Home/QueryServiceOrgJsonList"
+_TOKEN_INPUT_RE = re.compile(
+    r'name="__RequestVerificationToken"\s+type="hidden"\s+value="([^"]+)"', re.I
+)
+_TOKEN_JS_RE = re.compile(
+    r'RequestVerificationToken["\']?\s*[:=]\s*["\']([^"\']+)["\']', re.I
+)
+
+
+@dataclass
+class HttpSession:
+    cookie: str = ""
+    token: str | None = None
+
+
+def parse_session(set_cookie: str, html: str) -> HttpSession:
+    """Cookie/token extraction with reference parity
+    (src/http_crawl.js:27-42): split multi Set-Cookie on ``, `` before a
+    ``k=`` pair, keep the first attr of each, join with '; '; token from
+    the hidden form input, else the JS-assignment fallback."""
+    cookie = "; ".join(
+        s.split(";")[0]
+        for s in re.split(r", (?=[^;]+?=)", set_cookie or "")
+        if s.split(";")[0]
+    )
+    token = None
+    m = _TOKEN_INPUT_RE.search(html or "")
+    if m:
+        token = m.group(1)
+    if not token:
+        m = _TOKEN_JS_RE.search(html or "")
+        if m:
+            token = m.group(1)
+    return HttpSession(cookie=cookie, token=token)
+
+
+@dataclass
+class HttpTransport:
+    """S2: direct JSON-API collector (src/http_crawl.js). The raw HTTP
+    calls are injectable (this container has no network); the default
+    uses stdlib urllib. ``get`` returns (set_cookie_header, body_text);
+    ``post`` returns the parsed-JSON body text."""
+
+    base_url: str
+    get: Callable[[str, dict[str, str]], tuple[str, str]] | None = None
+    post: Callable[[str, dict[str, str], dict[str, str]], str] | None = None
+    user_agent: str = "Mozilla/5.0 (CI http crawler)"
+    _session: HttpSession | None = None
+
+    def _default_get(self, url: str, headers: dict[str, str]) -> tuple[str, str]:
+        import urllib.request
+
+        req = urllib.request.Request(url, headers=headers)
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.headers.get("Set-Cookie", "") or "", resp.read().decode(
+                "utf-8", "replace"
+            )
+
+    def _default_post(
+        self, url: str, data: dict[str, str], headers: dict[str, str]
+    ) -> str:
+        import urllib.parse
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=urllib.parse.urlencode(data).encode(), headers=headers
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.read().decode("utf-8", "replace")
+
+    def ensure_session(self) -> HttpSession:
+        if self._session is None:
+            get = self.get or self._default_get
+            set_cookie, html = get(
+                self.base_url + _FORM_PATH,
+                {
+                    "User-Agent": self.user_agent,
+                    "Accept": "text/html,application/xhtml+xml",
+                },
+            )
+            self._session = parse_session(set_cookie, html)
+        return self._session
+
+    def fetch_page(
+        self, county_value: str, is_yes: bool, page: int, page_size: int
+    ) -> dict[str, Any]:
+        sess = self.ensure_session()
+        # field parity with src/http_crawl.js:49-58 — both county spellings,
+        # lowercase booleans, stringified page numbers, empty sort/order
+        body = {
+            "county": str(county_value),
+            "countyId": str(county_value),
+            "isYes": "true" if is_yes else "false",
+            "page": str(page),
+            "rows": str(page_size),
+            "sort": "",
+            "order": "",
+        }
+        headers = {
+            "Content-Type": "application/x-www-form-urlencoded; charset=UTF-8",
+            "Accept": "application/json, text/javascript, */*; q=0.01",
+            "Origin": self.base_url,
+            "Referer": self.base_url + _FORM_PATH,
+            "User-Agent": self.user_agent,
+            "Cookie": sess.cookie,
+        }
+        if sess.token:
+            headers["RequestVerificationToken"] = sess.token
+            body["__RequestVerificationToken"] = sess.token
+        post = self.post or self._default_post
+        js = json.loads(post(self.base_url + _API_PATH, body, headers) or "{}")
+        rows = js.get("rows") if isinstance(js, dict) else js
+        rows = rows if isinstance(rows, list) else []
+        total = js.get("total") if isinstance(js, dict) else None
+        return {"total": total if isinstance(total, int) else len(rows), "rows": rows}
+
+
+@dataclass
+class ReplayTransport:
+    """Deterministic upstream: replays fixture row lists, re-paginated —
+    ``fixtures[county_value]`` is ``{"yes": [rows...], "no": [rows...]}``
+    (e.g. loaded from the reference's committed ``*_raw.json``)."""
+
+    fixtures: dict[str, dict[str, list[dict[str, Any]]]]
+    calls: list[tuple[str, bool, int]] = field(default_factory=list)
+
+    def fetch_page(
+        self, county_value: str, is_yes: bool, page: int, page_size: int
+    ) -> dict[str, Any]:
+        self.calls.append((county_value, is_yes, page))
+        rows = self.fixtures.get(county_value, {}).get("yes" if is_yes else "no", [])
+        lo = (page - 1) * page_size
+        return {"total": len(rows), "rows": rows[lo : lo + page_size]}
+
+
+# ---------------------------------------------------------------------------
+# Collection loop + dated landing writes
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CountySpec:
+    value: str  # upstream option value, e.g. "1"
+    name: str   # display name, e.g. "臺北市"
+
+    @property
+    def code(self) -> str:
+        return str(self.value).zfill(2)  # F23 pad2 (src/index.js:13)
+
+
+def collect_by_condition(
+    transport: CollectorTransport,
+    county_value: str,
+    is_yes: bool,
+    *,
+    page_size: int = 10,
+    pause: Callable[[str], None] | None = None,
+    max_pages: int = 1000,
+) -> dict[str, Any]:
+    """S1 collectByCondition: page until the reported total is covered,
+    accumulate, first-wins uniq. ``max_pages`` is a runaway guard the
+    browser reference gets for free from its UI page count."""
+    wait = pause or (lambda kind: None)
+    first = transport.fetch_page(county_value, is_yes, 1, page_size)
+    total = int(first.get("total") or 0)
+    rows = list(first.get("rows") or [])
+    total_pages = max(1, math.ceil(total / page_size)) if total else 1
+    if total_pages > max_pages:
+        raise RuntimeError(
+            f"county {county_value}: {total_pages} pages exceeds guard {max_pages}"
+        )
+    for page in range(2, total_pages + 1):
+        wait("medium")
+        got = transport.fetch_page(county_value, is_yes, page, page_size)
+        rows.extend(got.get("rows") or [])
+    uniq = uniq_raw_rows(rows)
+    return {"total": len(uniq), "rows": uniq, "totalPages": total_pages}
+
+
+def collect_landing(
+    transport: CollectorTransport,
+    counties: Sequence[CountySpec],
+    out_dir: str,
+    *,
+    date: str,
+    page_size: int = 10,
+    pause: Callable[[str], None] | None = None,
+) -> list[tuple[str, str, str]]:
+    """processOneCounty over the county list: write dated landing files
+    ``<out>/<date>/<code>_<name>_{yes,no}_raw.json`` in the reference's
+    wrapper shape and return the ordered ``county_files`` list that
+    :func:`pipeline.crawl_clean_merge` consumes. ``date`` is explicit —
+    landing layout is the caller's clock, not the library's."""
+    dated = os.path.join(out_dir, date)
+    os.makedirs(dated, exist_ok=True)
+    county_files: list[tuple[str, str, str]] = []
+    for spec in counties:
+        key = f"{spec.code}_{spec.name}"
+        paths = {}
+        for kind, is_yes in (("yes", True), ("no", False)):
+            payload = collect_by_condition(
+                transport, spec.value, is_yes, page_size=page_size, pause=pause
+            )
+            p = os.path.join(dated, f"{key}_{kind}_raw.json")
+            with open(p, "w", encoding="utf-8") as f:
+                json.dump(payload, f, ensure_ascii=False, indent=2)
+            paths[kind] = p
+        county_files.append((key, paths["yes"], paths["no"]))
+    return county_files
+
+
+def replay_from_reference_out(
+    ref_out_dir: str, county_keys: Sequence[str]
+) -> tuple[ReplayTransport, list[CountySpec]]:
+    """Build a ReplayTransport from committed ``<key>_{yes,no}_raw.json``
+    files (key = ``<code>_<name>``), preserving list order."""
+    fixtures: dict[str, dict[str, list[dict[str, Any]]]] = {}
+    specs: list[CountySpec] = []
+    for key in county_keys:
+        code, name = key.split("_", 1)
+        value = str(int(code))
+        per = {}
+        for kind in ("yes", "no"):
+            with open(
+                os.path.join(ref_out_dir, f"{key}_{kind}_raw.json"),
+                encoding="utf-8",
+            ) as f:
+                per[kind] = json.load(f).get("rows") or []
+        fixtures[value] = per
+        specs.append(CountySpec(value=value, name=name))
+    return ReplayTransport(fixtures), specs
