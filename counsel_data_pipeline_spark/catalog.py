@@ -91,6 +91,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- (c) new in r8 --
     "layout_zorder_write_prune",
     "ops_enrich_waterfall",
+    "dedup_store_bucketed_ingest",
     # -- (d) oldest-evidence fill: last hash-green row is r4 --
     "events_tumbling_hourly",
     "events_sliding_6h_daily",
@@ -135,9 +136,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_fingerprints",
     "llm_corpus_prep",
     "text_boilerplate_ngrams",
-    "text_oov_trigram_ratio",
-    # r4 rows deferred to r9 for slot budget: tpch_q15_top_supplier
-    # (displaced by the r8 additions above; rotate in next round)
+    # r4 rows deferred to r9 for slot budget: text_oov_trigram_ratio,
+    # tpch_q15_top_supplier (displaced by the r8 additions above)
 )
 
 

@@ -730,3 +730,72 @@ def duplicate_span_coverage(
             F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double") / F.col("n_tokens")
         ).alias("dup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed persisted store: zero-shuffle exact-dedup ingest
+# ---------------------------------------------------------------------------
+
+
+def write_dedup_store_bucketed(
+    store: DataFrame, table: str, path: str, n_buckets: int = 8
+) -> None:
+    """Persist a dedup store (:func:`build_dedup_store` rows) bucketed on
+    ``content_h``: the exact-dedup spine of every subsequent ingest joins
+    store⋈batch on that key, so bucketing both sides makes ingest
+    shuffle-free (the store side — the corpus-sized side — never moves).
+    Append a judged batch with the SAME bucket spec and the store stays
+    co-located forever; at 100 TB size n_buckets so one bucket fits an
+    executor (see ops/bucketing.write_bucketed)."""
+    from counsel_data_pipeline_spark.ops.bucketing import write_bucketed
+
+    write_bucketed(
+        store.select("id", "content_h", "sig"), table, "content_h", n_buckets, path
+    )
+
+
+def exact_dup_classes_bucketed(
+    spark, batch_table: str, store_table: str
+) -> DataFrame:
+    """Exact-duplicate class audit of an ingest batch against the
+    persisted store, keyed by ``content_h`` END-TO-END so the whole plan
+    (two scans → two aggregates → join → verdict) needs ZERO Exchange
+    when both tables are bucketed on ``content_h``: the aggregates run on
+    bucket-local partitions and preserve the hash partitioning the join
+    then reuses.
+
+    Returns one row per batch content class: (content_h, n_batch,
+    min_batch_id, n_store, min_store_id, verdict) with verdict ∈
+    exact_existing | exact_new_class | unique."""
+    bagg = (
+        spark.table(batch_table)
+        .groupBy("content_h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+            F.min("id").alias("min_batch_id"),
+        )
+    )
+    sagg = (
+        spark.table(store_table)
+        .groupBy("content_h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_store"),
+            F.min("id").alias("min_store_id"),
+        )
+    )
+    # merge hint: an AQE broadcast of either side would reintroduce a
+    # BroadcastExchange — the co-located sort-merge IS the point here
+    joined = bagg.hint("merge").join(sagg, "content_h", "left")
+    return joined.select(
+        "content_h",
+        "n_batch",
+        "min_batch_id",
+        F.coalesce(F.col("n_store"), F.lit(0)).cast("bigint").alias("n_store"),
+        F.coalesce(F.col("min_store_id"), F.lit(-1)).cast("bigint").alias(
+            "min_store_id"
+        ),
+        F.when(F.col("n_store").isNotNull(), F.lit("exact_existing"))
+        .when(F.col("n_batch") > 1, F.lit("exact_new_class"))
+        .otherwise(F.lit("unique"))
+        .alias("verdict"),
+    )

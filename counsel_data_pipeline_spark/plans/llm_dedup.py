@@ -787,3 +787,91 @@ def containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
         max_shingle_df=None,
     )
+
+
+_DSB_BUCKETS = 8
+
+
+def _dedup_store_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Bucketed store + batch signature tables for this testdata
+    fingerprint (same session-catalog caching pattern as the bucketed
+    order⋈lineitem tables in plans/maintenance.py). Batch = doc_id % 4
+    == 0, store = the rest — the ingest split the oracle restates."""
+    import os
+
+    from counsel_data_pipeline_spark.io.fingerprint import (
+        derived_cache_dir,
+        table_fingerprint,
+    )
+
+    fp = table_fingerprint(sf_dir, "documents")[:8]
+    names = (f"cdp_dedupstore_{fp}", f"cdp_dedupbatch_{fp}")
+    base = derived_cache_dir("counsel_dedup_store", sf_dir, "documents")
+    if not all(spark.catalog.tableExists(n) for n in names):
+        docs = load_table(spark, sf_dir, "documents")
+        is_new = F.col("doc_id") % 4 == 0
+        for name, side in (
+            (names[0], docs.filter(~is_new)),
+            (names[1], docs.filter(is_new)),
+        ):
+            td.write_dedup_store_bucketed(
+                td.build_dedup_store(side),
+                name,
+                os.path.join(base, name),
+                n_buckets=_DSB_BUCKETS,
+            )
+    return names
+
+
+@register(
+    "dedup_store_bucketed_ingest",
+    oracle=f"""
+        -- Restates the zero-shuffle ingest audit: batch = doc_id %% 4 = 0
+        -- judged against the persisted store (the other docs), grouped by
+        -- exact content hash. Docs with fewer than 3 normalized tokens
+        -- yield no 3-shingles and are absent from the store by design.
+        WITH h0 AS (
+          SELECT doc_id, md5({_SQL_NORM}) AS content_h,
+                 len(string_split_regex({_SQL_NORM}, ' ')) AS n_tok
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id, content_h, (doc_id % 4 = 0) AS is_new
+          FROM h0 WHERE n_tok >= 3
+        ),
+        b AS (
+          SELECT content_h, CAST(count(*) AS BIGINT) AS n_batch,
+                 min(doc_id) AS min_batch_id
+          FROM h WHERE is_new GROUP BY 1
+        ),
+        s AS (
+          SELECT content_h, CAST(count(*) AS BIGINT) AS n_store,
+                 min(doc_id) AS min_store_id
+          FROM h WHERE NOT is_new GROUP BY 1
+        )
+        SELECT b.content_h, b.n_batch, b.min_batch_id,
+               COALESCE(s.n_store, 0) AS n_store,
+               COALESCE(s.min_store_id, -1) AS min_store_id,
+               CASE WHEN s.n_store IS NOT NULL THEN 'exact_existing'
+                    WHEN b.n_batch > 1 THEN 'exact_new_class'
+                    ELSE 'unique' END AS verdict
+        FROM b LEFT JOIN s USING (content_h)
+    """,
+    description="zero-shuffle exact-dedup ingest attested end-to-end: the "
+    "persisted dedup store AND the incoming batch's signature rows are "
+    "both bucketed on content_h, so scans -> per-side aggregates -> "
+    "store⋈batch join run with ZERO Exchange (the plan fn RAISES "
+    "otherwise) — the production shape where the corpus-sized store "
+    "never reshuffles on ingest",
+    tags=("llm", "dedup", "bucketing", "incremental"),
+)
+def dedup_store_bucketed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.bucketing import plan_has_exchange
+
+    store_t, batch_t = _dedup_store_tables(spark, sf_dir)
+    out = td.exact_dup_classes_bucketed(spark, batch_t, store_t)
+    if plan_has_exchange(out):
+        raise RuntimeError(
+            "bucketed dedup ingest plan contains an Exchange — co-location lost"
+        )
+    return out

@@ -358,3 +358,12 @@ def test_zorder_read_pruned_empty_survivors(spark, tmp_path):
     path = str(tmp_path / "zo")
     write_zordered(df, path, "x", "y", 15, 7)
     assert read_pruned(spark, path, []).count() == 0
+
+
+def test_dedup_store_bucketed_ingest_no_exchange(spark):
+    """scan -> aggregate -> store⋈batch join, all bucket-local: the whole
+    ingest audit plan must be shuffle-free (the catalog fn also raises at
+    runtime if an Exchange sneaks in; this pins it at plan level)."""
+    plan = _plan(spark, "dedup_store_bucketed_ingest")
+    assert _n_shuffles(plan) == 0
+    assert "BroadcastExchange" not in plan
