@@ -388,6 +388,7 @@ def kmeans_centroids_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1_000_000,
+    return_grid: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means in EXACT integer arithmetic — the trainer whose
     every iterate an independent SQL engine reproduces bit-for-bit, which
@@ -408,7 +409,10 @@ def kmeans_centroids_exact(
 
     Returns (__cid, __cv, __cn) ready for ``ivf_topk(centroids_df=...)``
     — ``__cv`` is the integer centroid divided back to double (exact IEEE
-    int→double below 2^53, identical in any engine).
+    int→double below 2^53, identical in any engine). With
+    ``return_grid=True`` returns (__cid, __c6) — the raw integer-grid
+    centroids, for consumers that keep computing exactly (the streaming
+    cell-stats maintainer).
     """
     emb6 = corpus.select(
         F.col(id_col).alias("__id"),
@@ -446,6 +450,8 @@ def kmeans_centroids_exact(
         cents = (
             assigned.groupBy("__cid").agg(new_c6.alias("__c6")).localCheckpoint()
         )
+    if return_grid:
+        return cents
     return cents.select(
         "__cid",
         F.expr(f"transform(__c6, x -> CAST(x AS DOUBLE) / {scale})").alias("__cv"),

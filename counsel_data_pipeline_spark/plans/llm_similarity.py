@@ -292,14 +292,12 @@ def semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_kmeans_oracle(
-    n_centroids: int = 16, n_iters: int = 3, n_probe: int = 4, dim: int = 64
-) -> str:
-    """DuckDB twin of exact-integer Lloyd training + trained-centroid IVF
-    search: every training iterate is reproduced bit-for-bit (BIGINT
-    squared distance, lowest-cid tie-break, truncating-division centroid
-    update), so the ITERATIVE trainer itself is oracle-checked — k-means
-    joins PageRank and PCA as the third exact iterative algorithm."""
+def _lloyd_ctes(n_centroids: int, n_iters: int, dim: int) -> tuple[str, str]:
+    """The exact-integer Lloyd iteration CTE chain (assign by BIGINT
+    squared distance with lowest-cid tie-break, truncating-division mean
+    update), shared by the batch IVF oracle and the streaming cell-stats
+    oracle. Expects ``emb6(id, v6)`` and ``c0(cid, c6)`` CTEs upstream;
+    returns (joined CTE SQL, final centroid CTE name)."""
     its = []
     prev = "c0"
     for t in range(1, n_iters + 1):
@@ -324,6 +322,18 @@ def _ivf_kmeans_oracle(
           ) GROUP BY cid
         )""")
         prev = f"c{t}"
+    return ",".join(its), prev
+
+
+def _ivf_kmeans_oracle(
+    n_centroids: int = 16, n_iters: int = 3, n_probe: int = 4, dim: int = 64
+) -> str:
+    """DuckDB twin of exact-integer Lloyd training + trained-centroid IVF
+    search: every training iterate is reproduced bit-for-bit (BIGINT
+    squared distance, lowest-cid tie-break, truncating-division centroid
+    update), so the ITERATIVE trainer itself is oracle-checked — k-means
+    joins PageRank and PCA as the third exact iterative algorithm."""
+    lloyd, prev = _lloyd_ctes(n_centroids, n_iters, dim)
     return f"""
         -- Exact integer Lloyd's k-means ({n_iters} iterations on the 1e-6
         -- grid: BIGINT squared Euclidean assignment, lowest-cid ties,
@@ -336,7 +346,7 @@ def _ivf_kmeans_oracle(
           FROM embeddings
         ),
         c0 AS (SELECT id AS cid, v6 AS c6 FROM emb6 WHERE id < {n_centroids}),
-        {",".join(its)},
+        {lloyd},
         cd AS (
           SELECT cid, list_transform(c6, x -> CAST(x AS DOUBLE) / 1000000) AS cv
           FROM {prev}

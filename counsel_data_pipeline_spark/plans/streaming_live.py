@@ -23,6 +23,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from counsel_data_pipeline_spark.catalog import register
 from counsel_data_pipeline_spark.io.fingerprint import derived_cache_dir
@@ -538,3 +539,121 @@ def streaming_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema).select(
         "user_id", "event_type", "valid_from_s", "valid_to_s", "is_current"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming k-means cell-stats: the stream twin of the exact Lloyd trainer
+# ---------------------------------------------------------------------------
+
+_KM_N_CENTROIDS, _KM_ITERS, _KM_DIM = 16, 3, 64
+
+
+def _staged_embeddings_dir(spark: SparkSession, sf_dir: str) -> str:
+    """embeddings(vec_id, embedding) staged as N parquet files (one
+    micro-batch each), fingerprint-cached like the other stagings. The
+    split need not be deterministic — per-cell sufficient statistics are
+    batching-invariant (integer sums commute)."""
+    stage = derived_cache_dir("counsel_stream_stage_emb", sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).repartition(_N_FILES).write.mode("overwrite").parquet(stage)
+    return stage
+
+
+def _kmeans_cell_stats_oracle() -> str:
+    from counsel_data_pipeline_spark.plans.llm_similarity import _lloyd_ctes
+
+    lloyd, cfin = _lloyd_ctes(_KM_N_CENTROIDS, _KM_ITERS, _KM_DIM)
+    return f"""
+        -- Batch recompute of what the STREAM maintains: exact-integer
+        -- Lloyd training (shared CTE chain with the IVF oracle), final
+        -- assignment by BIGINT squared distance (lowest-cid ties), then
+        -- per-(cell, component) count + integer sum — the sufficient
+        -- statistics the streaming maintainer holds in state.
+        WITH emb6 AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 list_transform(embedding::DOUBLE[],
+                   x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS v6
+          FROM embeddings
+        ),
+        c0 AS (SELECT id AS cid, v6 AS c6 FROM emb6 WHERE id < {_KM_N_CENTROIDS}),
+        {lloyd},
+        af AS (
+          SELECT id, v6, cid FROM (
+            SELECT id, v6, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+            FROM (
+              SELECT e.id, e.v6, c.cid,
+                     list_sum(list_transform(range({_KM_DIM}), i ->
+                       (e.v6[i+1] - c.c6[i+1]) * (e.v6[i+1] - c.c6[i+1]))) AS d
+              FROM emb6 e CROSS JOIN {cfin} c
+            )
+          ) WHERE rn = 1
+        ),
+        stats AS (
+          SELECT cid AS cell, i AS pos,
+                 CAST(count(*) AS BIGINT) AS n_vecs,
+                 CAST(sum(v6[i+1]) AS BIGINT) AS sum_v6
+          FROM af CROSS JOIN (SELECT unnest(range({_KM_DIM})) AS i)
+          GROUP BY 1, 2
+        )
+        SELECT s.cell, CAST(s.pos AS BIGINT) AS pos, s.n_vecs, s.sum_v6,
+               CAST(c.c6[s.pos + 1] AS BIGINT) AS trained_v6
+        FROM stats s JOIN {cfin} c ON s.cell = c.cid
+    """
+
+
+@register(
+    "streaming_kmeans_cell_stats",
+    oracle=_kmeans_cell_stats_oracle(),
+    description="IVF ingest maintained BY Structured Streaming: centroids "
+    f"trained batch-side with {_KM_ITERS} exact-integer Lloyd iterations, "
+    "inlined as literals so per-batch assignment is a stateless fold "
+    "(BIGINT squared distance, lowest-cid ties); ONE streaming "
+    "aggregation in COMPLETE mode maintains per-(cell, component) count "
+    "+ integer sums — state bounded at n_centroids x dim, verified "
+    "against a full batch recompute in DuckDB",
+    tags=("llm", "similarity", "streaming", "incremental", "iterative"),
+)
+def streaming_kmeans_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops import similarity as sim
+    from counsel_data_pipeline_spark.streaming.kmeans import (
+        run_kmeans_cell_stats_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    grid = sim.kmeans_centroids_exact(
+        emb, n_centroids=_KM_N_CENTROIDS, n_iters=_KM_ITERS, dim=_KM_DIM,
+        return_grid=True,
+    )
+    # n_centroids rows — bounded by construction, never data-sized
+    centroids6 = [
+        (int(r["__cid"]), [int(x) for x in r["__c6"]]) for r in grid.collect()
+    ]
+    stage = _staged_embeddings_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="counsel_stream_kmeans_")
+    try:
+        out = run_kmeans_cell_stats_stream(
+            spark,
+            input_dir=stage,
+            work_dir=work,
+            schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+            centroids6=centroids6,
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    stats = spark.createDataFrame(rows, schema)
+    trained = spark.createDataFrame(
+        [
+            (cid, pos, int(v))
+            for cid, c6 in centroids6
+            for pos, v in enumerate(c6)
+        ],
+        "cell bigint, pos bigint, trained_v6 bigint",
+    )
+    return stats.select(
+        "cell", F.col("pos").cast("bigint").alias("pos"), "n_vecs", "sum_v6"
+    ).join(F.broadcast(trained), ["cell", "pos"])

@@ -373,3 +373,62 @@ def test_streaming_scd2_raises_on_out_of_order_feed(spark, tmp_path):
             str(tmp_path / "work"),
             schema="event_id bigint, user_id bigint, ts timestamp, event_type string",
         )
+
+
+def test_kmeans_cell_stats_stream_equals_batch(spark, tmp_path):
+    """Streamed per-cell sufficient statistics must equal a batch
+    recompute regardless of how vectors are batched into files, and the
+    literal-fold assignment must break distance ties on lowest cid."""
+    import glob
+    import os
+    import shutil
+
+    from counsel_data_pipeline_spark.streaming.kmeans import (
+        assign_cell_expr,
+        run_kmeans_cell_stats_stream,
+    )
+
+    cents = [(0, [0, 0]), (1, [1_000_000, 0]), (2, [0, 0])]  # cid 2 dups cid 0
+    rows = [
+        (1, [0.0, 0.0]),      # dist ties between cid 0 and 2 -> cid 0
+        (2, [1.0, 0.0]),      # cid 1
+        (3, [0.6, 0.0]),      # nearer cid 1
+        (4, [0.1, 0.2]),      # cid 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id",
+            assign_cell_expr(
+                cents,
+                F.expr(
+                    "transform(embedding, x -> CAST(round(x * 1000000, 0) AS BIGINT))"
+                ),
+            ).alias("cell"),
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 0}
+
+    # stream over two different file splits -> identical final stats
+    results = []
+    for split, part in (("a", 1), ("b", 3)):
+        in_dir = tmp_path / f"in_{split}"
+        df.repartition(part).write.parquet(str(in_dir))
+        out = run_kmeans_cell_stats_stream(
+            spark,
+            str(in_dir),
+            str(tmp_path / f"work_{split}"),
+            schema="vec_id bigint, embedding array<double>",
+            centroids6=cents,
+        )
+        results.append(
+            sorted((r.cell, r.pos, r.n_vecs, r.sum_v6) for r in out.collect())
+        )
+    assert results[0] == results[1]
+    # batch recompute: cell 0 holds vecs 1 and 4; cell 1 holds 2 and 3
+    stats = {(c, p): (n, s) for c, p, n, s in results[0]}
+    assert stats[(0, 0)] == (2, 100_000)       # 0 + 0.1
+    assert stats[(0, 1)] == (2, 200_000)       # 0 + 0.2
+    assert stats[(1, 0)] == (2, 1_600_000)     # 1.0 + 0.6
+    assert (2, 0) not in stats                 # duplicate centroid never wins
