@@ -76,11 +76,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 _ROW_KEYS = ("rows", "data", "clinics")
 
 
-def extract_rows(obj: Any) -> list[dict]:
+def extract_rows(obj: Any, default_empty: bool = False) -> list[dict]:
     """Normalize the reference's polymorphic JSON shapes to a row list.
 
     Mirrors src/geocode.js:88-99 + scripts/check-total.js:29-41: accepts a
     bare array, or an object with the first present of rows/data/clinics.
+
+    ``default_empty=True`` is the PREVIOUS-SNAPSHOT contract
+    (geocode-diff-merge.js:63 ``Array.isArray(prevRaw?.rows) ? ... : []``):
+    the object store's missing-object default ``'{}'`` reads as zero rows
+    so a cold start makes everything delta. The strict default mirrors the
+    CLEAN-input contract (geocode.js:97 exits on unrecognized shapes).
     """
     if isinstance(obj, list):
         return obj
@@ -89,10 +95,14 @@ def extract_rows(obj: Any) -> list[dict]:
             val = obj.get(key)
             if isinstance(val, list):
                 return val
+        if default_empty:
+            return []
     raise ValueError("unrecognized clinic JSON shape (not array / rows / data / clinics)")
 
 
-def read_clinic_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_clinic_json(
+    spark: SparkSession, path: str, schema=None, default_empty: bool = False
+) -> DataFrame:
     """Read a wrapper-or-array clinic JSON file into a DataFrame.
 
     These files are single-document JSON (the reference writes
@@ -107,7 +117,7 @@ def read_clinic_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """
     with open(path, encoding="utf-8") as f:
         obj = json.load(f)
-    rows = extract_rows(obj)
+    rows = extract_rows(obj, default_empty=default_empty)
     indexed = [{**r, "ingest_order": i} for i, r in enumerate(rows)]
     if schema is not None:
         return spark.createDataFrame(indexed, schema=schema)

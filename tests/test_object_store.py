@@ -1,0 +1,88 @@
+"""Object-store IO (io/object_store.py, S5/K3/T5) — reference semantics
+from src/gcs-io.js behind a pluggable backend, exercised on LocalFSStore
+and wired end-to-end into the snapshot-diff cold-start path."""
+
+import json
+
+import pytest
+
+from counsel_data_pipeline_spark.io import object_store as obj
+from counsel_data_pipeline_spark.io.sources import extract_rows
+
+
+def test_download_or_empty_cold_start(tmp_path):
+    store = obj.LocalFSStore(str(tmp_path / "bucket"))
+    local = tmp_path / "land" / "clinics.json"
+    assert obj.download_or_empty(store, "pub/clinics.json", str(local)) is False
+    assert local.read_bytes() == b"{}"
+    # the empty default parses to zero rows — the cold-start contract the
+    # snapshot diff relies on (everything becomes delta)
+    assert extract_rows(json.loads(local.read_text()), default_empty=True) == []
+    with pytest.raises(ValueError):  # the CLEAN-input contract stays strict
+        extract_rows(json.loads(local.read_text()))
+
+
+def test_upload_then_download_round_trip(tmp_path):
+    store = obj.LocalFSStore(str(tmp_path / "bucket"))
+    src = tmp_path / "out.json"
+    src.write_text('{"total": 1, "rows": [{"county": "x"}]}')
+    obj.upload(store, str(src), "pub/out.json")
+    dst = tmp_path / "back.json"
+    assert obj.download_or_empty(store, "pub/out.json", str(dst)) is True
+    assert dst.read_bytes() == src.read_bytes()
+
+
+def test_publish_snapshot_writes_latest_and_dated(tmp_path):
+    store = obj.LocalFSStore(str(tmp_path / "bucket"))
+    src = tmp_path / "snap.json"
+    for i, date in enumerate(["2026-08-12", "2026-08-14", "2026-08-13"]):
+        src.write_text(json.dumps({"v": i}))
+        latest, dated = obj.publish_snapshot(
+            store, str(src), "pub", "clinics.json", date
+        )
+    assert json.loads(store.get("pub/clinics.json")) == {"v": 2}  # last publish
+    # newest DATED copy is by date order, not publish order
+    assert (
+        obj.latest_dated(store, "pub", "clinics.json")
+        == "pub/2026-08-14/clinics.json"
+    )
+    assert json.loads(store.get("pub/2026-08-14/clinics.json")) == {"v": 1}
+    with pytest.raises(ValueError):
+        obj.publish_snapshot(store, str(src), "pub", "x.json", "8/14/2026")
+
+
+def test_store_key_escape_guard(tmp_path):
+    store = obj.LocalFSStore(str(tmp_path / "bucket"))
+    with pytest.raises(ValueError):
+        store.put("../outside.json", b"{}")
+
+
+def test_cold_start_feeds_incremental_dag(spark, tmp_path):
+    """S5 end-to-end: a missing previous snapshot downloads as '{}',
+    reads as an empty typed frame, and the whole clean batch becomes
+    delta — the reference's first-run behavior."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from counsel_data_pipeline_spark import pipeline as P
+    from counsel_data_pipeline_spark.io.sources import read_clinic_json
+    from counsel_data_pipeline_spark.ops.enrich import StubResolver
+    from counsel_data_pipeline_spark.schemas import CLINIC_GEOCODED
+
+    store = obj.LocalFSStore(str(tmp_path / "bucket"))
+    prev_local = tmp_path / "prev.json"
+    obj.download_or_empty(store, "pub/clinics.json", str(prev_local))
+
+    prev = read_clinic_json(
+        spark,
+        str(prev_local),
+        schema=StructType(
+            CLINIC_GEOCODED.fields + [StructField("ingest_order", LongType())]
+        ),
+        default_empty=True,
+    ).withColumnRenamed("ingest_order", "prev_order")
+    clean = spark.createDataFrame(
+        [("臺北市", f"o{i}", f"臺北市中山區南京東路2段{i}號", f"02-000{i}", i) for i in range(1, 4)],
+        "county string, org_name string, address string, phone string, ingest_order long",
+    )
+    res = P.diff_enrich_publish(clean, prev, None, StubResolver())
+    assert res.change_count == 3 and res.publish
