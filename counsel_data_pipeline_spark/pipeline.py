@@ -147,3 +147,61 @@ def diff_enrich_publish(
         schema_gate=schema_gate,
         geocode_gate=geocode_gate,
     )
+
+
+# ---------------------------------------------------------------------------
+# §3.4 — change-gated publish to the object store (K3/K5/T5)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PublishReceipt:
+    current_key: str
+    snapshot_key: str
+    change_count: int
+    dispatch_payload: dict  # the K7 integration point (downstream fan-out
+    #                         itself is orchestration-side, out of scope)
+
+
+def publish_to_store(
+    result: IncrementalResult,
+    store,
+    *,
+    current_key: str,
+    snapshot_prefix: str,
+    ts: str,
+    region: str = "全台灣",
+) -> PublishReceipt | None:
+    """The entrypoint.sh publish step (scripts/entrypoint.sh:35-57): IF
+    change_count > 0, upload the wrapper JSON as BOTH the stable current
+    key and a timestamped retention snapshot
+    (``<snapshot_prefix>/clinics_<ts>.json``), and return the
+    repository-dispatch payload the reference POSTs downstream. No
+    change → no uploads, returns None (K5: the gate exists so an
+    unchanged day writes nothing).
+
+    ``ts`` is the caller's clock in the reference's UTC stamp format
+    (``%Y%m%dT%H%M%SZ``) — explicit, like the collector's landing date.
+    """
+    if not result.publish:
+        return None
+    from .io.sinks import collect_rows, wrapper_json
+
+    rows = collect_rows(
+        result.final, order_col="ingest_order", drop=("prev_order",)
+    )
+    data = wrapper_json(rows, county=region).encode("utf-8")
+    snapshot_key = f"{snapshot_prefix}/clinics_{ts}.json"
+    store.put(snapshot_key, data)   # retention copy first:
+    store.put(current_key, data)    # current never points at missing history
+    return PublishReceipt(
+        current_key=current_key,
+        snapshot_key=snapshot_key,
+        change_count=result.change_count,
+        dispatch_payload={
+            "change_count": result.change_count,
+            "current": current_key,
+            "snapshot": snapshot_key,
+            "region": region,
+        },
+    )

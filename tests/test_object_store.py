@@ -86,3 +86,45 @@ def test_cold_start_feeds_incremental_dag(spark, tmp_path):
     )
     res = P.diff_enrich_publish(clean, prev, None, StubResolver())
     assert res.change_count == 3 and res.publish
+
+
+def test_publish_to_store_change_gated(spark, tmp_path):
+    """entrypoint.sh semantics: changes -> current + timestamped snapshot
+    uploaded with the total invariant intact; no changes -> nothing
+    written at all."""
+    import json as _json
+
+    from counsel_data_pipeline_spark import pipeline as P
+    from counsel_data_pipeline_spark.ops.enrich import StubResolver
+
+    clean = spark.createDataFrame(
+        [("臺北市", f"o{i}", f"臺北市中山區南京東路2段{i}號", f"02-000{i}", i) for i in range(1, 4)],
+        "county string, org_name string, address string, phone string, ingest_order long",
+    )
+    empty_prev = spark.createDataFrame(
+        [], clean.schema
+    ).withColumnRenamed("ingest_order", "prev_order")
+    res = P.diff_enrich_publish(clean, empty_prev, None, StubResolver())
+    assert res.publish
+
+    store = obj.LocalFSStore(str(tmp_path / "bucket"))
+    receipt = P.publish_to_store(
+        res, store, current_key="pub/clinics.json",
+        snapshot_prefix="pub/snapshots", ts="20260814T120000Z",
+    )
+    assert receipt.snapshot_key == "pub/snapshots/clinics_20260814T120000Z.json"
+    doc = _json.loads(store.get("pub/clinics.json"))
+    assert doc["total"] == len(doc["rows"]) == 3  # K1/V2 invariant
+    assert store.get(receipt.snapshot_key) == store.get("pub/clinics.json")
+    assert receipt.dispatch_payload["change_count"] == 3
+
+    # unchanged day: same clean vs itself-as-prev -> publish gate closes
+    prev = res.final.withColumnRenamed("ingest_order", "prev_order")
+    res2 = P.diff_enrich_publish(clean, prev, None, StubResolver())
+    assert not res2.publish
+    store2 = obj.LocalFSStore(str(tmp_path / "bucket2"))
+    assert P.publish_to_store(
+        res2, store2, current_key="pub/clinics.json",
+        snapshot_prefix="pub/snapshots", ts="20260814T130000Z",
+    ) is None
+    assert store2.list("") == []  # nothing written
