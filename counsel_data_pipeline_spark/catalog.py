@@ -93,6 +93,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ops_enrich_waterfall",
     "dedup_store_bucketed_ingest",
     "streaming_kmeans_cell_stats",
+    "tpch_q22_sales_opportunity",
     # -- (d) oldest-evidence fill: last hash-green row is r4 --
     "events_tumbling_hourly",
     "events_sliding_6h_daily",
@@ -135,10 +136,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality_scores",
     "text_lang_id",
     "text_fingerprints",
-    "llm_corpus_prep",
-    # r4 rows deferred to r9 for slot budget: text_boilerplate_ngrams,
-    # text_oov_trigram_ratio, tpch_q15_top_supplier (displaced by the
-    # r8 additions above)
+    # r4 rows deferred to r9 for slot budget: llm_corpus_prep,
+    # text_boilerplate_ngrams, text_oov_trigram_ratio,
+    # tpch_q15_top_supplier (displaced by the r8 additions above)
 )
 
 

@@ -1009,3 +1009,86 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@register(
+    "tpch_q22_sales_opportunity",
+    oracle="""
+        -- q22 adapted to this schema (customer has no phone country
+        -- code, nation stands in for the substring buckets; and every
+        -- synthetic customer has orders, so the dormancy predicate is
+        -- "no URGENT orders" to keep the anti-join non-vacuous):
+        -- customers with an above-average POSITIVE balance and no
+        -- 1-URGENT order, counted per nation. The scalar-subquery comparison runs in
+        -- exact integer cents — cents * n_pos > sum_pos_cents avoids the
+        -- average's division entirely, so the boundary set is identical
+        -- in both engines (c_acctbal is a 2-dp double; round() to cents
+        -- is exact).
+        WITH c AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer
+        ),
+        avg_pos AS (
+          SELECT CAST(sum(cents) AS BIGINT) AS sum_pos,
+                 CAST(count(*) AS BIGINT) AS n_pos
+          FROM c WHERE cents > 0
+        )
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(cents) AS DOUBLE) / 100 AS totacctbal
+        FROM c
+        CROSS JOIN avg_pos
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE cents * n_pos > sum_pos
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+          )
+        GROUP BY n_name
+    """,
+    description="q22-style global sales opportunity: above-average positive "
+    "balance, zero urgent orders, counted per nation — scalar subquery decorrelated "
+    "to a broadcast 1-row aggregate + anti join, exact integer-cents "
+    "boundary",
+    tags=("tpch", "antijoin"),
+    bench=True,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape at scale: the scalar subquery is ONE row broadcast back
+    over the customer scan (no recompute per row); the NOT EXISTS is a
+    left-anti join on o_custkey (shuffle bounded by the smaller customer
+    side after the balance filter); nation is a broadcast dim. The
+    comparison stays in integer cents so the filter boundary — the part
+    of q22 engines usually disagree on — is exact."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+    )
+    avg_pos = cust.filter(F.col("cents") > 0).agg(
+        F.sum("cents").cast("bigint").alias("sum_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_pos)).filter(
+        F.col("cents") * F.col("n_pos") > F.col("sum_pos")
+    )
+    no_orders = rich.join(
+        orders, rich["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return (
+        no_orders.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            (F.sum("cents").cast("double") / 100).alias("totacctbal"),
+        )
+    )
