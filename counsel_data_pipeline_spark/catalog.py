@@ -94,6 +94,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_store_bucketed_ingest",
     "streaming_kmeans_cell_stats",
     "tpch_q22_sales_opportunity",
+    "layout_time_partition_prune",
     # -- (d) oldest-evidence fill: last hash-green row is r4 --
     "events_tumbling_hourly",
     "events_sliding_6h_daily",
@@ -135,8 +136,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_token_stats_by_lang",
     "text_quality_scores",
     "text_lang_id",
-    "text_fingerprints",
-    # r4 rows deferred to r9 for slot budget: llm_corpus_prep,
+    # r4 rows deferred to r9 for slot budget: text_fingerprints,
+    # llm_corpus_prep,
     # text_boilerplate_ngrams, text_oov_trigram_ratio,
     # tpch_q15_top_supplier (displaced by the r8 additions above)
 )

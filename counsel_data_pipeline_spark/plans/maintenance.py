@@ -405,3 +405,90 @@ def zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(box))
     )
+
+
+@register(
+    "layout_time_partition_prune",
+    oracle="""
+        -- Restates the date-partitioned write->prune->read loop: the
+        -- middle third of the distinct event dates (by sorted position:
+        -- ranks n//3 .. (2n)//3 inclusive) is the survivor set; per
+        -- surviving date the pruned read's aggregates are recomputed
+        -- from the raw table. value is summed in exact integer micros.
+        WITH e AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS event_date, user_id,
+                 CAST(round(value * 1000000) AS BIGINT) AS v_mi
+          FROM events
+        ),
+        ds AS (
+          SELECT event_date,
+                 row_number() OVER (ORDER BY event_date) - 1 AS r,
+                 count(*) OVER () AS n
+          FROM (SELECT DISTINCT event_date FROM e)
+        ),
+        sel AS (
+          SELECT event_date, n FROM ds
+          WHERE r >= n // 3 AND r <= (2 * n) // 3
+        )
+        SELECT e.event_date,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(v_mi) AS BIGINT) AS sum_value_mi,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               (SELECT CAST(max(n) AS BIGINT) FROM sel) AS n_dates_total,
+               (SELECT CAST(count(*) AS BIGINT) FROM sel) AS n_survivors
+        FROM e JOIN sel USING (event_date)
+        GROUP BY e.event_date
+    """,
+    description="date-partitioned ingest layout attested end-to-end: events "
+    "written hive-partitioned by ISO event date with a per-date manifest, "
+    "the middle third of dates selected FROM the manifest, only surviving "
+    "date directories read back (listing-level skipping) — the plan fn "
+    "RAISES if the pruned scan resolves a non-surviving day "
+    "(ops/timelayout.py, the 1-D sibling of the Z-order loop)",
+    tags=("layout", "events", "planner", "write"),
+)
+def time_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.ops.timelayout import (
+        date_survivors,
+        read_dates,
+        write_time_partitioned,
+    )
+
+    path = derived_cache_dir("counsel_timepart", sf_dir, "events")
+    if not os.path.exists(os.path.join(path, "data", "_SUCCESS")):
+        write_time_partitioned(
+            load_table(spark, sf_dir, "events").select(
+                "ts", "user_id", "value"
+            ),
+            path,
+        )
+    all_dates, n_dates = date_survivors(spark, path, "0000", "9999")
+    lo_i, hi_i = n_dates // 3, (2 * n_dates) // 3
+    survivors, _ = date_survivors(
+        spark, path, all_dates[lo_i], all_dates[hi_i]
+    )
+    pruned = read_dates(spark, path, survivors)
+    allowed = {f"event_date={d}" for d in survivors}
+    bad = [
+        f
+        for f in pruned.inputFiles()
+        if not any(part in allowed for part in f.split("/"))
+    ]
+    if bad:
+        raise RuntimeError(
+            f"pruned read touched non-surviving date dirs: {bad[:3]}"
+        )
+    return pruned.groupBy(F.col("event_date").cast("string").alias("event_date")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_value_mi"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    ).select(
+        "event_date",
+        "n_events",
+        "sum_value_mi",
+        "n_users",
+        F.lit(n_dates).cast("bigint").alias("n_dates_total"),
+        F.lit(len(survivors)).cast("bigint").alias("n_survivors"),
+    )

@@ -367,3 +367,30 @@ def test_dedup_store_bucketed_ingest_no_exchange(spark):
     plan = _plan(spark, "dedup_store_bucketed_ingest")
     assert _n_shuffles(plan) == 0
     assert "BroadcastExchange" not in plan
+
+
+def test_time_partition_pruned_read_lists_only_survivors(spark, tmp_path):
+    from counsel_data_pipeline_spark.ops.timelayout import (
+        date_survivors,
+        read_dates,
+        write_time_partitioned,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.expr("timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,CAST(id % 10 AS INT),0,0,0)").alias("ts"),
+        (F.col("id") % 7).alias("user_id"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    path = str(tmp_path / "tp")
+    write_time_partitioned(df, path)
+    survivors, n = date_survivors(spark, path, "2024-03-04", "2024-03-06")
+    assert n == 10 and survivors == ["2024-03-04", "2024-03-05", "2024-03-06"]
+    pruned = read_dates(spark, path, survivors)
+    allowed = {f"event_date={d}" for d in survivors}
+    for f in pruned.inputFiles():
+        assert any(part in allowed for part in f.split("/")), f
+    assert pruned.count() == df.filter(
+        F.date_format("ts", "yyyy-MM-dd").between("2024-03-04", "2024-03-06")
+    ).count()
+    assert read_dates(spark, path, []).count() == 0
