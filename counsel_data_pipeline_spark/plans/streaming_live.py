@@ -657,3 +657,51 @@ def streaming_kmeans_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "cell", F.col("pos").cast("bigint").alias("pos"), "n_vecs", "sum_v6"
     ).join(F.broadcast(trained), ["cell", "pos"])
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming sessionization: the gap-session summary maintainer
+# ---------------------------------------------------------------------------
+
+
+def _sessionize_stream_oracle() -> str:
+    from counsel_data_pipeline_spark.catalog import QUERIES
+
+    return QUERIES["events_sessionize_30m"].oracle
+
+
+@register(
+    "streaming_sessionize_user_stats",
+    # Identical oracle to events_sessionize_30m: with micro-batches in
+    # event-time order (enforced in state), folding each batch into the
+    # per-user session summary equals the batch lag+flag-sum plan.
+    oracle=_sessionize_stream_oracle(),
+    description="gap-based (30 min) per-user session stats maintained BY "
+    "a stateful Structured Streaming job (applyInPandasWithState, state "
+    f"= running session summary + event-time high-water mark, "
+    f"{_EW_N_BATCHES} ascending micro-batches, AvailableNow): each batch "
+    "emits an upsert summary row, compacted last-write-wins per user — "
+    "verified against the batch sessionization's full DuckDB oracle",
+    tags=("events", "session", "streaming", "incremental"),
+)
+def streaming_sessionize_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from counsel_data_pipeline_spark.streaming.sessionize import (
+        run_sessionize_stream,
+    )
+
+    stage = _staged_ts_batches_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="counsel_stream_sess_")
+    try:
+        out = run_sessionize_stream(
+            spark,
+            input_dir=stage,
+            work_dir=work,
+            schema="event_id BIGINT, user_id BIGINT, ts TIMESTAMP",
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).select(
+        "user_id", "n_sessions", "max_session_events", "n_events"
+    )

@@ -432,3 +432,104 @@ def test_kmeans_cell_stats_stream_equals_batch(spark, tmp_path):
     assert stats[(0, 1)] == (2, 200_000)       # 0 + 0.2
     assert stats[(1, 0)] == (2, 1_600_000)     # 1.0 + 0.6
     assert (2, 0) not in stats                 # duplicate centroid never wins
+
+
+def test_streaming_sessionize_equals_batch_twin(spark, tmp_path):
+    """Stateful gap-sessionizer: summaries maintained across micro-batch
+    boundaries (sessions spanning files) must equal the batch lag+flag
+    plan; exact-gap events merge (strict >); out-of-order batches raise."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import Window
+
+    from counsel_data_pipeline_spark.io.sources import load_table
+    from counsel_data_pipeline_spark.streaming.sessionize import (
+        run_sessionize_stream,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "ts")
+    ranked = ev.withColumn(
+        "b", F.ntile(3).over(Window.orderBy("ts", "event_id")) - 1
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    now = time.time()
+    for i in range(3):
+        tmp = tmp_path / f"tmp{i}"
+        ranked.filter(F.col("b") == i).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        src = glob.glob(str(tmp / "part-*.parquet"))[0]
+        dst = in_dir / f"b{i}.parquet"
+        os.replace(src, str(dst))
+        shutil.rmtree(tmp)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    got = run_sessionize_stream(
+        spark, str(in_dir), str(tmp_path / "work"),
+        schema="event_id bigint, user_id bigint, ts timestamp",
+    )
+    expected = all_queries()["events_sessionize_30m"].fn(spark, SF)
+    cols = ["user_id", "n_sessions", "max_session_events", "n_events"]
+    assert _rows(got, cols) == _rows(expected, cols)
+
+
+def test_streaming_sessionize_exact_gap_merges_and_ooo_raises(spark, tmp_path):
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time
+
+    from counsel_data_pipeline_spark.streaming.sessionize import (
+        run_sessionize_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 8, 0, 0)
+
+    def stage(batches, sub):
+        in_dir = tmp_path / sub
+        in_dir.mkdir()
+        now = time.time()
+        for i, rows in enumerate(batches):
+            tmp = tmp_path / f"{sub}_tmp{i}"
+            spark.createDataFrame(
+                rows, "event_id bigint, user_id bigint, ts timestamp"
+            ).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+            src = glob.glob(str(tmp / "part-*.parquet"))[0]
+            dst = in_dir / f"b{i}.parquet"
+            os.replace(src, str(dst))
+            shutil.rmtree(tmp)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+        return str(in_dir)
+
+    # exactly 1800 s gaps across a batch boundary -> ONE session of 3
+    d = stage(
+        [
+            [(1, 7, t0), (2, 7, t0 + datetime.timedelta(seconds=1800))],
+            [(3, 7, t0 + datetime.timedelta(seconds=3600))],
+        ],
+        "gap",
+    )
+    [r] = run_sessionize_stream(
+        spark, d, str(tmp_path / "w1"),
+        schema="event_id bigint, user_id bigint, ts timestamp",
+    ).collect()
+    assert (r.n_sessions, r.max_session_events, r.n_events) == (1, 3, 3)
+
+    # out-of-order second batch -> loud failure
+    d2 = stage(
+        [
+            [(1, 9, t0 + datetime.timedelta(seconds=60))],
+            [(2, 9, t0)],
+        ],
+        "ooo",
+    )
+    with pytest.raises(Exception, match="out-of-order session feed"):
+        run_sessionize_stream(
+            spark, d2, str(tmp_path / "w2"),
+            schema="event_id bigint, user_id bigint, ts timestamp",
+        )
