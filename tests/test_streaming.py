@@ -533,3 +533,61 @@ def test_streaming_sessionize_exact_gap_merges_and_ooo_raises(spark, tmp_path):
             spark, d2, str(tmp_path / "w2"),
             schema="event_id bigint, user_id bigint, ts timestamp",
         )
+
+
+def test_timeout_sessions_gap_timeout_and_open_contract(spark, tmp_path):
+    """EventTimeTimeout session closer: (a) an in-stream gap closes with
+    reason 'gap'; (b) a user who goes quiet closes with reason 'timeout'
+    once OTHER users' events advance the watermark past last_ts + gap;
+    (c) a session still open at stream end is NOT emitted (state would
+    close it on a later trigger) — the documented contract."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time
+
+    from counsel_data_pipeline_spark.streaming.timeout_sessions import (
+        run_closed_sessions_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 8, 0, 0)
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)
+    batches = [
+        # user 1: two events, then silence. user 2 keeps the clock moving.
+        [(1, mins(0)), (1, mins(5)), (2, mins(6))],
+        # user 1's 5:00-8:05... gap for user 2 closes inline ('gap');
+        # watermark reaches mins(90): user 1's (5 + 30) deadline passed
+        # -> 'timeout'. user 2's new session stays open.
+        [(2, mins(90)), (2, mins(95))],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        tmp = tmp_path / f"tmp{i}"
+        spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        src = glob.glob(str(tmp / "part-*.parquet"))[0]
+        dst = in_dir / f"b{i}.parquet"
+        os.replace(src, str(dst))
+        shutil.rmtree(tmp)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    out = run_closed_sessions_stream(
+        spark, str(in_dir), str(tmp_path / "work"),
+        schema="user_id bigint, ts timestamp", gap_s=1800,
+    )
+    rows = {(r.user_id, r.close_reason): r for r in out.collect()}
+    # user 2's first session (mins 6) closed by the in-batch gap
+    g = rows[(2, "gap")]
+    assert g.n_events == 1 and g.session_end_s == "2024-01-01 08:06:00"
+    # user 1 closed by watermark timeout, full 2-event session intact
+    t = rows[(1, "timeout")]
+    assert t.n_events == 2
+    assert (t.session_start_s, t.session_end_s) == (
+        "2024-01-01 08:00:00", "2024-01-01 08:05:00",
+    )
+    # user 2's second session (mins 90-95) is still open: NOT emitted
+    assert len(rows) == 2
