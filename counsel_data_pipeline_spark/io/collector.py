@@ -339,3 +339,71 @@ def replay_from_reference_out(
         fixtures[value] = per
         specs.append(CountySpec(value=value, name=name))
     return ReplayTransport(fixtures), specs
+
+
+# ---------------------------------------------------------------------------
+# F27 pacing + V4/V5 reachability probe & retry
+# ---------------------------------------------------------------------------
+
+PAUSE_TABLE_MS: dict[str, tuple[int, int]] = {
+    # humanPause ranges, src/index.js:103-112
+    "short": (120, 450),
+    "medium": (300, 900),
+    "long": (900, 1800),
+    "county": (2000, 6000),
+}
+
+
+def human_pause(
+    rand: Callable[[int, int], int],
+    sleep: Callable[[float], None],
+) -> Callable[[str], None]:
+    """F27: the reference's jittered pacing as an injectable pause hook
+    for :func:`collect_by_condition` / :func:`collect_landing` — rand and
+    sleep are injected so tests assert the schedule without waiting.
+    Unknown kinds fall back to 'short', like the JS table lookup."""
+
+    def pause(kind: str = "short") -> None:
+        a, b = PAUSE_TABLE_MS.get(kind, PAUSE_TABLE_MS["short"])
+        sleep(rand(a, b) / 1000.0)
+
+    return pause
+
+
+def probe_reachability(
+    get: Callable[[str, dict[str, str]], tuple[str, str]],
+    url: str,
+) -> bool:
+    """V4 (test.yml 'Probe target reachability'): one GET against the
+    form URL; True iff it answers at all. Diagnostic, not a gate — the
+    reference logs the HTTP code and proceeds either way."""
+    try:
+        get(url, {"User-Agent": "reachability-probe"})
+        return True
+    except Exception:  # noqa: BLE001 — any transport failure = unreachable
+        return False
+
+
+def with_attempts(
+    fn: Callable[[], Any],
+    max_attempts: int = 3,
+    backoff_s: float = 30.0,
+    sleep: Callable[[float], None] = None,  # type: ignore[assignment]
+) -> Any:
+    """V5 (test.yml attempt/until loop): run ``fn`` up to ``max_attempts``
+    times with a fixed pause between attempts; re-raise the last failure.
+    Wrap a whole :func:`collect_landing` run with it, the way the CI
+    wraps the whole container run — NOT individual page fetches (a
+    mid-crawl retry would re-fetch pages already landed)."""
+    import time as _time
+
+    do_sleep = sleep or _time.sleep
+    last: Exception | None = None
+    for attempt in range(1, max_attempts + 1):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — the CI loop retries any failure
+            last = exc
+            if attempt < max_attempts:
+                do_sleep(backoff_s)
+    raise last  # type: ignore[misc]

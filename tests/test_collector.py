@@ -145,3 +145,41 @@ def test_collect_by_condition_runaway_guard():
         assert "exceeds guard" in str(e)
     else:
         raise AssertionError("runaway pagination not guarded")
+
+
+def test_human_pause_schedule_and_fallback():
+    calls = []
+    pause = C.human_pause(rand=lambda a, b: a, sleep=lambda s: calls.append(s))
+    pause("short"); pause("medium"); pause("county"); pause("nonsense")
+    assert calls == [0.12, 0.3, 2.0, 0.12]  # table minima; unknown->short
+
+
+def test_probe_reachability_both_ways():
+    ok = C.probe_reachability(lambda u, h: ("", "<html>"), "https://x/form")
+    assert ok is True
+
+    def down(u, h):
+        raise OSError("connection refused")
+
+    assert C.probe_reachability(down, "https://x/form") is False
+
+
+def test_with_attempts_retries_whole_run_then_succeeds():
+    attempts, naps = [], []
+
+    def flaky():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise RuntimeError("challenge page")
+        return "landed"
+
+    out = C.with_attempts(flaky, max_attempts=3, backoff_s=7, sleep=naps.append)
+    assert out == "landed" and len(attempts) == 3 and naps == [7, 7]
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="challenge"):
+        C.with_attempts(
+            lambda: (_ for _ in ()).throw(RuntimeError("challenge")),
+            max_attempts=2, backoff_s=1, sleep=naps.append,
+        )
