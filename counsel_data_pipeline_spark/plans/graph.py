@@ -197,3 +197,114 @@ def pagerank_copurchase_plan(
         .limit(_TOPK)
         .select(F.col("node").alias("part_id"), F.col("pr").alias("pr_scaled"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS on the bipartite customer→part purchase graph (4th exact iterative)
+# ---------------------------------------------------------------------------
+
+_HITS_SCALE = 10**6  # small enough that a_raw * SCALE stays far below 2^53
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    its = []
+    h_prev = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        its.append(f"""
+        a{i}r AS MATERIALIZED (
+          SELECT e.part, sum(h.h) AS raw
+          FROM edges e JOIN {h_prev} h ON h.cust = e.cust
+          GROUP BY 1
+        ),
+        a{i} AS MATERIALIZED (
+          SELECT part, (raw * {_HITS_SCALE}) // (SELECT max(raw) FROM a{i}r) AS a
+          FROM a{i}r
+        ),
+        h{i}r AS MATERIALIZED (
+          SELECT e.cust, sum(a.a) AS raw
+          FROM edges e JOIN a{i} a ON a.part = e.part
+          GROUP BY 1
+        ),
+        h{i} AS MATERIALIZED (
+          SELECT cust, (raw * {_HITS_SCALE}) // (SELECT max(raw) FROM h{i}r) AS h
+          FROM h{i}r
+        )""")
+        h_prev = f"h{i}"
+    return f"""
+        -- Exact integer HITS ({_HITS_ITERS} iterations) on the bipartite
+        -- customer→part purchase graph: authority(part) = Σ hub(customer),
+        -- hub(customer) = Σ authority(part), each vector renormalized to
+        -- max = SCALE with floor division — every iterate bit-identical
+        -- in any engine (intermediate sums may widen, the OUTPUT is
+        -- BIGINT). The 4th fully-oracle-checked iterative algorithm
+        -- after PageRank, PCA and k-means.
+        WITH edges AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        h0 AS (
+          SELECT DISTINCT cust, CAST({_HITS_SCALE} AS BIGINT) AS h FROM edges
+        ),
+        {",".join(its)}
+        SELECT part AS part_id, CAST(a AS BIGINT) AS auth_scaled
+        FROM a{_HITS_ITERS}
+        ORDER BY a DESC, part
+        LIMIT 100
+    """
+
+
+@register(
+    "graph_hits_bipartite",
+    oracle=_hits_oracle(),
+    description=f"exact integer HITS ({_HITS_ITERS} iterations, scores "
+    f"renormalized to max={_HITS_SCALE} with floor division) on the "
+    "bipartite customer→part purchase graph; top-100 parts by authority "
+    "— per iteration two edge joins + aggregates and a 1-row max "
+    "broadcast, edges persisted once and never reshuffled",
+    tags=("graph", "tpch", "iterative"),
+)
+def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS needs direction; the co-purchase graph is symmetric, so the
+    natural directed graph is the customer→part purchase bipartite. Each
+    half-iteration is one edges⋈scores join (score vector broadcast —
+    node-sized) + a map-side-combined sum + a 1-row max broadcast for
+    the integer renormalization. The edge list is persisted once; at
+    billions of edges the same loop runs co-partitioned like the
+    PageRank non-broadcast path."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .persist()
+    )
+    h = edges.select("cust").distinct().select(
+        "cust", F.lit(_HITS_SCALE).cast("bigint").alias("h")
+    )
+
+    def renorm(raw: DataFrame, key: str, val: str) -> DataFrame:
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            key, F.expr(f"div(raw * {_HITS_SCALE}, mx)").alias(val)
+        )
+
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            edges.join(F.broadcast(h), "cust")
+            .groupBy("part")
+            .agg(F.sum("h").alias("raw"))
+        )
+        a = renorm(a_raw, "part", "a").localCheckpoint()
+        h_raw = (
+            edges.join(F.broadcast(a), "part")
+            .groupBy("cust")
+            .agg(F.sum("a").alias("raw"))
+        )
+        h = renorm(h_raw, "cust", "h").localCheckpoint()
+    return (
+        a.orderBy(F.col("a").desc(), "part")
+        .limit(100)
+        .select(F.col("part").alias("part_id"), F.col("a").cast("bigint").alias("auth_scaled"))
+    )
