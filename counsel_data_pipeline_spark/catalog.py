@@ -97,6 +97,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "layout_time_partition_prune",
     "streaming_sessionize_user_stats",
     "graph_hits_bipartite",
+    "window_scd2_point_in_time",
     # -- (d) oldest-evidence fill: last hash-green row is r4 --
     "events_tumbling_hourly",
     "events_sliding_6h_daily",
@@ -135,8 +136,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_semantic_blocked_pairs",
     "sim_quantized_topk",
     "sim_embedding_dim_profile",
-    "text_token_stats_by_lang",
-    # r4 rows deferred to r9 for slot budget: text_quality_scores,
+    # r4 rows deferred to r9 for slot budget: text_token_stats_by_lang,
+    # text_quality_scores,
     # text_lang_id,
     # text_fingerprints,
     # llm_corpus_prep,

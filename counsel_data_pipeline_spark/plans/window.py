@@ -480,3 +480,100 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to_s"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "window_scd2_point_in_time",
+    oracle="""
+        -- Point-in-time (temporal) lookup against an SCD2 dimension,
+        -- expressed as the single-shuffle carry-forward: the dim is the
+        -- compressed state-change stream of ODD event_ids, the facts are
+        -- the EVEN ones; union both, order per user by (ts, event_id) —
+        -- a fact tied with a change on ts resolves by event id, exactly
+        -- the SCD2 builder's ordering — and take the last non-null state
+        -- at or before each fact (inclusive start, exclusive end).
+        WITH dim AS (
+          SELECT user_id, ts, event_id, event_type AS state
+          FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events WHERE event_id % 2 = 1
+          ) WHERE prev IS NULL OR event_type <> prev
+        ),
+        u AS (
+          SELECT user_id, ts, event_id, state,
+                 NULL AS v_mi, FALSE AS is_fact
+          FROM dim
+          UNION ALL
+          SELECT user_id, ts, event_id, NULL,
+                 CAST(round(value * 1000000) AS BIGINT), TRUE
+          FROM events WHERE event_id % 2 = 0
+        ),
+        resolved AS (
+          SELECT user_id, v_mi, is_fact,
+                 last_value(state IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS state
+          FROM u
+        )
+        SELECT COALESCE(state, 'none') AS state,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(v_mi) AS BIGINT) AS sum_value_mi,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM resolved WHERE is_fact
+        GROUP BY 1
+    """,
+    description="point-in-time join against the SCD2 dimension as ONE "
+    "user-keyed shuffle: dim changes and facts unioned, per-user "
+    "(ts, event_id) order, last non-null state carried forward — the "
+    "temporal-lookup plan that replaces a fact x interval range join at "
+    "any scale (facts before the first change resolve to 'none')",
+    tags=("events", "window", "incremental", "join"),
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse temporal join: 'which state was this user in when
+    the fact happened'. An interval build + range join would shuffle both
+    sides AND explode matching buckets; the union + carry-forward window
+    is one Exchange on user_id total, independent of history depth — and
+    boundary semantics (inclusive valid_from, exclusive valid_to, same-ts
+    tiebreak by event id) fall out of the sort order instead of needing
+    careful predicates."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .select(
+            "user_id", "ts", "event_id",
+            F.col("event_type").alias("state"),
+            F.lit(None).cast("bigint").alias("v_mi"),
+            F.lit(False).alias("is_fact"),
+        )
+    )
+    facts = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("v_mi"),
+        F.lit(True).alias("is_fact"),
+    )
+    resolved = changes.unionByName(facts).select(
+        "user_id", "v_mi", "is_fact",
+        F.last("state", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("state"),
+    )
+    return (
+        resolved.filter(F.col("is_fact"))
+        .groupBy(F.coalesce(F.col("state"), F.lit("none")).alias("state"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v_mi").cast("bigint").alias("sum_value_mi"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
