@@ -811,3 +811,98 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("type_token_ratio"),
         (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_ratio"),
     )
+
+
+_PHRASES = (("table", "part"), ("fast", "merge", "batch"), ("no", "such", "phrase"))
+
+
+def _phrase_search_oracle() -> str:
+    blocks = []
+    for phrase in _PHRASES:
+        p0 = phrase[0]
+        joins = "".join(
+            f"""
+          JOIN toks t{k} ON t{k}.doc_id = t0.doc_id
+                        AND t{k}.pos = t0.pos + {k}
+                        AND t{k}.term = '{w}'"""
+            for k, w in enumerate(phrase[1:], start=1)
+        )
+        blocks.append(f"""
+        SELECT '{" ".join(phrase)}' AS phrase,
+               CAST(count(DISTINCT t0.doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               COALESCE(min(t0.doc_id), -1) AS first_doc
+        FROM toks t0{joins}
+        WHERE t0.term = '{p0}'""")
+    body = "\n        UNION ALL\n".join(blocks)
+    return f"""
+        -- Positional-index phrase search: terms at adjacent positions
+        -- joined on (doc, pos+k). Zero-hit phrases still report a row
+        -- (n_docs = 0, first_doc = -1).
+        WITH toks AS (
+          SELECT doc_id, s.pos AS pos, s.term AS term FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(len(arr)),
+                          i -> {{'pos': i, 'term': arr[i+1]}})) AS s
+            FROM (SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS arr
+                  FROM documents)
+          )
+        )
+        {body}
+    """
+
+
+@register(
+    "text_phrase_search",
+    oracle=_phrase_search_oracle(),
+    description="positional-inverted-index phrase search: (doc, pos, term) "
+    "stream filtered MAP-SIDE to the phrases' terms before any join, then "
+    "adjacency self-joins on (doc_id, pos+k) — per-phrase doc counts, "
+    "occurrence counts, first match; zero-hit phrases report 0/-1 "
+    "(the positional twin of the BM25 term index)",
+    tags=("llm", "text", "search"),
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the full position stream is term-filtered at the scan
+    (pushdown-friendly IN list over the handful of phrase terms), so the
+    adjacency joins see a tiny fraction of the corpus; join keys are
+    (doc_id, pos) — no doc x doc products anywhere. A persisted
+    positional index (term-bucketed like the IVF lists) would skip even
+    the tokenize pass; the join algebra is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    needed = sorted({w for p in _PHRASES for w in p})
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(ta.norm_text(F.col("text")), " ")
+            ).alias("pos", "term"),
+        )
+        .filter(F.col("term").isin(needed))
+        .persist()
+    )
+    outs = []
+    for phrase in _PHRASES:
+        m = toks.filter(F.col("term") == phrase[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for k, w in enumerate(phrase[1:], start=1):
+            nxt = toks.filter(F.col("term") == w).select(
+                F.col("doc_id").alias("d"), (F.col("pos") - k).alias("p0k")
+            )
+            m = m.join(
+                nxt,
+                (m["doc_id"] == nxt["d"]) & (m["p0"] == nxt["p0k"]),
+            ).select("doc_id", "p0")
+        outs.append(
+            m.agg(
+                F.lit(" ".join(phrase)).alias("phrase"),
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+                F.coalesce(F.min("doc_id"), F.lit(-1)).alias("first_doc"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
