@@ -99,6 +99,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_hits_bipartite",
     "window_scd2_point_in_time",
     "text_phrase_search",
+    "sketch_hll_sliding_distinct",
     # -- (d) oldest-evidence fill: last hash-green row is r4 --
     "events_tumbling_hourly",
     "events_sliding_6h_daily",
@@ -135,8 +136,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_ivf_topk",
     "sim_neighbor_doc_quality",
     "dedup_semantic_blocked_pairs",
-    "sim_quantized_topk",
-    # r4 rows deferred to r9 for slot budget: sim_embedding_dim_profile,
+    # r4 rows deferred to r9 for slot budget: sim_quantized_topk,
+    # sim_embedding_dim_profile,
     # text_token_stats_by_lang,
     # text_quality_scores,
     # text_lang_id,

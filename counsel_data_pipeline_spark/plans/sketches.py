@@ -784,3 +784,117 @@ def bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_prefiltered") - F.col("n_joined")).alias("n_false_positive"),
         "revenue",
     )
+
+
+def _hll_sliding_oracle(p: int) -> str:
+    m = 1 << p
+    rbits = 32 - p
+    rmax = rbits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numerator = alpha * float(m * m) * float(1 << rmax)
+    return f"""
+        -- Sliding 6h distinct users per hourly window end, answered by
+        -- MERGING hourly HLL register tables (register max over the six
+        -- contributing hours) — the sketch-mergeability use case native
+        -- windows can't express without re-scanning each window. The
+        -- estimate math is the classic-HLL grid sketch_hll_distinct_users
+        -- already attests; true distinct joined for the error audit.
+        WITH h AS (
+          SELECT date_trunc('hour', ts) AS hr, user_id,
+                 CAST(concat('0x', substr(md5(concat('hll:',
+                      CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+          FROM events
+        ),
+        r AS (
+          SELECT hr, h & {m - 1} AS idx,
+                 CASE WHEN (h >> {p}) = 0 THEN {rmax}
+                      ELSE {rmax} - length(bin(h >> {p})) END AS rho
+          FROM h
+        ),
+        hregs AS (SELECT hr, idx, max(rho) AS reg FROM r GROUP BY 1, 2),
+        offs AS (SELECT unnest(range(6)) AS o),
+        wregs AS (
+          SELECT hr + o * INTERVAL 1 HOUR AS wend, idx, max(reg) AS reg
+          FROM hregs CROSS JOIN offs
+          GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT wend, count(*) AS n_regs,
+                 CAST(sum(CAST(1 AS BIGINT) << CAST({rmax} - reg AS INT))
+                      AS BIGINT) AS s_present
+          FROM wregs GROUP BY 1
+        ),
+        e AS (
+          SELECT wend, ({m} - n_regs) AS v,
+                 {numerator!r} / CAST(s_present + ({m} - n_regs)
+                     * CAST({1 << rmax} AS BIGINT) AS DOUBLE) AS e_raw
+          FROM agg
+        ),
+        est AS (
+          SELECT wend, CAST(round(
+                   CASE WHEN e_raw <= {2.5 * m!r} AND v > 0
+                        THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+                        ELSE e_raw END) AS BIGINT) AS est_distinct
+          FROM e
+        ),
+        tru AS (
+          SELECT hr + o * INTERVAL 1 HOUR AS wend,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+          FROM (SELECT DISTINCT hr, user_id FROM h) d
+          CROSS JOIN offs
+          GROUP BY 1
+        )
+        SELECT strftime(est.wend, '%Y-%m-%d %H:%M:%S') AS window_end_s,
+               est_distinct, true_distinct
+        FROM est JOIN tru USING (wend)
+    """
+
+
+@register(
+    "sketch_hll_sliding_distinct",
+    oracle=_hll_sliding_oracle(_HLL_P),
+    description=f"sliding 6h distinct users per hour from MERGED hourly "
+    f"HLL register tables (m=2^{_HLL_P}, register max as the merge) vs "
+    "exact — the mergeable-partial answer to sliding COUNT(DISTINCT): "
+    "hourly registers built ONCE from one data pass, each window a "
+    "register-max over six bounded tables, never a per-window rescan",
+    tags=("sketch", "events", "window"),
+)
+def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB: the raw stream is scanned once into per-hour registers
+    (≤ 2^p rows per hour — calendar-sized state); every sliding window
+    is then a merge of six register tables. Exact sliding distinct would
+    rescan each event into all six of its windows (6x the shuffle) —
+    here only registers fan out. The true-distinct join exists for the
+    error audit (and does pay the 6x explode; drop it in production)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hr"), "user_id"
+    )
+    hregs = sk.hll_md5_registers(ev, ["hr"], "user_id", _HLL_P)
+    offs = F.explode(F.sequence(F.lit(0), F.lit(5))).alias("o")
+    wregs = (
+        hregs.select("hr", "idx", "reg", offs)
+        .select(
+            (F.col("hr") + F.make_interval(hours=F.col("o"))).alias("wend"),
+            "idx",
+            "reg",
+        )
+        .groupBy("wend", "idx")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est = sk.hll_md5_estimate(wregs, ["wend"], _HLL_P)
+    tru = (
+        ev.distinct()
+        .select("hr", "user_id", offs)
+        .select(
+            (F.col("hr") + F.make_interval(hours=F.col("o"))).alias("wend"),
+            "user_id",
+        )
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("true_distinct"))
+    )
+    return est.join(tru, "wend").select(
+        F.date_format("wend", "yyyy-MM-dd HH:mm:ss").alias("window_end_s"),
+        "est_distinct",
+        "true_distinct",
+    )
