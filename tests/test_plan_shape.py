@@ -394,3 +394,30 @@ def test_time_partition_pruned_read_lists_only_survivors(spark, tmp_path):
         F.date_format("ts", "yyyy-MM-dd").between("2024-03-04", "2024-03-06")
     ).count()
     assert read_dates(spark, path, []).count() == 0
+
+
+def test_point_in_time_join_single_exchange(spark):
+    """The temporal lookup's whole point: ONE user-keyed shuffle total
+    (plus the final small aggregate exchange) — no range join, no
+    interval explode, no broadcast of a history-sized side."""
+    plan = _plan(spark, "window_scd2_point_in_time")
+    assert "CartesianProduct" not in plan
+    assert "RangeJoin" not in plan
+    # union + two windows + final groupBy: at most 3 exchanges (the
+    # window share, the union sides pre-window, the aggregate)
+    assert _n_shuffles(plan) <= 3, _n_shuffles(plan)
+
+
+def test_phrase_search_filters_terms_before_joins(spark):
+    """The position stream must be term-filtered at the scan — the plan
+    may never join unfiltered (doc, pos, term) streams."""
+    plan = _plan(spark, "text_phrase_search")
+    assert "CartesianProduct" not in plan
+    import re
+
+    # every join input traces back to the persisted term-filtered stream;
+    # the filter itself must mention the IN-list over phrase vocabulary
+    assert re.search(r"term#\d+ IN", plan) or "isin" in plan.lower(), (
+        "no term IN-list filter found in plan"
+    )
+
