@@ -90,6 +90,17 @@ class ClinicJsonDataSource(DataSource):
         return SCHEMA_DDL
 
     def reader(self, schema) -> ClinicJsonReader:
+        # The reader yields tuples in SCHEMA_DDL order; a user-supplied
+        # .schema(...) would bind those values POSITIONALLY to different
+        # names with no error. Reject anything but the declared schema.
+        expected = [f.split()[0] for f in SCHEMA_DDL.split(", ")]
+        got = [f.name for f in schema.fields]
+        if got != expected:
+            raise ValueError(
+                "clinicjson does not support user-specified schemas; "
+                f"remove .schema(...) (got fields {got[:4]}..., "
+                f"expected {expected[:4]}...)"
+            )
         return ClinicJsonReader(self.options)
 
 

@@ -222,7 +222,25 @@ class HttpTransport:
         rows = js.get("rows") if isinstance(js, dict) else js
         rows = rows if isinstance(rows, list) else []
         total = js.get("total") if isinstance(js, dict) else None
-        return {"total": total if isinstance(total, int) else len(rows), "rows": rows}
+        if not isinstance(total, (int, bool)) or isinstance(total, bool):
+            try:  # stringified totals ({"total": "63"}) coerce
+                total = int(str(total))
+            except (TypeError, ValueError):
+                total = None
+        if total is None:
+            # no finite total in the body. A SHORT page is a complete
+            # result (the reference's list.length fallback); a FULL page
+            # may be a silently-truncated multi-page set — fail loud
+            # rather than land a fraction of a county (the runaway-guard
+            # posture, applied to under-collection).
+            if len(rows) >= page_size:
+                raise RuntimeError(
+                    f"upstream response for county {county_value} page {page} "
+                    f"carries no usable 'total' and a full page of "
+                    f"{len(rows)} rows — cannot tell if more pages exist"
+                )
+            total = len(rows)
+        return {"total": total, "rows": rows}
 
 
 @dataclass

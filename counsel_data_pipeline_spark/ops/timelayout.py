@@ -65,8 +65,8 @@ def read_dates(
 ) -> DataFrame:
     """Read only the surviving date directories, manifest-driven (same
     listing-level skipping as ops/zorder.read_pruned)."""
+    from counsel_data_pipeline_spark.ops.partitioning import read_partition_dirs
+
     data = os.path.join(path, "data")
-    if not dates:
-        return spark.read.parquet(data).filter(F.lit(False))
     dirs = [os.path.join(data, f"event_date={d}") for d in dates]
-    return spark.read.option("basePath", data).parquet(*dirs)
+    return read_partition_dirs(spark, data, dirs)

@@ -11,10 +11,12 @@ table format):
   tiny per-shard zone-map manifest (min/max of both layout keys).
 - :func:`zone_map_survivors` consults the manifest for a 2-D box
   predicate and returns the shards whose zone intersects the box.
-- :func:`read_pruned` turns the survivor list into NATIVE partition
-  pruning (``__shard IN (...)`` on the partition column), so Spark lists
-  and reads only the surviving directories — file skipping from min/max
-  stats, exactly what a lakehouse format's data-skipping index does.
+- :func:`read_pruned` turns the survivor list into a MANIFEST-DRIVEN
+  read: the scan is handed exactly the surviving ``__shard=N``
+  directories (pruned shards are never listed — a ``__shard IN (...)``
+  predicate over the full-table read would prune files but still pay
+  the full directory listing), file skipping from min/max stats exactly
+  like a lakehouse format's data-skipping index.
 
 Everything is exact integer arithmetic (the same bucket/interleave
 expressions as the audit query), so the shard assignment — and therefore
@@ -117,8 +119,8 @@ def read_pruned(
     Pruned shards are never listed, let alone opened — ``inputFiles()``
     on the result contains only surviving directories, which the catalog
     query asserts."""
+    from counsel_data_pipeline_spark.ops.partitioning import read_partition_dirs
+
     data = os.path.join(path, "data")
-    if not survivors:
-        return spark.read.parquet(data).filter(F.lit(False))
     dirs = [os.path.join(data, f"__shard={int(s)}") for s in survivors]
-    return spark.read.option("basePath", data).parquet(*dirs)
+    return read_partition_dirs(spark, data, dirs)

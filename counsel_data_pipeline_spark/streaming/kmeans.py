@@ -57,21 +57,18 @@ def assign_cell_expr(centroids6: list[tuple[int, list[int]]], v6_col) -> "F.Colu
             lambda acc, x: acc + x,
         )
 
+    # ONE distance evaluation per centroid: materialize (d, cid) structs
+    # first, then array_min — struct ordering is lexicographic, so the
+    # minimum is (smallest d, then lowest cid), exactly the tie-break.
+    # (A fold with `when(sqd(c) < acc.d, ...)` emits the 64-dim distance
+    # expression twice per centroid — double the hot-path cost.)
     # named_struct, not struct(...alias...): aliases inside a lambda body
-    # don't survive analysis, which would leave the branch typed
-    # struct<col1,...> against the accumulator's struct<d,...>
-    acc0 = F.named_struct(
-        F.lit("d"), F.lit(1 << 62).cast("long"), F.lit("cid"), F.lit(-1).cast("long")
-    )
-    best = F.aggregate(
+    # don't survive analysis.
+    dists = F.transform(
         cents,
-        acc0,
-        lambda acc, c: F.when(
-            sqd(c) < acc["d"],
-            F.named_struct(F.lit("d"), sqd(c), F.lit("cid"), c["cid"]),
-        ).otherwise(acc),
+        lambda c: F.named_struct(F.lit("d"), sqd(c), F.lit("cid"), c["cid"]),
     )
-    return best["cid"]
+    return F.array_min(dists)["cid"]
 
 
 def cell_stats_stream(

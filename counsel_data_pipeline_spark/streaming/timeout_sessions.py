@@ -42,7 +42,15 @@ OUT_SCHEMA = (
     "user_id bigint, session_start_s string, session_end_s string, "
     "n_events bigint, close_reason string"
 )
-_FMT = "%Y-%m-%d %H:%M:%S"
+# state keeps FULL microsecond precision (truncating would mis-split
+# sessions whose true gap straddles the threshold by <1s — the bug the
+# sibling sessionize.py avoids the same way); emission truncates for
+# display only.
+_STATE_FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _disp(ts_s: str) -> str:
+    return ts_s[:19]  # "...HH:MM:SS.ffffff" -> second precision
 
 
 def closed_sessions_stateful(
@@ -62,7 +70,7 @@ def closed_sessions_stateful(
         if state.hasTimedOut:
             # watermark passed last_ts + gap with no new rows: close
             start_ts, last_ts, n = state.get
-            out.append((user, start_ts, last_ts, int(n), "timeout"))
+            out.append((user, _disp(start_ts), _disp(last_ts), int(n), "timeout"))
             state.remove()
             yield pd.DataFrame(out, columns=_out_cols())
             return
@@ -78,11 +86,11 @@ def closed_sessions_stateful(
             pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts"])
             for r in pdf.itertuples(index=False):
                 t_us = pd.Timestamp(r.ts).value // 1000
-                t_s = pd.Timestamp(r.ts).strftime(_FMT)
+                t_s = pd.Timestamp(r.ts).strftime(_STATE_FMT)
                 if last_us is None:
                     start_ts, n = t_s, 1
                 elif t_us - last_us > gap_s * 1_000_000:
-                    out.append((user, start_ts, last_ts, int(n), "gap"))
+                    out.append((user, _disp(start_ts), _disp(last_ts), int(n), "gap"))
                     start_ts, n = t_s, 1
                 else:
                     n += 1

@@ -50,3 +50,15 @@ def test_datasource_empty_object_and_missing(spark, tmp_path):
     assert df.count() == 0 and "countyName" in df.columns
     with pytest.raises(Exception, match="no files match"):
         spark.read.format("clinicjson").load(str(tmp_path / "nope*.json")).count()
+
+
+def test_datasource_rejects_user_schema(spark, tmp_path):
+    """A user .schema(...) would bind values positionally to the wrong
+    names — rejected loudly instead."""
+    ds.register(spark)
+    p = tmp_path / "a.json"
+    p.write_text('{"rows": [{"countyName": "x"}]}')
+    with pytest.raises(Exception, match="does not support user-specified"):
+        spark.read.format("clinicjson").schema(
+            "orgName string, countyName string"
+        ).load(str(p)).collect()

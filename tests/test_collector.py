@@ -183,3 +183,31 @@ def test_with_attempts_retries_whole_run_then_succeeds():
             lambda: (_ for _ in ()).throw(RuntimeError("challenge")),
             max_attempts=2, backoff_s=1, sleep=naps.append,
         )
+
+
+def test_http_transport_total_coercion_and_fail_loud():
+    """A stringified total coerces; a body with NO usable total and a
+    FULL page fails loud instead of silently landing one page."""
+    import pytest as _pytest
+
+    def mk(body_json):
+        return C.HttpTransport(
+            "https://example.test/mhs",
+            get=lambda u, h: ("", ""),
+            post=lambda u, d, h: body_json,
+        )
+
+    got = mk(json.dumps({"total": "63", "rows": [{"a": 1}]})).fetch_page(
+        "1", True, 1, 10
+    )
+    assert got["total"] == 63
+
+    # bare array, short page: complete single-page result (reference
+    # list.length fallback)
+    got = mk(json.dumps([{"a": 1}, {"a": 2}])).fetch_page("1", True, 1, 10)
+    assert got["total"] == 2
+
+    # bare array, FULL page: cannot tell if more pages exist
+    full = json.dumps([{"a": i} for i in range(10)])
+    with _pytest.raises(RuntimeError, match="no usable 'total'"):
+        mk(full).fetch_page("1", True, 1, 10)
