@@ -68,83 +68,72 @@ def register(
 # registration order. Rotate per round: once a family has its green
 # CORRECTNESS row, swap the next unverified family in.
 #
-# Round 8 window (ledger in COVERAGE.md): (a) the three r7 additions that
-# have never had a driver row — batch SCD2, its Structured-Streaming twin
-# (would be the 5th driver row computed BY a real AvailableNow stream),
-# and the exact-integer-Lloyd k-means topk whose new oracle has never
-# been driver-seen; (b) sketch_value_quantiles (KLL) for its rows-only
-# attestation — no oracle by design, the driver records the weaker check;
-# (c) new-in-r8 queries, inserted at the front of this block as they
-# land (Z-order write->prune->read loop, enrichment waterfall, bucketed
-# dedup-store ingest, streaming k-means twin); (d) fill with the queries
-# whose last hash-green row is r4 — the oldest evidence in the ledger —
-# in registration order. The 46 r5-green and 50 r7-green rows are
-# current and yield their slots; r4 rows that miss this window's cut
-# rotate in next round.
+# Round 9 window (ledger in COVERAGE.md). Evidence state after r8:
+# 50 queries hash-green in r8, 50 in r7, 46 in r5, 10 in r4 — so this
+# round's 50 slots go to (a) new-in-r9 queries as they land, prepended
+# to this block, (b) the 10 queries whose last green row is r4 (the
+# fill queue displaced by the r8 additions), then (c) the oldest of the
+# 46 r5-green rows in registration-family order. r5 rows that miss the
+# cut rotate in r10, which then gives every catalog query a post-r4
+# driver attestation.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- (a) never driver-attested: new in r7 --
-    "window_scd2_intervals",
-    "streaming_scd2_intervals",
-    "sim_ivf_kmeans_topk",
-    # -- (b) rows-only attestation for the KLL sketch --
-    "sketch_value_quantiles",
-    # -- (c) new in r8 --
-    "layout_zorder_write_prune",
-    "ops_enrich_waterfall",
-    "dedup_store_bucketed_ingest",
-    "streaming_kmeans_cell_stats",
-    "tpch_q22_sales_opportunity",
-    "layout_time_partition_prune",
-    "streaming_sessionize_user_stats",
-    "graph_hits_bipartite",
-    "window_scd2_point_in_time",
-    "text_phrase_search",
-    "sketch_hll_sliding_distinct",
-    # -- (d) oldest-evidence fill: last hash-green row is r4 --
-    "events_tumbling_hourly",
-    "events_sliding_6h_daily",
-    "events_json_prop_buckets",
-    "events_top20_users_by_value",
-    "events_distinct_users_salted",
-    "events_asof_last_click_before_purchase",
-    "events_range_join_error_windows",
-    "events_funnel_view_click_purchase",
-    "events_weekly_cohort_retention",
-    "events_zscore_anomalies",
-    "events_daily_type_pivot",
-    "events_pivot_roundtrip_unpivot",
-    "curation_hash_split",
-    "curation_repetition_scores",
-    "curation_decontam_overlap",
-    "curation_numeric_scrub_props",
-    "curation_stratified_sample",
-    "curation_pack_sequences",
-    "curation_source_cap",
-    "curation_temperature_resample",
-    "curation_chunk_dedup_stats",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "dedup_connected_clusters",
-    "dedup_embedding_cosine_topn",
-    "dedup_fuzzy_fingerprint_block",
-    "llm_dedup_pipeline",
-    "dedup_incremental_batch",
-    "multimodal_binary_stats",
-    "sim_cosine_topk_bruteforce",
-    "sim_lsh_bucketed_topk",
-    "sim_ivf_topk",
-    "sim_neighbor_doc_quality",
-    "dedup_semantic_blocked_pairs",
-    # r4 rows deferred to r9 for slot budget: sim_quantized_topk,
-    # sim_embedding_dim_profile,
-    # text_token_stats_by_lang,
-    # text_quality_scores,
-    # text_lang_id,
-    # text_fingerprints,
-    # llm_corpus_prep,
-    # text_boilerplate_ngrams, text_oov_trigram_ratio,
-    # tpch_q15_top_supplier (displaced by the r8 additions above)
+    # -- (a) new in r9 (prepend as they land) --
+    # -- (b) oldest evidence: last hash-green row is r4 --
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprints",
+    "text_token_stats_by_lang",
+    "text_boilerplate_ngrams",
+    "text_oov_trigram_ratio",
+    "llm_corpus_prep",
+    "sim_quantized_topk",
+    "sim_embedding_dim_profile",
+    "tpch_q15_top_supplier",
+    # -- (c) r5-green fill, oldest evidence after the r4 rows --
+    "text_bpe_token_counts",
+    "text_top_ngrams_per_lang",
+    "text_tfidf_top_terms",
+    "text_bm25_search",
+    "text_source_entropy",
+    "text_bigram_lm_score",
+    "ops_first_wins_dedup",
+    "ops_keyed_merge_two_sources",
+    "ops_snapshot_carry_forward",
+    "ops_clean_anchor_extract",
+    "ops_stable_sort_topk",
+    "rollup_revenue_region_nation",
+    "cube_orders_status_priority",
+    "grouping_sets_lineitem",
+    "setop_repeat_buyers_intersect",
+    "setop_lapsed_buyers_except",
+    "setop_union_priority_buckets",
+    "join_anti_customers_without_orders",
+    "join_semi_suppliers_of_big_items",
+    "join_outer_nation_customer_counts",
+    "sketch_cms_user_counts",
+    "sketch_bloom_custkey_probe",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_customers",
+    "tpch_q18_large_volume",
+    "tpch_copurchase_part_pairs",
+    "agg_brand_volume",
+    "agg_order_value_percentiles",
+    "window_event_value_delta",
+    "window_balance_quartiles_distributed",
+    "window_rolling_7day_user_value",
+    "window_fill_forward_last_purchase",
+    "events_sessionize_30m",
+    "events_sessionize_native_window",
+    "quality_profile_lineitem",
+    "quality_referential_integrity",
+    "curation_gopher_filters",
+    "curation_c4_filters",
+    # r5 rows deferred to r10 for slot budget (displaced as new r9
+    # queries prepend): curation_shuffle_order, curation_weighted_sample,
+    # llm_corpus_prep_v2, dedup_keep_list, quality_profile_documents,
+    # quality_token_drift_psi
 )
 
 
