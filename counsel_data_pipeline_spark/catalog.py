@@ -78,6 +78,7 @@ def register(
 # driver attestation.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) new in r9 (prepend as they land) --
+    "dedup_ngram_jaccard_capped",
     # -- (b) oldest evidence: last hash-green row is r4 --
     "text_quality_scores",
     "text_lang_id",
@@ -129,11 +130,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quality_profile_lineitem",
     "quality_referential_integrity",
     "curation_gopher_filters",
-    "curation_c4_filters",
     # r5 rows deferred to r10 for slot budget (displaced as new r9
-    # queries prepend): curation_shuffle_order, curation_weighted_sample,
-    # llm_corpus_prep_v2, dedup_keep_list, quality_profile_documents,
-    # quality_token_drift_psi
+    # queries prepend): curation_c4_filters, curation_shuffle_order,
+    # curation_weighted_sample, llm_corpus_prep_v2, dedup_keep_list,
+    # quality_profile_documents, quality_token_drift_psi
 )
 
 

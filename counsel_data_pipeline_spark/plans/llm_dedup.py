@@ -190,13 +190,61 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="exact 3-gram Jaccard near-dup pairs (shingle self-join, jaccard ≥ 0.5)",
     tags=("llm", "dedup"),
-    bench=True,
 )
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # max_shingle_df=None: the oracle has no skew cap; the capped variant is
-    # the production path (see ops/text_dedup.jaccard_pairs docstring).
+    # max_shingle_df=None: plain exact Jaccard, the exact-oracle twin of
+    # dedup_ngram_jaccard_capped (the attested + benched production path).
     return td.jaccard_pairs(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_df=None
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS t FROM documents
+        ),
+        sh_all AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks
+        ),
+        rare AS (
+          SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 5
+        ),
+        sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter,
+               sa.sz AS size_a, sb.sz AS size_b,
+               CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    description=(
+        "df-capped 3-gram Jaccard near-dup pairs — the scale-safe production "
+        "path: ubiquitous shingles (df > cap) are dropped before the shingle "
+        "self-join, bounding the candidate blow-up a hot shingle causes at "
+        "100 TB. The cap is deterministic (a plain HAVING over shingle df), "
+        "so the full pipeline is hash-attested; the catalog pins cap=5 so "
+        "the guard genuinely drops shingles at test scale (max df at sf0.01 "
+        "is 7) — production default is 1000 (ops/text_dedup.jaccard_pairs)."
+    ),
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return td.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_df=5
     )
 
 
