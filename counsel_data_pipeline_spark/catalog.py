@@ -79,6 +79,7 @@ def register(
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) new in r9 (prepend as they land) --
     "dedup_ngram_jaccard_capped",
+    "sketch_histogram_quantiles",
     # -- (b) oldest evidence: last hash-green row is r4 --
     "text_quality_scores",
     "text_lang_id",
@@ -129,9 +130,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_sessionize_native_window",
     "quality_profile_lineitem",
     "quality_referential_integrity",
-    "curation_gopher_filters",
     # r5 rows deferred to r10 for slot budget (displaced as new r9
-    # queries prepend): curation_c4_filters, curation_shuffle_order,
+    # queries prepend): curation_gopher_filters, curation_c4_filters,
+    # curation_shuffle_order,
     # curation_weighted_sample, llm_corpus_prep_v2, dedup_keep_list,
     # quality_profile_documents, quality_token_drift_psi
 )

@@ -25,7 +25,7 @@ verified by error-bound tests instead (tests/test_sketches.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -320,3 +320,109 @@ def approx_quantiles(
             value_col, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
         ).alias("approx_quantiles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width-bin histogram quantile sketch (fully oracle-checkable)
+# ---------------------------------------------------------------------------
+#
+# The deterministic, mergeable alternative to the engine-internal KLL in
+# ``approx_quantiles``: registers are (group, bin, cnt) with
+# bin = floor(value / w). Like DDSketch, the sketch is a bounded table of
+# bin counters merged by elementwise + (associative -> map-side combine
+# does most of the work, and per-shard registers re-aggregate exactly);
+# unlike DDSketch's log-gamma buckets, the linear bins use only one IEEE
+# division + floor, which DuckDB reproduces bit-for-bit, so the whole
+# estimate is hash-attestable. Error bound: |est - true| <= w within a
+# bin (relative error w / value, vs DDSketch's constant relative error);
+# pick w from the value scale.
+
+
+def histogram_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, bin_width: float
+) -> DataFrame:
+    """Histogram sketch registers (group..., bin, cnt); merge = sum(cnt)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("bin", F.floor(F.col(value_col) / F.lit(bin_width)).cast("bigint"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantile_estimate(
+    regs: DataFrame, group_cols: list[str], bin_width: float, probs: list[float]
+) -> DataFrame:
+    """Interpolated quantile estimates from histogram registers.
+
+    Per group and probability q: target rank = q * n (double); the estimate
+    interpolates linearly inside the first bin whose cumulative count
+    reaches the target. All arithmetic is plain IEEE double with a fixed
+    association, so a SQL twin reproduces it exactly. The windows/joins run
+    over the REGISTER table (sketch-sized), never the raw data. Output:
+    (group..., q, est, n) — one row per group x prob.
+    """
+    w = F.lit(float(bin_width))
+    gw = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = (
+        regs.withColumn("cum", F.sum("cnt").over(gw))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy(*group_cols)))
+    )
+    qs = regs.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "q double"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn("target", F.col("q") * F.col("n").cast("double"))
+        .filter(F.col("cum").cast("double") >= F.col("target"))
+    )
+    est = hit.withColumn(
+        "est",
+        F.col("bin").cast("double") * w
+        + (F.col("target") - (F.col("cum") - F.col("cnt")).cast("double"))
+        / F.col("cnt").cast("double")
+        * w,
+    )
+    return est.groupBy(*group_cols, "q").agg(
+        F.min_by("est", "bin").alias("est"), F.first("n").alias("n")
+    )
+
+
+def histogram_quantile_oracle_sql(
+    value_sql: str,
+    group_sql: str,
+    table: str,
+    bin_width: float,
+    probs: list[float],
+) -> str:
+    """DuckDB twin of registers + estimate; yields (grp, q, est, n)."""
+    w = repr(float(bin_width))
+    qvals = ", ".join(f"({float(p)!r})" for p in probs)
+    return f"""
+        WITH regs AS (
+          SELECT {group_sql} AS grp,
+                 CAST(floor({value_sql} / {w}) AS BIGINT) AS bin,
+                 count(*) AS cnt
+          FROM {table}
+          WHERE {value_sql} IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT grp, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+                 sum(cnt) OVER (PARTITION BY grp) AS n
+          FROM regs
+        ),
+        hit AS (
+          SELECT cum.*, q.q, q.q * CAST(n AS DOUBLE) AS target
+          FROM cum CROSS JOIN (VALUES {qvals}) q(q)
+          WHERE CAST(cum AS DOUBLE) >= q.q * CAST(n AS DOUBLE)
+        )
+        SELECT grp, q,
+               CAST(bin AS DOUBLE) * {w}
+                 + (target - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE) * {w}
+                 AS est,
+               CAST(n AS BIGINT) AS n
+        FROM hit
+        QUALIFY row_number() OVER (PARTITION BY grp, q ORDER BY bin) = 1
+    """

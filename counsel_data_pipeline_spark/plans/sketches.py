@@ -215,6 +215,51 @@ def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HQ_W, _HQ_SEED, _HQ_SHARDS = 4.0, 43, 8
+_HQ_PROBS = [0.5, 0.9, 0.99]
+
+
+@register(
+    "sketch_histogram_quantiles",
+    # r9: the oracle-checkable MERGEABLE quantile sketch beside the
+    # rows-only KLL (sketch_value_quantiles) and the sampled estimator
+    # (sketch_sampled_quantiles): fixed-width-bin histogram registers
+    # (DDSketch shape, linear bins for bit-stable cross-engine floor) built
+    # per md5 shard, merged by sum — the Spark plan attests the
+    # re-aggregatable register form; the oracle computes the single-level
+    # equivalent, equal by associativity of +.
+    oracle=f"""
+        WITH hq AS ({sk.histogram_quantile_oracle_sql(
+            "value", "event_type", "events", _HQ_W, _HQ_PROBS)})
+        SELECT grp AS event_type,
+               max(CASE WHEN q = 0.5 THEN est END) AS p50_est,
+               max(CASE WHEN q = 0.9 THEN est END) AS p90_est,
+               max(CASE WHEN q = 0.99 THEN est END) AS p99_est,
+               max(n) AS n
+        FROM hq GROUP BY 1
+    """,
+    description=f"mergeable histogram quantile sketch (w={_HQ_W}, per-md5-shard "
+    "registers summed then interpolated) — the deterministic, fully "
+    "hash-attested alternative to the engine-internal KLL; register table "
+    "is sketch-sized, merge is associative sum (map-side combine / "
+    "re-aggregation across shards is exact)",
+    tags=("sketch", "events"),
+)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "shard", sk.md5_bucket(F.col("event_id"), _HQ_SEED, _HQ_SHARDS)
+    )
+    sharded = sk.histogram_registers(ev, ["shard", "event_type"], "value", _HQ_W)
+    merged = sharded.groupBy("event_type", "bin").agg(F.sum("cnt").alias("cnt"))
+    est = sk.histogram_quantile_estimate(merged, ["event_type"], _HQ_W, _HQ_PROBS)
+    return est.groupBy("event_type").agg(
+        F.max(F.when(F.col("q") == 0.5, F.col("est"))).alias("p50_est"),
+        F.max(F.when(F.col("q") == 0.9, F.col("est"))).alias("p90_est"),
+        F.max(F.when(F.col("q") == 0.99, F.col("est"))).alias("p99_est"),
+        F.max("n").alias("n"),
+    )
+
+
 # Skew-audit sketch: a wider CMS (overestimate ~ N/width must stay small
 # against the skew margin, so the width scales with N, not the key count)
 # and a threshold relative to the MEAN key frequency — the shape a salting

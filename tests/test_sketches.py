@@ -271,3 +271,47 @@ def test_bloom_decontam_prefilter_no_false_negatives(spark):
     assert bad.count() == 0
     # and the exact-shared count never exceeds the bloom-hit count
     assert out.filter(F.col("n_true_shared") > F.col("n_maybe_shingles")).count() == 0
+
+
+def test_histogram_quantiles_within_bin_width(events):
+    # The histogram sketch (like KLL) guarantees RANK accuracy: the chosen
+    # bin contains the order statistic at rank ceil(q*n), and the estimate
+    # interpolates inside that w-wide bin — so it is within w of the exact
+    # discrete quantile. (No such bound holds vs the INTERPOLATED
+    # percentile: in a sparse tail the gap between adjacent order
+    # statistics is unbounded.)
+    import math
+
+    from counsel_data_pipeline_spark.catalog import all_queries
+
+    w = 4.0
+    out = {
+        r.event_type: r
+        for r in all_queries()["sketch_histogram_quantiles"]
+        .fn(events.sparkSession, SF)
+        .collect()
+    }
+    vals: dict[str, list[float]] = {}
+    for r in events.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    assert out.keys() == vals.keys()
+    for k, r in out.items():
+        xs = sorted(vals[k])
+        for q, est in ((0.5, r.p50_est), (0.99, r.p99_est)):
+            exact_disc = xs[math.ceil(q * len(xs)) - 1]
+            assert abs(est - exact_disc) <= w, (k, q, est, exact_disc)
+
+
+def test_histogram_registers_merge_equals_batch(events):
+    # Summing per-shard registers must reproduce the single-level registers
+    # exactly — the mergeability claim behind the re-aggregatable form.
+    sharded = sk.histogram_registers(
+        events.withColumn("shard", sk.md5_bucket(F.col("event_id"), 43, 8)),
+        ["shard", "event_type"],
+        "value",
+        4.0,
+    )
+    merged = sharded.groupBy("event_type", "bin").agg(F.sum("cnt").alias("cnt"))
+    direct = sk.histogram_registers(events, ["event_type"], "value", 4.0)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
