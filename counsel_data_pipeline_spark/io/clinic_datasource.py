@@ -53,16 +53,19 @@ class _FilePartition(InputPartition):
 
 class ClinicJsonReader(DataSourceReader):
     def __init__(self, options: dict):
+        # Spark passes a single load("glob") through the 'path' option and
+        # load(path1, path2, ...) as a JSON list under 'paths'. 'path' is
+        # ONE glob — never comma-split it (a landing path may contain a
+        # comma).
+        if options.get("paths"):
+            pats = [str(p) for p in json.loads(str(options["paths"]))]
+        else:
+            pats = [str(options.get("path", ""))]
         self.paths = sorted(
-            p
-            for pat in str(options.get("path", "")).split(",")
-            for p in _glob.glob(pat.strip())
-            if os.path.isfile(p)
+            p for pat in pats for p in _glob.glob(pat) if os.path.isfile(p)
         )
         if not self.paths:
-            raise FileNotFoundError(
-                f"clinicjson: no files match {options.get('path')!r}"
-            )
+            raise FileNotFoundError(f"clinicjson: no files match {pats!r}")
 
     def partitions(self) -> Sequence[InputPartition]:
         return [_FilePartition(p) for p in self.paths]

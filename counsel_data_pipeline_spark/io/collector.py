@@ -223,9 +223,11 @@ class HttpTransport:
         rows = rows if isinstance(rows, list) else []
         total = js.get("total") if isinstance(js, dict) else None
         if not isinstance(total, (int, bool)) or isinstance(total, bool):
-            try:  # stringified totals ({"total": "63"}) coerce
-                total = int(str(total))
-            except (TypeError, ValueError):
+            try:  # stringified ({"total": "63"}) and float ({"total": 63.0})
+                # totals coerce — the reference accepts any finite number
+                # (Number.isFinite); inf/nan fall through to None
+                total = int(float(str(total)))
+            except (TypeError, ValueError, OverflowError):
                 total = None
         if total is None:
             # no finite total in the body. A SHORT page is a complete
@@ -413,6 +415,8 @@ def with_attempts(
     Wrap a whole :func:`collect_landing` run with it, the way the CI
     wraps the whole container run — NOT individual page fetches (a
     mid-crawl retry would re-fetch pages already landed)."""
+    if max_attempts < 1:
+        raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
     import time as _time
 
     do_sleep = sleep or _time.sleep

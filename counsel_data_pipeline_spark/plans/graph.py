@@ -284,8 +284,27 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust", F.lit(_HITS_SCALE).cast("bigint").alias("h")
     )
 
+    # raw * SCALE runs in non-ANSI BIGINT, which wraps silently past 2^63
+    # while the DuckDB oracle widens to HUGEINT — so fail loud before the
+    # multiply can wrap. raw <= SCALE * max_degree, so the guard trips only
+    # past ~9.2e12 (a node of degree ~9 million); salt/partial-normalize
+    # the hub sums before raising SCALE if that graph ever appears.
+    _mx_limit = (2**63 - 1) // _HITS_SCALE
+
     def renorm(raw: DataFrame, key: str, val: str) -> DataFrame:
-        mx = raw.agg(F.max("raw").alias("mx"))
+        mx = raw.agg(F.max("raw").alias("mx")).select(
+            F.when(
+                F.col("mx") > _mx_limit,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"HITS renorm overflow: max(raw) > {_mx_limit}; "),
+                        F.col("mx").cast("string"),
+                    )
+                ).cast("bigint"),
+            )
+            .otherwise(F.col("mx"))
+            .alias("mx")
+        )
         return raw.crossJoin(F.broadcast(mx)).select(
             key, F.expr(f"div(raw * {_HITS_SCALE}, mx)").alias(val)
         )

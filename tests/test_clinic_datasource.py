@@ -62,3 +62,25 @@ def test_datasource_rejects_user_schema(spark, tmp_path):
         spark.read.format("clinicjson").schema(
             "orgName string, countyName string"
         ).load(str(p)).collect()
+
+
+def test_datasource_path_with_comma_and_multi_path_load(spark, tmp_path):
+    # ADVICE r8: 'path' is ONE glob — a comma in the filename must not
+    # split it; a JSON list under the 'paths' option selects multiple
+    # globs (Spark 4 varargs load() doesn't route to Python sources).
+    ds.register(spark)
+    p1 = tmp_path / "a,b.json"
+    p1.write_text('{"total": 1, "rows": [{"countyName": "x"}]}')
+    df = spark.read.format("clinicjson").load(str(p1))
+    assert df.count() == 1 and "countyName" in df.columns
+
+    p2 = tmp_path / "second.json"
+    p2.write_text('{"total": 1, "rows": [{"countyName": "y"}]}')
+    import json as _json
+
+    multi = (
+        spark.read.format("clinicjson")
+        .option("paths", _json.dumps([str(p1), str(p2)]))
+        .load()
+    )
+    assert multi.select("source_file").distinct().count() == 2

@@ -211,3 +211,24 @@ def test_http_transport_total_coercion_and_fail_loud():
     full = json.dumps([{"a": i} for i in range(10)])
     with _pytest.raises(RuntimeError, match="no usable 'total'"):
         mk(full).fetch_page("1", True, 1, 10)
+
+
+def test_fetch_page_accepts_float_total():
+    # ADVICE r8: the reference accepts any finite number for 'total'
+    # (Number.isFinite); {"total": 63.0} must coerce, not fall to None
+    # and trip the full-page RuntimeError.
+    def fake_get(url, headers):
+        return "ASP.NET_SessionId=s; path=/", ""
+
+    def fake_post(url, data, headers):
+        return json.dumps({"total": 63.0, "rows": [{"countyName": "x"}] * 10})
+
+    t = C.HttpTransport("https://example.test/mhs", get=fake_get, post=fake_post)
+    got = t.fetch_page("1", True, 1, 10)
+    assert got["total"] == 63
+
+
+def test_with_attempts_rejects_nonpositive():
+    import pytest as _p
+    with _p.raises(ValueError, match="max_attempts"):
+        C.with_attempts(lambda: 1, max_attempts=0)
