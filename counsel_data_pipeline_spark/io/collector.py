@@ -264,6 +264,256 @@ class ReplayTransport:
 
 
 # ---------------------------------------------------------------------------
+# S1: browser-datagrid transport — the reference's PRIMARY physical scan
+# (src/index.js collectByCondition). Rows come from intercepted grid XHR
+# responses, pagination from the UI pager text, and the grid dialog is
+# closed + the form reopened between conditions so no page state leaks.
+# ---------------------------------------------------------------------------
+
+
+class BrowserPage(Protocol):
+    """The minimal slice of a driven browser page the crawl needs.
+
+    Production binds it to a real Playwright page (:func:`playwright_page`);
+    tests bind :class:`RecordedBrowserPage` — this sandbox ships no
+    browser, so the recorded session is the CI-testable twin.
+    """
+
+    def open_form(self) -> None:
+        """ensureFormLoaded / reopenFormFromHome (ref src/index.js:174-196)."""
+        ...
+
+    def select_county(self, value: str) -> None: ...
+
+    def check_condition(self, is_yes: bool) -> None: ...
+
+    def trigger_search(self) -> dict[str, Any]:
+        """Fire the datagrid search; return the intercepted grid XHR JSON
+        (ref waitForAnyGrid src/index.js:167-172 + triggerSearch :198-207)."""
+        ...
+
+    def pager_text(self) -> str:
+        """Visible pager text, e.g. '共 7 頁' or '共 63 記錄'."""
+        ...
+
+    def click_next(self) -> dict[str, Any]:
+        """Click the next-page button; return the intercepted grid XHR JSON
+        (ref clickNextAndGetRows src/index.js:238-249)."""
+        ...
+
+    def close_dialog(self) -> None:
+        """Close the grid dialog (ref closeGridDialog src/index.js:251-274)."""
+        ...
+
+
+_PAGER_PAGES_RE = re.compile(r"共\s*(\d+)\s*頁")
+_PAGER_RECORDS_RE = re.compile(r"共\s*(\d+)\s*記錄")
+
+
+def read_pager(text: str, page_size: int = 10) -> tuple[int, int]:
+    """readTotalPages parity (ref src/index.js:209-231): prefer the easyUI
+    '共 N 頁' page count, else '共 N 記錄' → ceil(N / page_size), else 1.
+    Returns (total_rows, total_pages); when only a page count is visible
+    the row total is the ``pages * page_size`` upper bound (all the UI
+    exposes), so ceil(total/page_size) still reproduces the UI page count.
+    """
+    m = _PAGER_PAGES_RE.search(text or "")
+    if m:
+        pages = max(1, int(m.group(1)))
+        return pages * page_size, pages
+    m = _PAGER_RECORDS_RE.search(text or "")
+    if m:
+        total = max(0, int(m.group(1)))
+        return total, max(1, math.ceil(total / page_size))
+    return page_size, 1
+
+
+@dataclass
+class PlaywrightTransport:
+    """S1 browser transport: maps the stateful browser crawl onto the
+    :class:`CollectorTransport` paging contract (ref src/index.js:285-316).
+
+    page 1 = open form → select county → check condition → trigger search,
+    rows read from the intercepted grid XHR; page N>1 = the (N-1)th
+    next-button click — the browser can only move forward, so pages must be
+    requested in order (collect_by_condition does). Before re-searching
+    with a grid open, the dialog is closed and the form reopened from home,
+    the reference's page-state reset (src/index.js:251-274, :319-323).
+    The row total comes from the UI pager, NOT the XHR body — the
+    reference's readTotalPages physical plan.
+    """
+
+    page: BrowserPage
+    _open: tuple[str, bool] | None = None
+    _next_page: int = 2
+    _total: int = 0
+
+    def fetch_page(
+        self, county_value: str, is_yes: bool, page: int, page_size: int
+    ) -> dict[str, Any]:
+        if page == 1:
+            if self._open is not None:
+                self.page.close_dialog()
+            self.page.open_form()
+            self.page.select_county(county_value)
+            self.page.check_condition(is_yes)
+            js = self.page.trigger_search()
+            self._open = (county_value, is_yes)
+            self._next_page = 2
+            self._total, _ = read_pager(self.page.pager_text(), page_size)
+        else:
+            if self._open != (county_value, is_yes) or page != self._next_page:
+                raise RuntimeError(
+                    f"browser pagination is sequential: asked for page {page} "
+                    f"of {county_value}/{'yes' if is_yes else 'no'} but the "
+                    f"open grid is {self._open} at page {self._next_page}"
+                )
+            js = self.page.click_next()
+            self._next_page += 1
+        rows = js.get("rows") if isinstance(js, dict) else js
+        return {"total": self._total, "rows": rows if isinstance(rows, list) else []}
+
+
+@dataclass
+class RecordedBrowserPage:
+    """Recorded browser session: replays grid XHR payloads and pager text
+    for a scripted crawl — the fixture twin of a real Playwright page
+    (same role ReplayTransport plays for the HTTP path). ``fixtures`` is
+    the replay shape: ``{county_value: {"yes": [rows...], "no": [...]}}``;
+    ``actions`` records every page interaction so tests can assert the
+    reference's dialog-reset sequence."""
+
+    fixtures: dict[str, dict[str, list[dict[str, Any]]]]
+    page_size: int = 10
+    pager_style: str = "pages"  # "pages" -> '共 N 頁'; "records" -> '共 N 記錄'
+    actions: list[str] = field(default_factory=list)
+    _county: str = ""
+    _is_yes: bool = True
+    _page: int = 1
+    _grid_open: bool = False
+
+    def _rows(self) -> list[dict[str, Any]]:
+        return self.fixtures.get(self._county, {}).get(
+            "yes" if self._is_yes else "no", []
+        )
+
+    def _slice(self) -> dict[str, Any]:
+        lo = (self._page - 1) * self.page_size
+        return {"rows": self._rows()[lo : lo + self.page_size]}
+
+    def open_form(self) -> None:
+        self.actions.append("open_form")
+        self._grid_open = False
+
+    def select_county(self, value: str) -> None:
+        self.actions.append(f"select:{value}")
+        self._county = value
+
+    def check_condition(self, is_yes: bool) -> None:
+        self.actions.append(f"check:{'yes' if is_yes else 'no'}")
+        self._is_yes = is_yes
+
+    def trigger_search(self) -> dict[str, Any]:
+        if self._grid_open:
+            raise RuntimeError("search with a grid dialog already open")
+        self.actions.append("search")
+        self._grid_open = True
+        self._page = 1
+        return self._slice()
+
+    def pager_text(self) -> str:
+        n = len(self._rows())
+        if self.pager_style == "records":
+            return f"顯示 1 到 {min(n, self.page_size)} 共 {n} 記錄"
+        return f"共 {max(1, math.ceil(n / self.page_size))} 頁"
+
+    def click_next(self) -> dict[str, Any]:
+        if not self._grid_open:
+            raise RuntimeError("next-click with no grid open")
+        self.actions.append("next")
+        self._page += 1
+        return self._slice()
+
+    def close_dialog(self) -> None:
+        self.actions.append("close_dialog")
+        self._grid_open = False
+
+
+def playwright_page(base_url: str) -> BrowserPage:  # pragma: no cover
+    """Production :class:`BrowserPage`: a thin adapter over a real
+    Playwright page using the reference's selectors. Requires the
+    ``playwright`` package and an installed browser — neither ships in
+    this sandbox, so this is the declared integration point (the recorded
+    twin above carries the tests); the adapter mirrors
+    ref src/index.js: #county select, #isYes/#isNo checks,
+    CSSM_SearchDataGrid trigger (:198-207), grid-XHR interception
+    (:167-172), pager scrape (:209-231), CSSM_CloseDialog reset (:251-274).
+    """
+    try:
+        from playwright.sync_api import sync_playwright
+    except ImportError as exc:  # the sandbox path
+        raise NotImplementedError(
+            "playwright is not installed; use RecordedBrowserPage (tests) "
+            "or HttpTransport (the reference's own browserless alternative)"
+        ) from exc
+
+    _GRID = "/mhs/Home/QueryServiceOrgJsonList"
+
+    class _Adapter:
+        def __init__(self) -> None:
+            self._pw = sync_playwright().start()
+            self._browser = self._pw.chromium.launch()
+            self.page = self._browser.new_page()
+
+        def _grid_response(self, action: Callable[[], None]) -> dict[str, Any]:
+            with self.page.expect_response(
+                lambda r: _GRID in r.url and r.request.method == "POST",
+                timeout=60_000,
+            ) as info:
+                action()
+            try:
+                return info.value.json()
+            except Exception:  # noqa: BLE001 — non-JSON grid body = no rows
+                return {"rows": []}
+
+        def open_form(self) -> None:
+            self.page.goto(base_url, wait_until="domcontentloaded")
+            if not self.page.locator("#QueryOrgServiceCaseForm").count():
+                self.page.locator("a.queryServiceOrg").first.click()
+                self.page.wait_for_selector("#QueryOrgServiceCaseForm")
+
+        def select_county(self, value: str) -> None:
+            self.page.select_option("#county", value)
+
+        def check_condition(self, is_yes: bool) -> None:
+            self.page.check("#isYes" if is_yes else "#isNo")
+
+        def trigger_search(self) -> dict[str, Any]:
+            return self._grid_response(
+                lambda: self.page.evaluate(
+                    "CSSM_SearchDataGrid('QueryOrgServiceCaseDg')"
+                )
+            )
+
+        def pager_text(self) -> str:
+            loc = self.page.locator(".ui-paging-info, .pagination-info")
+            return loc.first.text_content() or "" if loc.count() else ""
+
+        def click_next(self) -> dict[str, Any]:
+            btn = self.page.locator(
+                "a.l-btn.l-btn-plain", has=self.page.locator(".pagination-next")
+            ).first
+            return self._grid_response(btn.click)
+
+        def close_dialog(self) -> None:
+            self.page.evaluate(
+                "CSSM_CloseDialog(false, 'QueryServiceOrgDialog')"
+            )
+
+    return _Adapter()
+
+
+# ---------------------------------------------------------------------------
 # Collection loop + dated landing writes
 # ---------------------------------------------------------------------------
 

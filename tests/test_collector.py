@@ -232,3 +232,62 @@ def test_with_attempts_rejects_nonpositive():
     import pytest as _p
     with _p.raises(ValueError, match="max_attempts"):
         C.with_attempts(lambda: 1, max_attempts=0)
+
+
+def test_browser_transport_matches_replay_goldens(tmp_path):
+    # S1 browser physical path: the recorded-session BrowserPage drives the
+    # same collect_landing loop and must land byte-identical wrapper files
+    # to the HTTP/replay path over the reference's committed raw goldens.
+    replay, specs = C.replay_from_reference_out(REF_OUT, COUNTIES)
+    page = C.RecordedBrowserPage(fixtures=replay.fixtures, pager_style="pages")
+    browser = C.PlaywrightTransport(page=page)
+
+    got = C.collect_landing(
+        browser, specs, str(tmp_path / "browser"), date="2026-08-14",
+        page_size=10,
+    )
+    exp = C.collect_landing(
+        replay, specs, str(tmp_path / "replay"), date="2026-08-14",
+        page_size=10,
+    )
+    for (gk, gy, gn), (ek, ey, en) in zip(got, exp, strict=True):
+        assert gk == ek
+        assert json.load(open(gy)) == json.load(open(ey))
+        assert json.load(open(gn)) == json.load(open(en))
+
+    # UI pagination actually exercised: 臺北市 yes = 63 rows -> 6 next-clicks
+    first_search = page.actions.index("search")
+    assert page.actions[first_search - 3 :][:4] == [
+        "open_form", "select:1", "check:yes", "search",
+    ]
+    assert page.actions[first_search : first_search + 8] == ["search"] + ["next"] * 6 + [
+        "close_dialog"
+    ]
+    # dialog reset between conditions: every re-search closes the open grid
+    # and reopens the form from home (ref src/index.js:319-323)
+    for i, a in enumerate(page.actions):
+        if a == "search" and i > first_search:
+            assert "close_dialog" in page.actions[:i]
+            assert page.actions[i - 3] == "open_form"
+
+
+def test_browser_transport_rejects_out_of_order_pages():
+    page = C.RecordedBrowserPage(fixtures={"1": {"yes": [{"countyName": "x"}] * 25}})
+    t = C.PlaywrightTransport(page=page)
+    t.fetch_page("1", True, 1, 10)
+    t.fetch_page("1", True, 2, 10)
+    import pytest as _p
+
+    with _p.raises(RuntimeError, match="sequential"):
+        t.fetch_page("1", True, 4, 10)
+
+
+def test_browser_transport_records_pager_total():
+    # '共 N 記錄' pager style: the exact row total flows through
+    page = C.RecordedBrowserPage(
+        fixtures={"1": {"yes": [{"countyName": "x"}] * 25, "no": []}},
+        pager_style="records",
+    )
+    t = C.PlaywrightTransport(page=page)
+    got = C.collect_by_condition(t, "1", True, page_size=10)
+    assert got["totalPages"] == 3 and len(got["rows"]) == 1  # uniq collapses dupes
