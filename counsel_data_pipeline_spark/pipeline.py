@@ -24,6 +24,7 @@ that is what makes the same DAG viable at 100 TB.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -159,8 +160,8 @@ class PublishReceipt:
     current_key: str
     snapshot_key: str
     change_count: int
-    dispatch_payload: dict  # the K7 integration point (downstream fan-out
-    #                         itself is orchestration-side, out of scope)
+    dispatch_payload: dict  # the repository_dispatch body
+    fanout: dict | None = None  # K7 hook result, when a hook was attached
 
 
 def publish_to_store(
@@ -171,6 +172,7 @@ def publish_to_store(
     snapshot_prefix: str,
     ts: str,
     region: str = "全台灣",
+    fanout: Callable[[PublishReceipt, bytes], dict] | None = None,
 ) -> PublishReceipt | None:
     """The entrypoint.sh publish step (scripts/entrypoint.sh:35-57): IF
     change_count > 0, upload the wrapper JSON as BOTH the stable current
@@ -182,6 +184,12 @@ def publish_to_store(
 
     ``ts`` is the caller's clock in the reference's UTC stamp format
     (``%Y%m%dT%H%M%SZ``) — explicit, like the collector's landing date.
+
+    ``fanout`` is the K7 downstream hook (build one with
+    :func:`repo_sync_fanout`): invoked AFTER both uploads land, only on a
+    real publish — the workflow's ``changed == '1'`` gate
+    (ref .github/workflows/clinics-v3.yml:126-203) — with the receipt and
+    the published bytes; its result is recorded on the receipt.
     """
     if not result.publish:
         return None
@@ -194,7 +202,7 @@ def publish_to_store(
     snapshot_key = f"{snapshot_prefix}/clinics_{ts}.json"
     store.put(snapshot_key, data)   # retention copy first:
     store.put(current_key, data)    # current never points at missing history
-    return PublishReceipt(
+    receipt = PublishReceipt(
         current_key=current_key,
         snapshot_key=snapshot_key,
         change_count=result.change_count,
@@ -205,3 +213,35 @@ def publish_to_store(
             "region": region,
         },
     )
+    if fanout is not None:
+        receipt.fanout = fanout(receipt, data)
+    return receipt
+
+
+def repo_sync_fanout(
+    sync: Callable[[str, bytes], bool],
+    notify: Callable[[dict], None],
+) -> Callable[[PublishReceipt, bytes], dict]:
+    """K7 downstream fan-out (ref .github/workflows/clinics-v3.yml:126-203).
+
+    Two chained gates, exactly the workflow's:
+      1. the hook only runs on a real publish (``changed == '1'`` — enforced
+         by :func:`publish_to_store`, which skips it when nothing changed);
+      2. ``sync`` copies the published artifact to the downstream repo and
+         reports whether that copy ACTUALLY changed (``changed_b`` — the
+         workflow's ``git diff --cached --quiet`` probe); the LINE
+         ``notify`` fires only when both gates pass (step 9's
+         ``changed == '1' && changed_b == '1'``).
+
+    ``sync``/``notify`` are injectable transports like the collector's
+    get/post — the real ones are a git push and a LINE API POST, neither of
+    which this sandbox can reach.
+    """
+
+    def hook(receipt: PublishReceipt, data: bytes) -> dict:
+        changed_b = bool(sync(receipt.current_key, data))
+        if changed_b:
+            notify(dict(receipt.dispatch_payload))
+        return {"synced": changed_b, "notified": changed_b}
+
+    return hook

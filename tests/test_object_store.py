@@ -128,3 +128,59 @@ def test_publish_to_store_change_gated(spark, tmp_path):
         snapshot_prefix="pub/snapshots", ts="20260814T130000Z",
     ) is None
     assert store2.list("") == []  # nothing written
+
+
+def test_publish_fanout_gates(spark, tmp_path):
+    """K7 (ref .github/workflows/clinics-v3.yml:126-203): the fan-out hook
+    fires only on a real publish; the notify leg fires only when the
+    downstream sync ALSO reports a change (changed && changed_b)."""
+    from counsel_data_pipeline_spark import pipeline as P
+    from counsel_data_pipeline_spark.ops.enrich import StubResolver
+
+    clean = spark.createDataFrame(
+        [("臺北市", f"o{i}", f"臺北市中山區南京東路2段{i}號", f"02-000{i}", i) for i in range(1, 4)],
+        "county string, org_name string, address string, phone string, ingest_order long",
+    )
+    empty_prev = spark.createDataFrame([], clean.schema).withColumnRenamed(
+        "ingest_order", "prev_order"
+    )
+    res = P.diff_enrich_publish(clean, empty_prev, None, StubResolver())
+
+    downstream: dict[str, bytes] = {}
+    notifications: list[dict] = []
+
+    def sync(key: str, data: bytes) -> bool:  # the git-diff probe: changed_b
+        if downstream.get(key) == data:
+            return False
+        downstream[key] = data
+        return True
+
+    hook = P.repo_sync_fanout(sync, notifications.append)
+    store = obj.LocalFSStore(str(tmp_path / "bucket"))
+
+    receipt = P.publish_to_store(
+        res, store, current_key="pub/clinics.json",
+        snapshot_prefix="pub/snapshots", ts="20260814T120000Z", fanout=hook,
+    )
+    assert receipt.fanout == {"synced": True, "notified": True}
+    assert downstream["pub/clinics.json"] == store.get("pub/clinics.json")
+    assert notifications == [receipt.dispatch_payload]
+
+    # same content published again (forced): downstream copy identical ->
+    # changed_b=0 -> sync reports no change, LINE push suppressed (step 9)
+    receipt2 = P.publish_to_store(
+        res, store, current_key="pub/clinics.json",
+        snapshot_prefix="pub/snapshots", ts="20260814T130000Z", fanout=hook,
+    )
+    assert receipt2.fanout == {"synced": False, "notified": False}
+    assert len(notifications) == 1
+
+    # no publish -> hook never invoked at all (the changed=='1' gate)
+    prev = res.final.withColumnRenamed("ingest_order", "prev_order")
+    res2 = P.diff_enrich_publish(clean, prev, None, StubResolver())
+    calls = len(notifications)
+    assert P.publish_to_store(
+        res2, store, current_key="pub/clinics.json",
+        snapshot_prefix="pub/snapshots", ts="20260814T140000Z", fanout=hook,
+    ) is None
+    assert len(notifications) == calls and len(downstream) == 1
