@@ -122,12 +122,16 @@ def pagerank_copurchase_plan(
     # fact-table shuffle (duplicate same-part lines per order are rare)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    # persisted: the co-purchase self-join is the most expensive stage and
+    # feeds BOTH deg and src_deg — without the cache it ran twice (r9 fix;
+    # the cache is freed as soon as src_deg materializes below)
     edges = (
         li.withColumnRenamed("l_partkey", "src")
         .join(b, "l_orderkey")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
+        .persist()
     )
     # deg is node-sized and feeds nodes/consts AND every iteration's rank
     # rebuild — persisting it cuts the co-purchase self-join out of all of
@@ -149,6 +153,11 @@ def pagerank_copurchase_plan(
         # key, materialized once — iterations move only rank rows
         src_deg = src_deg.repartition("src")
     src_deg = src_deg.persist()
+    # materialize the one-pass build now and free the raw edge cache: the
+    # iterations only ever touch src_deg/deg, so at scale only ONE
+    # edge-sized frame stays resident, not two
+    src_deg.count()
+    edges.unpersist()
     nodes = deg.select("node")
     consts = nodes.agg(F.count(F.lit(1)).alias("n")).select(
         F.expr(f"div(15 * div({_PR_SCALE}, n), 100)").alias("base"),
