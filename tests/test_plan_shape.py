@@ -196,10 +196,13 @@ def test_distributed_quartiles_have_no_single_partition_funnel(spark):
 
 def test_catalog_fleet_plan_audit(spark):
     """Fleet-wide scale audit over EVERY catalog query's physical plan
-    (pre-AQE): no CartesianProduct anywhere, and no unpartitioned Window
+    (pre-AQE): no CartesianProduct anywhere, no unpartitioned Window
     (the every-row-through-one-task shape) outside the explicit
-    allowlist. Catches a new query shipping a scale anti-pattern long
-    before any driver run."""
+    allowlist, and no SinglePartition Exchange at all (global aggregates
+    partial-combine first and never surface one; an orderBy+limit
+    compiles to TakeOrderedAndProject — if one shows up, rows are being
+    funneled through one task). Catches a new query shipping a scale
+    anti-pattern long before any driver run."""
     allow_global_window = {
         # the oracle twin of the distributed ranking variant — global by
         # design, kept as the correctness anchor
@@ -219,6 +222,10 @@ def test_catalog_fleet_plan_audit(spark):
             nn = node.nodeName()
             if "CartesianProduct" in nn:
                 issues.append(nn)
+            if "Exchange" in nn and "SinglePartition" in (
+                node.toString().splitlines()[0]
+            ):
+                issues.append("SinglePartition exchange")
             if nn == "Window" or nn.startswith("WindowGroupLimit"):
                 try:
                     empty = node.partitionSpec().isEmpty()
