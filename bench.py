@@ -147,6 +147,38 @@ def main() -> None:
             per_query[name] = min(times)
             first_run[name] = times[0]
             print(f"# {name}: {per_query[name]}s (runs: {times})", file=sys.stderr)
+    # Write-path section (r8 verdict ask #8): the three materializing
+    # queries — Z-order rewrite, bucketed dedup-store build, date-
+    # partitioned ingest — tracked OUTSIDE the headline total so their
+    # cost trend is visible without polluting the read-query set. Each
+    # runs twice: cold (reset() drops the materialized layout, so the
+    # timing includes the write) and warm (layout exists — the pruned
+    # read every later query pays). Cold minus warm ≈ the amortized
+    # rewrite cost.
+    write_queries: dict[str, dict[str, float]] = {}
+    for name, q in sorted(all_queries().items()):
+        if "bench-write" not in q.tags:
+            continue
+        rec: dict[str, float] = {}
+        try:
+            if q.reset is not None:
+                q.reset(spark, sf_dir)
+            t0 = time.time()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            rec["cold_write_sec"] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+            t0 = time.time()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            rec["warm_read_sec"] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+        finally:
+            spark.catalog.clearCache()
+        if rec:
+            write_queries[name] = rec
+            print(f"# {name}: write-path {rec}", file=sys.stderr)
+
     wall = round(time.time() - t_all, 3)
     total = round(sum(per_query.values()), 3)
 
@@ -160,6 +192,7 @@ def main() -> None:
         # (~2x the total since every query runs twice)
         "first_run": first_run,
         "wall_sec": wall,
+        "write_queries": write_queries,
     }
     if errors:
         out["errors"] = errors

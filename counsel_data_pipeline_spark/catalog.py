@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 SparkQueryFn = Callable[[SparkSession, str], DataFrame]
+ResetFn = Callable[[SparkSession, str], None]
 
 
 @dataclass
@@ -36,6 +37,10 @@ class Query:
     description: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    # Teardown for materialized state (derived parquet layouts, bucketed
+    # session tables) so bench.py can time the WRITE path cold. Only
+    # queries tagged "bench-write" need one.
+    reset: ResetFn | None = None
 
 
 QUERIES: dict[str, Query] = {}
@@ -47,13 +52,16 @@ def register(
     description: str = "",
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    reset: ResetFn | None = None,
 ) -> Callable[[SparkQueryFn], SparkQueryFn]:
     """Decorator: register a query plan under ``name``."""
 
     def deco(fn: SparkQueryFn) -> SparkQueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = Query(name, fn, oracle, description, tuple(tags), bench)
+        QUERIES[name] = Query(
+            name, fn, oracle, description, tuple(tags), bench, reset
+        )
         return fn
 
     return deco

@@ -871,6 +871,27 @@ def _dedup_store_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return names
 
 
+def _reset_dedup_store(spark: SparkSession, sf_dir: str) -> None:
+    """Drop the bucketed store/batch session tables + their parquet so
+    bench.py can time the bucketed store BUILD cold (the one-time
+    bucketBy write the zero-shuffle ingest amortizes)."""
+    import shutil
+
+    from counsel_data_pipeline_spark.io.fingerprint import (
+        derived_cache_dir,
+        table_fingerprint,
+    )
+
+    fp = table_fingerprint(sf_dir, "documents")[:8]
+    for name in (f"cdp_dedupstore_{fp}", f"cdp_dedupbatch_{fp}"):
+        if spark.catalog.tableExists(name):
+            spark.sql(f"DROP TABLE {name}")
+    shutil.rmtree(
+        derived_cache_dir("counsel_dedup_store", sf_dir, "documents"),
+        ignore_errors=True,
+    )
+
+
 @register(
     "dedup_store_bucketed_ingest",
     oracle=f"""
@@ -911,7 +932,8 @@ def _dedup_store_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     "store⋈batch join run with ZERO Exchange (the plan fn RAISES "
     "otherwise) — the production shape where the corpus-sized store "
     "never reshuffles on ingest",
-    tags=("llm", "dedup", "bucketing", "incremental"),
+    tags=("llm", "dedup", "bucketing", "incremental", "bench-write"),
+    reset=_reset_dedup_store,
 )
 def dedup_store_bucketed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from counsel_data_pipeline_spark.ops.bucketing import plan_has_exchange

@@ -261,6 +261,27 @@ def _zorder_write_prune_oracle() -> str:
     """
 
 
+def _reset_zorder(spark: SparkSession, sf_dir: str) -> None:
+    """Drop the materialized Z-ordered layout so bench.py can time the
+    write path cold (the OPTIMIZE-ZORDER rewrite cost, not just the
+    pruned read)."""
+    import shutil
+
+    shutil.rmtree(
+        derived_cache_dir("counsel_zorder", sf_dir, "lineitem"),
+        ignore_errors=True,
+    )
+
+
+def _reset_timepart(spark: SparkSession, sf_dir: str) -> None:
+    import shutil
+
+    shutil.rmtree(
+        derived_cache_dir("counsel_timepart", sf_dir, "events"),
+        ignore_errors=True,
+    )
+
+
 @register(
     "layout_zorder_write_prune",
     oracle=_zorder_write_prune_oracle(),
@@ -271,7 +292,8 @@ def _zorder_write_prune_oracle() -> str:
     "back (native partition pruning) — the plan fn RAISES if the pruned "
     "scan touches a non-survivor file, so the green row certifies values "
     "AND the data-skipping behavior (ops/zorder.py:52,89,110)",
-    tags=("layout", "tpch", "planner", "write"),
+    tags=("layout", "tpch", "planner", "write", "bench-write"),
+    reset=_reset_zorder,
 )
 def zorder_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deliverable behind the layout_zorder_pruning audit: a real
@@ -445,7 +467,8 @@ def zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date directories read back (listing-level skipping) — the plan fn "
     "RAISES if the pruned scan resolves a non-surviving day "
     "(ops/timelayout.py, the 1-D sibling of the Z-order loop)",
-    tags=("layout", "events", "planner", "write"),
+    tags=("layout", "events", "planner", "write", "bench-write"),
+    reset=_reset_timepart,
 )
 def time_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from counsel_data_pipeline_spark.ops.timelayout import (
