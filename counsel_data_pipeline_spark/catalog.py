@@ -88,6 +88,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) new in r9 (prepend as they land) --
     "dedup_ngram_jaccard_capped",
     "sketch_histogram_quantiles",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_ship_latency_priority",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q21_blocking_supplier",
     # -- (b) oldest evidence: last hash-green row is r4 --
     "text_quality_scores",
     "text_lang_id",
@@ -132,17 +138,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_order_value_percentiles",
     "window_event_value_delta",
     "window_balance_quartiles_distributed",
-    "window_rolling_7day_user_value",
-    "window_fill_forward_last_purchase",
-    "events_sessionize_30m",
-    "events_sessionize_native_window",
-    "quality_profile_lineitem",
-    "quality_referential_integrity",
     # r5 rows deferred to r10 for slot budget (displaced as new r9
     # queries prepend): curation_gopher_filters, curation_c4_filters,
     # curation_shuffle_order,
     # curation_weighted_sample, llm_corpus_prep_v2, dedup_keep_list,
-    # quality_profile_documents, quality_token_drift_psi
+    # quality_profile_documents, quality_token_drift_psi,
+    # window_rolling_7day_user_value, window_fill_forward_last_purchase,
+    # events_sessionize_30m, events_sessionize_native_window,
+    # quality_profile_lineitem, quality_referential_integrity
 )
 
 

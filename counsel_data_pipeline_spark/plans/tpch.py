@@ -1092,3 +1092,548 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / 100).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r9: the six remaining TPC-H shapes (Q2, Q9, Q11, Q12, Q20, Q21), adapted
+# to this schema — there is no partsupp table, no commit/receipt dates and
+# no ship modes, so each keeps the REFERENCE QUERY'S OPERATOR SHAPE
+# (correlated min, profit multi-join, scalar-threshold group filter,
+# conditional two-bucket counts, nested dominance EXISTS, multi-supplier
+# NOT-EXISTS) over the columns this star schema has, the same way q13/q16/
+# q22 above are adapted. With these the catalog covers all 22 TPC-H
+# queries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+        -- Q2 adapted: lineitem stands in for partsupp; the "supply cost"
+        -- of (part, supplier) is their cheapest observed line price in
+        -- exact integer cents. For STANDARD parts in four sizes, find the
+        -- EUROPE suppliers matching each part's minimum cost (correlated
+        -- min subquery, kept as a per-part min + join-back).
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cost_c
+          FROM lineitem GROUP BY 1, 2
+        ),
+        elig AS (
+          SELECT ps.l_partkey, ps.l_suppkey, ps.cost_c,
+                 s_name, s_acctbal, n_name
+          FROM ps
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+          JOIN part ON p_partkey = l_partkey
+                   AND p_type = 'STANDARD' AND p_size IN (5, 10, 15, 20)
+        ),
+        mn AS (SELECT l_partkey, min(cost_c) AS mc FROM elig GROUP BY 1)
+        SELECT s_acctbal, s_name, n_name,
+               elig.l_partkey AS p_partkey, elig.l_suppkey AS s_suppkey,
+               CAST(cost_c AS DOUBLE) / 100.0 AS supply_cost
+        FROM elig JOIN mn ON elig.l_partkey = mn.l_partkey AND cost_c = mc
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+        LIMIT 100
+    """,
+    description="TPC-H Q2 adapted (lineitem as partsupp, min line price in "
+    "cents as supply cost): region-filtered min-cost supplier per part via "
+    "per-part min + join-back, deterministic top-100",
+    tags=("tpch", "relational", "subquery", "topk"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape at scale: the fact scan is pre-filtered by BOTH broadcast
+    dimensions (eligible parts, EUROPE suppliers) before the (partkey,
+    suppkey) aggregate, so the one big shuffle carries only eligible
+    lines; the correlated min decorrelates to a per-part aggregate of the
+    ALREADY-AGGREGATED ps relation (part-count sized) joined back — never
+    a window, never a re-scan of lineitem."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == "STANDARD")
+            & F.col("p_size").isin(5, 10, 15, 20)
+        )
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cost_c")
+        )
+    )
+    mn = ps.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("cost_c").alias("__mc")
+    )
+    return (
+        ps.join(
+            mn,
+            (F.col("l_partkey") == F.col("__pk"))
+            & (F.col("cost_c") == F.col("__mc")),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            (F.col("cost_c").cast("double") / 100.0).alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "n_name",
+            "s_name",
+            "p_partkey",
+            "s_suppkey",
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle="""
+        -- Q9 adapted: no partsupp, so cost-of-goods is half the part's
+        -- retail price per unit. Per-row profit in exact half-1e-4-dollar
+        -- units: 2 * price_cents * (100 - disc_cents) - retail_cents *
+        -- qty_cents (both terms are 1e-4 dollars; the factor 2 keeps the
+        -- 0.5 cost multiplier integral). Summed per (supplier nation,
+        -- order year) in DECIMAL(38,0); final rounding to cents uses
+        -- sign * ((|s| + 100) // 200) — identical truncating integer
+        -- arithmetic in both engines.
+        WITH e AS (
+          SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                 2 * CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 - CAST(round(p_retailprice * 100) AS BIGINT)
+                   * CAST(round(l_quantity * 100) AS BIGINT) AS amt2
+          FROM lineitem
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+        ),
+        g AS (SELECT nation, o_year, sum(amt2) AS s FROM e GROUP BY 1, 2)
+        SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+               CAST(CASE WHEN s < 0 THEN -((-s + 100) // 200)
+                         ELSE (s + 100) // 200 END AS DOUBLE) / 100.0
+                 AS sum_profit
+        FROM g
+    """,
+    description="TPC-H Q9 adapted (cost = half retail price; name filter "
+    "'%red%'): product-type profit by supplier nation and order year, "
+    "exact integer profit units",
+    tags=("tpch", "relational", "join", "agg"),
+    bench=True,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape at scale: part ('%red%' filtered), supplier and nation
+    broadcast; the single big shuffle is lineitem⋈orders on orderkey,
+    then one partial-aggregated hash agg on (nation, year). Per-row
+    profit stays in BIGINT (|amt2| < 2^31-ish per row), the sum widens
+    to DECIMAL(38,0) so no scale factor can overflow it."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select(
+            "p_partkey",
+            F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("rc"),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("ec"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("dc"),
+        F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("qc"),
+    )
+    e = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "o_year",
+            (
+                F.lit(2) * F.col("ec") * (F.lit(100) - F.col("dc"))
+                - F.col("rc") * F.col("qc")
+            ).alias("amt2"),
+        )
+    )
+    g = e.groupBy("nation", "o_year").agg(
+        F.sum(F.col("amt2").cast("decimal(38,0)")).alias("s")
+    )
+    return g.select(
+        "nation",
+        F.col("o_year").cast("bigint").alias("o_year"),
+        (
+            F.expr(
+                "CAST(CASE WHEN s < 0 THEN -((-s + 100) div 200) "
+                "ELSE (s + 100) div 200 END AS DOUBLE)"
+            )
+            / 100.0
+        ).alias("sum_profit"),
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+        -- Q11 adapted: "stock value" of a part is the exact-cents line
+        -- revenue shipped by NATION_7 suppliers; return parts worth more
+        -- than 1.5x the MEAN part value (scale-free, unlike Q11's
+        -- absolute fraction, so the survivor share is stable at any SF).
+        -- The threshold comparison is 2 * val * n > 3 * total in BIGINT
+        -- — no division, so the boundary set is engine-exact.
+        WITH v AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS val_c
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
+          GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(val_c) AS BIGINT) AS tot,
+                     CAST(count(*) AS BIGINT) AS n FROM v)
+        SELECT l_partkey AS p_partkey,
+               CAST(val_c AS DOUBLE) / 100.0 AS part_value
+        FROM v, t
+        WHERE 2 * val_c * n > 3 * tot
+    """,
+    description="TPC-H Q11 adapted (line revenue as stock value): parts "
+    "worth >1.5x the mean part value of one nation's supply; scalar-"
+    "subquery threshold as a 1-row broadcast, exact integer cents",
+    tags=("tpch", "relational", "subquery", "agg"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape at scale: nation+supplier collapse to a broadcast semi
+    filter on the fact scan; ONE shuffle builds the per-part value; the
+    global total is a 1-row aggregate broadcast back over the per-part
+    relation (part-count sized, not fact sized)."""
+    supp7 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    v = (
+        li.join(
+            F.broadcast(supp7),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("val_c")
+        )
+    )
+    total = v.agg(
+        F.sum("val_c").cast("bigint").alias("__tot"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(2 * F.col("val_c") * F.col("__n") > 3 * F.col("__tot"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("val_c").cast("double") / 100.0).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q12_ship_latency_priority",
+    oracle="""
+        -- Q12 adapted: no ship modes or commit/receipt dates; the two
+        -- buckets are ship latency (days from order date to ship date)
+        -- over/under 60 days for lines shipped in 1998, and the counts
+        -- split orders by priority exactly as Q12 does.
+        SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+                    THEN 'SLOW' ELSE 'FAST' END AS latency_bucket,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY 1
+    """,
+    description="TPC-H Q12 adapted (ship latency buckets for ship modes): "
+    "high/low-priority line counts per latency bucket, one fact-fact join",
+    tags=("tpch", "relational", "join", "agg"),
+)
+def q12_ship_latency_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape at scale: the 1998 predicate pushes into the lineitem
+    scan (1/7th of the table), the join with orders is the one shuffle,
+    and the two conditional counts partial-aggregate map-side into a
+    2-row result."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60,
+                F.lit("SLOW"),
+            )
+            .otherwise(F.lit("FAST"))
+            .alias("latency_bucket"),
+            hi.alias("__hi"),
+        )
+        .groupBy("latency_bucket")
+        .agg(
+            F.sum(F.when(F.col("__hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("__hi"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_dominant_suppliers",
+    oracle="""
+        -- Q20 adapted: no partsupp availqty, so the "excess stock"
+        -- predicate becomes supply dominance — a supplier qualifies if
+        -- for SOME 'red...' part they shipped more than half that part's
+        -- total 1997 quantity (2 * q > total in exact quantity cents).
+        -- The nested IN-subquery chain stays: part filter -> per-(supp,
+        -- part) aggregate -> per-part total -> dominance EXISTS -> semi
+        -- join back to supplier.
+        WITH sq AS (
+          SELECT l_suppkey, l_partkey,
+                 CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS qc
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey AND p_name LIKE 'red%'
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY 1, 2
+        ),
+        pq AS (SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS tot
+               FROM sq GROUP BY 1)
+        SELECT s_suppkey, s_name,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_c
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM sq JOIN pq ON sq.l_partkey = pq.l_partkey
+          WHERE 2 * qc > tot
+        )
+        ORDER BY s_name, s_suppkey
+    """,
+    description="TPC-H Q20 adapted (supply dominance for excess stock): "
+    "suppliers shipping >half of some red part's 1997 volume, nested "
+    "aggregate semi-join chain",
+    tags=("tpch", "relational", "semijoin", "subquery"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape at scale: the fact scan is filtered by the pushed 1997
+    predicate AND a broadcast semi on red parts before its one shuffle
+    (groupBy suppkey, partkey); everything after is supplier/part-count
+    sized; the final IN decorrelates to a left-semi join against the
+    (tiny) dominant-supplier set."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    sq = (
+        li.join(
+            F.broadcast(part),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("qc")
+        )
+    )
+    pq = sq.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("qc").cast("bigint").alias("tot")
+    )
+    dominant = (
+        sq.join(pq, F.col("l_partkey") == F.col("__pk"))
+        .filter(2 * F.col("qc") > F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(dominant),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.expr("CAST(round(s_acctbal * 100) AS BIGINT)").alias(
+                "acctbal_c"
+            ),
+        )
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21_blocking_supplier",
+    oracle="""
+        -- Q21 adapted: no commit/receipt dates, so "kept the order
+        -- waiting" becomes being the UNIQUE latest shipper of a
+        -- finished multi-supplier order: the supplier's last ship date
+        -- on the order equals the order's last ship date, no other
+        -- supplier shares it (the EXISTS / NOT EXISTS pair), and the
+        -- order involves >= 2 suppliers.
+        WITH os AS (
+          SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+          FROM lineitem
+          JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+          GROUP BY 1, 2
+        ),
+        om AS (
+          SELECT l_orderkey, max(smax) AS omax,
+                 count(*) AS n_supp,
+                 count(*) FILTER (WHERE smax = mx) AS n_at_max
+          FROM (SELECT os.*, max(smax) OVER (PARTITION BY l_orderkey) AS mx
+                FROM os) t
+          GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM os
+        JOIN om ON os.l_orderkey = om.l_orderkey
+        JOIN supplier ON s_suppkey = os.l_suppkey
+        WHERE smax = omax AND n_at_max = 1 AND n_supp >= 2
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_name, s_suppkey
+        LIMIT 100
+    """,
+    description="TPC-H Q21 adapted (unique latest shipper for late "
+    "delivery): suppliers blocking finished multi-supplier orders, "
+    "EXISTS/NOT-EXISTS via per-order max + uniqueness count",
+    tags=("tpch", "relational", "window", "topk"),
+    bench=True,
+)
+def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape at scale: lineitem is semi-filtered by finished orders
+    (shuffle join on orderkey — orders is fact-sized, not broadcastable),
+    then ONE aggregate per (order, supplier); the EXISTS/NOT-EXISTS pair
+    needs the per-order max and how many suppliers attain it, computed
+    with a window PARTITIONED BY orderkey (parallel across orders, never
+    a global funnel) + one per-order aggregate joined back. Final
+    per-supplier count is a 100-row TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    os_ = (
+        li.join(
+            orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("smax"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    os_w = os_.withColumn("mx", F.max("smax").over(w))
+    om = os_w.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.max("smax").alias("omax"),
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("smax") == F.col("mx"), 1).otherwise(0)).alias(
+            "n_at_max"
+        ),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        os_.join(om, F.col("l_orderkey") == F.col("__ok"))
+        .filter(
+            (F.col("smax") == F.col("omax"))
+            & (F.col("n_at_max") == 1)
+            & (F.col("n_supp") >= 2)
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name", "s_suppkey")
+        .limit(100)
+    )
