@@ -65,12 +65,24 @@ def _bucket_sql_const(seed: int, key_sql: str, width: int) -> str:
     bench=True,
 )
 def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9: the probe set IS the true-count relation (both are the distinct
+    # user ids), so the old separate ev.distinct() branch — a third full
+    # events scan plus a second data-sized shuffle — is gone: estimates
+    # are computed over the true-count rows and joined back key-on-key
+    # (co-partitioned, the Exchange is reused). Everything stays lazy so
+    # the sketch build and the true-count branch run as parallel stages
+    # of one job; the sketch side's shuffle is bounded at depth x width.
     ev = load_table(spark, sf_dir, "events")
     sketch = sk.cms_build(ev, "user_id", _CMS_DEPTH, _CMS_WIDTH)
-    probes = ev.select("user_id").distinct()
-    est = sk.cms_estimate(sketch, probes, "user_id", _CMS_DEPTH, _CMS_WIDTH)
     true = ev.groupBy(F.col("user_id").alias("key")).agg(
         F.count(F.lit(1)).alias("true_cnt")
+    )
+    est = sk.cms_estimate(
+        sketch,
+        true.select(F.col("key").alias("user_id")),
+        "user_id",
+        _CMS_DEPTH,
+        _CMS_WIDTH,
     )
     return est.join(true, "key").select(
         "key", "est_cnt", "true_cnt",
