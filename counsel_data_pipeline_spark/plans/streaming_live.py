@@ -705,3 +705,165 @@ def streaming_sessionize_user_stats(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(rows, schema).select(
         "user_id", "n_sessions", "max_session_events", "n_events"
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data semantics, attested: append-mode tumbling aggregation
+# where deterministically-delayed rows cross the watermark and are DROPPED
+# ---------------------------------------------------------------------------
+
+_WM_N_BATCHES = 6
+_WM_DELAY_HOURS = 24
+
+
+def _staged_late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events staged as ascending (ts, event_id)-range micro-batch files
+    LIKE _staged_ts_batches_dir, except two deterministic row classes
+    arrive late: event_id % 7 == 0 rows two batches after their range
+    (far beyond the 24 h watermark -> always dropped) and event_id % 7
+    == 1 rows one batch late (only their trailing 24 h survives — the
+    mixed boundary that makes the watermark predicate observable)."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import Window
+
+    stage = derived_cache_dir("counsel_stream_stage_late", sf_dir, "events")
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "value"
+        )
+        n = _WM_N_BATCHES
+        with_b = ev.withColumn(
+            "b0", F.ntile(n).over(Window.orderBy("ts", "event_id")) - 1
+        ).withColumn(
+            "b",
+            F.when(F.col("event_id") % 7 == 0, F.least(F.col("b0") + 2, F.lit(n - 1)))
+            .when(F.col("event_id") % 7 == 1, F.least(F.col("b0") + 1, F.lit(n - 1)))
+            .otherwise(F.col("b0")),
+        )
+        os.makedirs(stage, exist_ok=True)
+        now = _time.time()
+        for k in range(n):
+            tmp = os.path.join(stage, f"tmp{k}")
+            with_b.filter(F.col("b") == k).drop("b0", "b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stage, f"{k:03d}.parquet")
+            os.replace(src, dst)
+            _shutil.rmtree(tmp)
+            os.utime(dst, (now + k, now + k))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return stage
+
+
+def _watermark_late_oracle() -> str:
+    """Restates Spark's global-watermark protocol exactly AS OBSERVED in
+    the micro-batch engine: the watermark a batch is PLANNED with comes
+    from the offset log written before the previous batch ran, so batch
+    k filters/evicts with (max event time over batches <= k-2, truncated
+    to milliseconds — Spark tracks event-time stats in ms) minus the
+    delay (batches 0 and 1 run at the initial zero watermark); a row is
+    dropped iff its window end <= that watermark; the trailing no-data
+    micro-batches then drain the watermark to (global max - delay), so
+    every window with end <= that final value is emitted (append mode
+    emits nothing newer)."""
+    n = _WM_N_BATCHES
+    d = _WM_DELAY_HOURS
+    return f"""
+        WITH ordered AS (
+          SELECT event_id, ts, value,
+                 ntile({n}) OVER (ORDER BY ts, event_id) - 1 AS b0
+          FROM events
+        ),
+        assigned AS (
+          SELECT ts, value,
+                 CASE WHEN event_id % 7 = 0 THEN least(b0 + 2, {n - 1})
+                      WHEN event_id % 7 = 1 THEN least(b0 + 1, {n - 1})
+                      ELSE b0 END AS b
+          FROM ordered
+        ),
+        bmax AS (
+          SELECT b,
+                 make_timestamp((epoch_us(max(ts)) // 1000) * 1000) AS mx
+          FROM assigned GROUP BY 1
+        ),
+        wm AS (
+          SELECT b,
+                 max(mx) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                 - INTERVAL {d} HOUR AS wm_b
+          FROM bmax
+        ),
+        kept AS (
+          SELECT a.ts, a.value FROM assigned a JOIN wm USING (b)
+          WHERE wm_b IS NULL
+             OR date_trunc('hour', a.ts) + INTERVAL 1 HOUR > wm_b
+        ),
+        fw AS (SELECT max(mx) - INTERVAL {d} HOUR AS w FROM bmax),
+        agg AS (
+          SELECT date_trunc('hour', ts) AS h,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS sum_value_mi
+          FROM kept GROUP BY 1
+        )
+        SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+               n_events, sum_value_mi
+        FROM agg, fw
+        WHERE h + INTERVAL 1 HOUR <= w
+    """
+
+
+@register(
+    "streaming_watermark_late_drop",
+    oracle=_watermark_late_oracle(),
+    description="watermark late-data semantics attested end-to-end: "
+    f"hourly tumbling counts/sums over {_WM_N_BATCHES} staged "
+    "micro-batches where event_id%7==0 rows arrive two batches late "
+    "(beyond the 24 h watermark, dropped) and %7==1 rows one batch late "
+    "(only their trailing day survives), run in APPEND mode with "
+    "AvailableNow — the DuckDB oracle replays the global-watermark "
+    "protocol (per-batch running max event time, ms truncation, drop "
+    "iff window_end <= watermark, final flush), so the green row "
+    "attests Spark's actual drop/emit boundary",
+    tags=("events", "streaming", "watermark"),
+)
+def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: watermark state is one (window, agg) row per open
+    hour — bounded by delay/window, not data; late rows are filtered
+    BEFORE the shuffle, so a flood of ancient events costs a scan, not
+    state. The staged arrival order makes the drop set deterministic,
+    which is what lets a batch oracle attest a streaming-only behavior."""
+    from counsel_data_pipeline_spark.plans._parity import dec  # noqa: F401
+    from counsel_data_pipeline_spark.streaming.windows import run_available_now
+
+    stage = _staged_late_batches_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("event_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{_WM_DELAY_HOURS} hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sum_value_mi"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n_events",
+            "sum_value_mi",
+        )
+    )
+    out = run_available_now(agg, output_mode="append")
+    rows = out.collect()
+    schema = out.schema
+    return spark.createDataFrame(rows, schema)
