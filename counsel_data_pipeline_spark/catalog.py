@@ -95,6 +95,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q20_dominant_suppliers",
     "tpch_q21_blocking_supplier",
     "streaming_watermark_late_drop",
+    "join_salted_hot_users",
     # -- (b) oldest evidence: last hash-green row is r4 --
     "text_quality_scores",
     "text_lang_id",
@@ -137,7 +138,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_copurchase_part_pairs",
     "agg_brand_volume",
     "agg_order_value_percentiles",
-    "window_event_value_delta",
     # r5 rows deferred to r10 for slot budget (displaced as new r9
     # queries prepend): curation_gopher_filters, curation_c4_filters,
     # curation_shuffle_order,
@@ -146,7 +146,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window_rolling_7day_user_value, window_fill_forward_last_purchase,
     # events_sessionize_30m, events_sessionize_native_window,
     # quality_profile_lineitem, quality_referential_integrity,
-    # window_balance_quartiles_distributed
+    # window_balance_quartiles_distributed, window_event_value_delta
 )
 
 

@@ -563,3 +563,51 @@ def pivot_roundtrip_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop structurally-zero cells so the round trip equals the original
     # long-form aggregate (count(*) never emits zero groups)
     return long.filter(F.col("n") > 0)
+
+
+@register(
+    "join_salted_hot_users",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_mi
+        FROM events JOIN customer ON c_custkey = user_id
+        GROUP BY c_mktsegment
+    """,
+    description="salted fact⋈dim join attested end-to-end: the event "
+    "stream's hot user keys are scattered over 8 deterministic salt "
+    "shards, the customer dim replicated per salt, joined on (key, salt) "
+    "— semantically identical to the plain equi-join (the oracle), so "
+    "the green row certifies the skew-mitigation rewrite is lossless",
+    tags=("events", "join", "skew"),
+)
+def join_salted_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: a hot user (billions of events on one key) lands a
+    plain shuffled join's whole key on one task; salted_join scatters
+    the large side across (key, salt) with a DETERMINISTIC salt (stable
+    under task retries — rand() would break exactly-once sinks) and
+    explodes the dim side 8x. AQE skew-join is the first answer
+    (ops/skew.py preference order); this query attests the code-level
+    rewrite for when the skewed side must stay co-partitioned with
+    later stages. Post-join aggregation is partial map-side; the
+    count-distinct folds users into salt shards the same way."""
+    from counsel_data_pipeline_spark.ops.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(
+        ev, cust, on=["user_id"], n_salts=8, distinct_on=["event_id"]
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_value_mi"),
+    )
