@@ -1,0 +1,306 @@
+"""Semantic properties of the round-9 additions that the DuckDB oracle
+doesn't express: the TPC-H Q2/Q9/Q11/Q12/Q20/Q21 adaptations' internal
+invariants (min-cost rows really are per-part minima, dominance really
+means >half the part's volume, blocked suppliers really are unique
+latest shippers), watermark late-drop monotonicity (drops only remove
+rows; pre-watermark hours match the batch truth), salted-join
+losslessness against the plain join, and the bench write-path reset
+teardown actually forcing a rebuild with identical values."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _q(name):
+    from counsel_data_pipeline_spark.catalog import all_queries
+
+    return all_queries()[name]
+
+
+def _rows(name, spark, sf=SF):
+    return _q(name).fn(spark, sf).collect()
+
+
+# ---------------------------------------------------------------------------
+# tpch_q2_min_cost_supplier
+# ---------------------------------------------------------------------------
+
+
+def test_q2_rows_are_per_part_minima(spark):
+    rows = _rows("tpch_q2_min_cost_supplier", spark, SF01)
+    assert 0 < len(rows) <= 100
+    # all surviving rows of one part share its (single) minimum cost
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.p_partkey, set()).add(r.supply_cost)
+    assert all(len(costs) == 1 for costs in by_part.values())
+    # ordering contract: acctbal desc with the documented tiebreaks
+    keys = [
+        (-r.s_acctbal, r.n_name, r.s_name, r.p_partkey, r.s_suppkey)
+        for r in rows
+    ]
+    assert keys == sorted(keys)
+
+
+def test_q2_costs_match_unrestricted_min(spark):
+    # the per-part min over ELIGIBLE suppliers can never be below the
+    # unrestricted min line price of that part
+    rows = _rows("tpch_q2_min_cost_supplier", spark, SF01)
+    li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
+    true_min = {
+        r.l_partkey: r.mn
+        for r in li.groupBy("l_partkey")
+        .agg(F.min(F.expr("CAST(round(l_extendedprice*100) AS BIGINT)")).alias("mn"))
+        .collect()
+    }
+    for r in rows:
+        assert round(r.supply_cost * 100) >= true_min[r.p_partkey]
+
+
+# ---------------------------------------------------------------------------
+# tpch_q9_product_type_profit
+# ---------------------------------------------------------------------------
+
+
+def test_q9_covers_every_red_nation_year(spark):
+    rows = _rows("tpch_q9_product_type_profit", spark, SF01)
+    seen = {(r.nation, r.o_year) for r in rows}
+    assert len(seen) == len(rows)  # (nation, year) is a key
+    # group count equals the distinct (nation, year) pairs of the joined
+    # relation computed independently
+    li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(SF01, "orders.parquet"))
+    s = spark.read.parquet(os.path.join(SF01, "supplier.parquet"))
+    n = spark.read.parquet(os.path.join(SF01, "nation.parquet"))
+    p = (
+        spark.read.parquet(os.path.join(SF01, "part.parquet"))
+        .filter(F.col("p_name").like("%red%"))
+    )
+    expect = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("y"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == expect
+
+
+# ---------------------------------------------------------------------------
+# tpch_q11_important_stock
+# ---------------------------------------------------------------------------
+
+
+def test_q11_threshold_is_1_5x_mean(spark):
+    rows = _rows("tpch_q11_important_stock", spark, SF01)
+    assert rows
+    values = [r.part_value for r in rows]
+    # recompute the full per-part value set independently
+    li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
+    s = spark.read.parquet(os.path.join(SF01, "supplier.parquet"))
+    n = (
+        spark.read.parquet(os.path.join(SF01, "nation.parquet"))
+        .filter(F.col("n_name") == "NATION_7")
+    )
+    all_vals = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.expr("CAST(round(l_extendedprice*100) AS BIGINT)")).alias("v"))
+        .collect()
+    )
+    total = sum(r.v for r in all_vals)
+    cnt = len(all_vals)
+    survivors = {r.l_partkey for r in all_vals if 2 * r.v * cnt > 3 * total}
+    assert {r.p_partkey for r in rows} == survivors
+    assert min(values) * 100 * cnt * 2 > 3 * total * 0.999  # boundary sanity
+
+
+# ---------------------------------------------------------------------------
+# tpch_q12_ship_latency_priority
+# ---------------------------------------------------------------------------
+
+
+def test_q12_counts_partition_the_joined_lines(spark):
+    rows = _rows("tpch_q12_ship_latency_priority", spark, SF01)
+    assert {r.latency_bucket for r in rows} <= {"SLOW", "FAST"}
+    li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet")).filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    o = spark.read.parquet(os.path.join(SF01, "orders.parquet"))
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert sum(r.high_line_count + r.low_line_count for r in rows) == joined
+
+
+# ---------------------------------------------------------------------------
+# tpch_q20_dominant_suppliers
+# ---------------------------------------------------------------------------
+
+
+def test_q20_suppliers_really_dominate_some_part(spark):
+    rows = _rows("tpch_q20_dominant_suppliers", spark, SF01)
+    assert rows
+    li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet")).filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = spark.read.parquet(os.path.join(SF01, "part.parquet")).filter(
+        F.col("p_name").like("red%")
+    )
+    sq = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.expr("CAST(round(l_quantity*100) AS BIGINT)")).alias("q"))
+        .collect()
+    )
+    tot = {}
+    for r in sq:
+        tot[r.l_partkey] = tot.get(r.l_partkey, 0) + r.q
+    dominant = {r.l_suppkey for r in sq if 2 * r.q > tot[r.l_partkey]}
+    assert {r.s_suppkey for r in rows} == dominant
+
+
+# ---------------------------------------------------------------------------
+# tpch_q21_blocking_supplier
+# ---------------------------------------------------------------------------
+
+
+def test_q21_blocked_orders_have_unique_latest_shipper(spark):
+    rows = _rows("tpch_q21_blocking_supplier", spark, SF01)
+    assert rows and all(r.numwait >= 1 for r in rows)
+    li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(SF01, "orders.parquet")).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    os_ = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("smax"))
+        .collect()
+    )
+    per_order = {}
+    for r in os_:
+        per_order.setdefault(r.l_orderkey, []).append((r.l_suppkey, r.smax))
+    blocked = {}
+    for sups in per_order.values():
+        if len(sups) < 2:
+            continue
+        mx = max(t for _, t in sups)
+        at_max = [sk for sk, t in sups if t == mx]
+        if len(at_max) == 1:
+            blocked[at_max[0]] = blocked.get(at_max[0], 0) + 1
+    expect = sorted(blocked.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = {r.s_suppkey: r.numwait for r in rows}
+    # top-100 subset of the independently recomputed blocking counts
+    for sk, nw in got.items():
+        assert blocked[sk] == nw
+    assert len(got) == min(100, len(expect))
+
+
+# ---------------------------------------------------------------------------
+# streaming_watermark_late_drop
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_drops_only_and_matches_clean_prefix(spark):
+    from counsel_data_pipeline_spark.plans.streaming_live import (
+        _WM_DELAY_HOURS,
+        _WM_N_BATCHES,
+    )
+
+    rows = _rows("streaming_watermark_late_drop", spark, SF01)
+    assert rows
+    got = {r.hour_start: r.n_events for r in rows}
+    ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
+    batch = {
+        r.h: r.n
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # 1) drops only remove rows — no emitted hour exceeds the batch truth
+    assert all(got[h] <= batch[h] for h in got)
+    # 2) nothing newer than the final watermark is emitted
+    import datetime as dt
+
+    mx = ev.agg(F.max("ts")).first()[0]
+    final_wm = mx - dt.timedelta(hours=_WM_DELAY_HOURS)
+    for h in got:
+        end = dt.datetime.strptime(h, "%Y-%m-%d %H:%M:%S") + dt.timedelta(hours=1)
+        assert end <= final_wm
+    # 3) something was genuinely dropped somewhere (the late classes exist)
+    assert sum(got.values()) < sum(
+        batch[h]
+        for h in batch
+        if dt.datetime.strptime(h, "%Y-%m-%d %H:%M:%S") + dt.timedelta(hours=1)
+        <= final_wm
+    )
+    # 4) batches 0 and 1 run at the initial zero watermark, so in the
+    # earliest hour the one-batch-late class (event_id%7==1, arriving in
+    # batch 1) survives and ONLY the two-batch-late class (%7==0,
+    # arriving in batch 2 where the watermark has advanced past hour 0)
+    # is missing
+    earliest = min(batch)
+    n_twolate = ev.filter(
+        (
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            == earliest
+        )
+        & (F.col("event_id") % 7 == 0)
+    ).count()
+    assert n_twolate > 0
+    assert got[earliest] == batch[earliest] - n_twolate
+
+
+# ---------------------------------------------------------------------------
+# join_salted_hot_users
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_is_lossless(spark):
+    rows = _rows("join_salted_hot_users", spark, SF01)
+    ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
+    cust = spark.read.parquet(os.path.join(SF01, "customer.parquet"))
+    plain = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.expr("CAST(round(value*1000000) AS BIGINT)")).alias("s"),
+        )
+        .collect()
+    )
+    expect = {r.c_mktsegment: (r.n_events, r.n_users, r.s) for r in plain}
+    got = {r.c_mktsegment: (r.n_events, r.n_users, r.sum_value_mi) for r in rows}
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# bench write-path resets
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "layout_time_partition_prune",
+        "layout_zorder_write_prune",
+        "dedup_store_bucketed_ingest",
+    ],
+)
+def test_bench_write_reset_forces_identical_rebuild(spark, name):
+    q = _q(name)
+    assert q.reset is not None and "bench-write" in q.tags
+    before = sorted(map(tuple, q.fn(spark, SF).collect()))
+    q.reset(spark, SF)
+    after = sorted(map(tuple, q.fn(spark, SF).collect()))
+    assert before == after
