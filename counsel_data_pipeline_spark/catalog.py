@@ -96,6 +96,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q21_blocking_supplier",
     "streaming_watermark_late_drop",
     "join_salted_hot_users",
+    "layout_schema_evolution_read",
     # -- (b) oldest evidence: last hash-green row is r4 --
     "text_quality_scores",
     "text_lang_id",
@@ -137,9 +138,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q18_large_volume",
     "tpch_copurchase_part_pairs",
     "agg_brand_volume",
-    "agg_order_value_percentiles",
     # r5 rows deferred to r10 for slot budget (displaced as new r9
-    # queries prepend): curation_gopher_filters, curation_c4_filters,
+    # queries prepend): agg_order_value_percentiles,
+    # curation_gopher_filters, curation_c4_filters,
     # curation_shuffle_order,
     # curation_weighted_sample, llm_corpus_prep_v2, dedup_keep_list,
     # quality_profile_documents, quality_token_drift_psi,

@@ -515,3 +515,87 @@ def time_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_dates).cast("bigint").alias("n_dates_total"),
         F.lit(len(survivors)).cast("bigint").alias("n_survivors"),
     )
+
+
+def _staged_evolved_dir(spark: SparkSession, sf_dir: str) -> str:
+    """orders written in two schema epochs under one directory: epoch 0
+    (orderkeys ending 0..6) with the original columns only; epoch 1
+    (ending 7..9) with an ADDED o_channel column derived
+    deterministically from the key. The directory is what a 100 TB table
+    looks like mid-migration — old files simply lack the new column."""
+    import shutil as _shutil
+
+    stage = derived_cache_dir("counsel_schema_evo", sf_dir, "orders")
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        old = orders.filter(F.col("o_orderkey") % 10 <= 6)
+        new = orders.filter(F.col("o_orderkey") % 10 >= 7).withColumn(
+            "o_channel",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("web")).otherwise(
+                F.lit("store")
+            ),
+        )
+        _shutil.rmtree(stage, ignore_errors=True)
+        old.write.parquet(os.path.join(stage, "epoch=0"))
+        new.write.parquet(os.path.join(stage, "epoch=1"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return stage
+
+
+@register(
+    "layout_schema_evolution_read",
+    oracle="""
+        -- Restates the two-epoch read: files written before the column
+        -- existed surface NULL, which the reader defaults to 'unknown';
+        -- per (priority, channel) the counts and exact-cents totals must
+        -- equal a from-scratch recompute of the derivation rule.
+        WITH evolved AS (
+          SELECT o_orderpriority,
+                 CASE WHEN o_orderkey % 10 <= 6 THEN 'unknown'
+                      WHEN o_orderkey % 3 = 0 THEN 'web'
+                      ELSE 'store' END AS channel,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        )
+        SELECT o_orderpriority, channel,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM evolved GROUP BY 1, 2
+    """,
+    description="schema-evolution read attested end-to-end: orders staged "
+    "as two parquet epochs (the later one with an ADDED o_channel "
+    "column), read back with mergeSchema so pre-migration files surface "
+    "NULL, coalesced to 'unknown', aggregated — the oracle recomputes "
+    "the epoch/derivation rule from scratch, so the green row certifies "
+    "Spark's schema merge + missing-column null semantics",
+    tags=("layout", "schema-evolution", "agg"),
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: schema merge is a FOOTER operation (per-file schemas
+    union at planning; mergeSchema reads footers, not data) and the
+    missing column materializes as a constant-null vector per old file —
+    no rewrite of historical files is ever needed, which is the entire
+    point of additive evolution at 100 TB. The aggregate itself is one
+    partial-combined shuffle."""
+    stage = _staged_evolved_dir(spark, sf_dir)
+    evolved = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "false")
+        .parquet(stage)
+    )
+    return (
+        evolved.select(
+            "o_orderpriority",
+            F.coalesce(F.col("o_channel"), F.lit("unknown")).alias("channel"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("o_orderpriority", "channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
