@@ -428,3 +428,63 @@ def test_phrase_search_filters_terms_before_joins(spark):
         "no term IN-list filter found in plan"
     )
 
+
+
+# ---------------------------------------------------------------------------
+# r9 additions: TPC-H completion queries, salted join, schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_q2_prefilters_fact_and_avoids_windows(spark):
+    plan = _plan(spark, "tpch_q2_min_cost_supplier")
+    # part + supplier eligibility broadcast-filter the fact scan BEFORE
+    # its (partkey, suppkey) aggregate; the correlated min is an
+    # agg+join-back, never a window
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "Window" not in plan
+    assert "EqualTo(p_type,STANDARD)" in plan  # part filter pushed
+
+
+def test_q9_pushes_name_filter_and_broadcasts_dims(spark):
+    plan = _plan(spark, "tpch_q9_product_type_profit")
+    assert "StringContains(p_name,red)" in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_pushes_year_range(spark):
+    plan = _plan(spark, "tpch_q12_ship_latency_priority")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_q20_semi_joins_before_aggregate(spark):
+    plan = _plan(spark, "tpch_q20_dominant_suppliers")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # 1997 pruned at scan
+
+
+def test_q21_takeordered_and_pushed_status(spark):
+    plan = _plan(spark, "tpch_q21_blocking_supplier")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_salted_join_actually_salts(spark):
+    # the rewrite must survive optimization: the large side carries the
+    # deterministic xxhash64 salt and the dim side is exploded across
+    # salts — if Catalyst collapsed either, the skew mitigation is gone
+    plan = _plan(spark, "join_salted_hot_users")
+    assert "xxhash64" in plan
+    assert "explode" in plan.lower()
+
+
+def test_schema_evolution_reads_merged_footer_schema(spark):
+    plan = _plan(spark, "layout_schema_evolution_read")
+    # the merged ReadSchema must contain the evolved column even though
+    # epoch-0 files lack it
+    assert any(
+        "ReadSchema" in line and "o_channel" in line
+        for line in plan.splitlines()
+    ), plan
