@@ -867,3 +867,78 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
     rows = out.collect()
     schema = out.schema
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join, attested: per-micro-batch broadcast enrichment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_static_join_daily",
+    oracle="""
+        -- The stream-static join's final COMPLETE-mode state is batch-
+        -- equivalent: each micro-batch joins the (static) dim and folds
+        -- into the same windowed aggregate, so the result is invariant
+        -- to the batch split.
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_mi
+        FROM events JOIN customer ON c_custkey = user_id
+        GROUP BY 1, 2
+    """,
+    description="stream-static join maintained BY Structured Streaming: "
+    "each micro-batch of the staged event stream joins the static "
+    "customer dim (broadcast — no state on the static side) and folds "
+    "into a daily tumbling aggregate in COMPLETE mode, AvailableNow — "
+    "the oracle is the plain batch join+aggregate, so the green row "
+    "attests the per-batch-join ≡ batch-join equivalence",
+    tags=("events", "join", "streaming"),
+)
+def streaming_static_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the static side carries NO streaming state — each
+    micro-batch joins against the dim as-of that batch, broadcast when
+    small (the plan here) and shuffled by AQE when not; aggregate state
+    is one row per (day, segment) — calendar-bounded, not data-bounded.
+    COMPLETE mode is right because the key space is bounded; the
+    watermarked APPEND twin (streaming_watermark_late_drop) covers the
+    unbounded-key discipline."""
+    from counsel_data_pipeline_spark.streaming.windows import run_available_now
+
+    stage = _staged_ts_batches_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, "
+            "event_type STRING, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sum_value_mi"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value_mi",
+        )
+    )
+    out = run_available_now(agg)  # complete mode
+    rows = out.collect()
+    schema = out.schema
+    return spark.createDataFrame(rows, schema)
