@@ -98,6 +98,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_salted_hot_users",
     "layout_schema_evolution_read",
     "streaming_static_join_daily",
+    "incremental_join_view_merge",
     # -- (b) oldest evidence: last hash-green row is r4 --
     "text_quality_scores",
     "text_lang_id",
@@ -137,9 +138,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_customers",
     "tpch_q18_large_volume",
-    "tpch_copurchase_part_pairs",
     # r5 rows deferred to r10 for slot budget (displaced as new r9
-    # queries prepend): agg_brand_volume, agg_order_value_percentiles,
+    # queries prepend): tpch_copurchase_part_pairs,
+    # agg_brand_volume, agg_order_value_percentiles,
     # curation_gopher_filters, curation_c4_filters,
     # curation_shuffle_order,
     # curation_weighted_sample, llm_corpus_prep_v2, dedup_keep_list,
