@@ -99,6 +99,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "layout_schema_evolution_read",
     "streaming_static_join_daily",
     "incremental_join_view_merge",
+    "streaming_stream_stream_join",
+    "incremental_cdc_upsert_apply",
     # -- (b) oldest evidence: last hash-green row is r4 --
     "text_quality_scores",
     "text_lang_id",
@@ -136,10 +138,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_customers",
-    "tpch_q18_large_volume",
     # r5 rows deferred to r10 for slot budget (displaced as new r9
-    # queries prepend): tpch_copurchase_part_pairs,
+    # queries prepend): tpch_q10_returned_customers,
+    # tpch_q18_large_volume, tpch_copurchase_part_pairs,
     # agg_brand_volume, agg_order_value_percentiles,
     # curation_gopher_filters, curation_c4_filters,
     # curation_shuffle_order,

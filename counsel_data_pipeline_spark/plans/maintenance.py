@@ -666,3 +666,110 @@ def incremental_join_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("bigint").alias("n_lines"),
         to_double(F.col("rev_dec"), 2).alias("revenue"),
     )
+
+
+@register(
+    "incremental_cdc_upsert_apply",
+    oracle="""
+        -- Recomputes the CDC apply from scratch: reduce the changelog to
+        -- the latest image per key (row_number over seq), then merge into
+        -- the base snapshot — deletes drop, updates/inserts take the new
+        -- image, untouched base rows pass through ('K').
+        WITH cust AS (
+          SELECT c_custkey AS k, c_mktsegment AS seg,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer
+        ),
+        base AS (SELECT * FROM cust WHERE k % 10 <> 0),
+        chlog AS (
+          SELECT k, 1 AS seq, 'I' AS op, seg, cents
+          FROM cust WHERE k % 10 = 0
+          UNION ALL
+          SELECT k, 2, 'U', seg, cents + 5000 FROM cust WHERE k % 7 = 0
+          UNION ALL
+          SELECT k, 3, 'U', seg, cents + 9999 FROM cust WHERE k % 21 = 0
+          UNION ALL
+          SELECT k, 4, 'D', NULL, NULL FROM cust WHERE k % 13 = 0
+        ),
+        latest AS (
+          SELECT k, op, seg, cents FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+                      AS rn
+            FROM chlog) t
+          WHERE rn = 1
+        )
+        SELECT COALESCE(b.k, l.k) AS c_custkey,
+               COALESCE(l.seg, b.seg) AS c_mktsegment,
+               COALESCE(l.cents, b.cents) AS acctbal_cents,
+               COALESCE(l.op, 'K') AS applied_op
+        FROM base b FULL OUTER JOIN latest l ON b.k = l.k
+        WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+    description="CDC changelog upsert-apply (MERGE semantics): a "
+    "deterministic I/U/D changelog over the customer snapshot reduces "
+    "to the latest image per key (max_by over seq — one O(delta) "
+    "map-side-combined aggregate), then ONE full-outer join with the "
+    "base applies it: deletes drop, updates/inserts take the new image "
+    "(upsert — an update for an absent key inserts), untouched rows "
+    "pass through; a double-updated key proves last-writer-wins — the "
+    "oracle recomputes the apply from scratch",
+    tags=("incremental", "cdc", "join"),
+)
+def incremental_cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the changelog is reduced to ONE row per touched key
+    before it ever meets the base — O(delta) with partial aggregation,
+    never O(base). The apply is a single key-equi full-outer join; at
+    100 TB the base lives bucketed by key (the dedup-store pattern,
+    ops/text_dedup.py), so the join is co-partitioned with zero
+    Exchange on the base side and only touched buckets rewrite — the
+    standard copy-on-write MERGE layout. Latest-image reduction uses
+    max_by on a unique seq, so replaying the log in any arrival order
+    produces the identical image (the CDC idempotence invariant)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+    )
+    base = cust.filter(F.col("k") % 10 != 0)
+
+    def entry(pred, seq: int, op: str, seg, cents):
+        return cust.filter(pred).select(
+            "k",
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            seg.alias("n_seg"),
+            cents.cast("bigint").alias("n_cents"),
+        )
+
+    chlog = (
+        entry(F.col("k") % 10 == 0, 1, "I", F.col("seg"), F.col("cents"))
+        .unionByName(
+            entry(F.col("k") % 7 == 0, 2, "U", F.col("seg"),
+                  F.col("cents") + 5000)
+        )
+        .unionByName(
+            entry(F.col("k") % 21 == 0, 3, "U", F.col("seg"),
+                  F.col("cents") + 9999)
+        )
+        .unionByName(
+            entry(F.col("k") % 13 == 0, 4, "D",
+                  F.lit(None).cast("string"), F.lit(None))
+        )
+    )
+    latest = chlog.groupBy("k").agg(
+        F.max_by(F.struct("op", "n_seg", "n_cents"), "seq").alias("img")
+    ).select(
+        F.col("k").alias("lk"),
+        F.col("img.op").alias("op"),
+        F.col("img.n_seg").alias("n_seg"),
+        F.col("img.n_cents").alias("n_cents"),
+    )
+    applied = base.join(latest, F.col("k") == F.col("lk"), "full_outer")
+    return applied.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        F.coalesce(F.col("k"), F.col("lk")).alias("c_custkey"),
+        F.coalesce(F.col("n_seg"), F.col("seg")).alias("c_mktsegment"),
+        F.coalesce(F.col("n_cents"), F.col("cents")).alias("acctbal_cents"),
+        F.coalesce(F.col("op"), F.lit("K")).alias("applied_op"),
+    )

@@ -942,3 +942,104 @@ def streaming_static_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     schema = out.schema
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Stream-STREAM interval join, attested: the one Structured Streaming join
+# mode the catalog did not yet execute (stream-static is
+# streaming_static_join_daily). Both sides are real file streams with
+# watermarks; the join buffers both sides in state and the watermark plus
+# the time-range condition bound that state.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+        -- The plain batch interval join. Equivalence argument (why no
+        -- match can be lost to state eviction): batches are ascending
+        -- (ts, event_id) ranges, so every row in batch k has ts >= every
+        -- row in batch k-2; a click is evicted only once the global
+        -- watermark passes c_ts + 1h, and the watermark batch k runs
+        -- with is <= max ts through batch k-2 minus 24h, which every
+        -- not-yet-arrived purchase's ts exceeds by >= 24h — outside the
+        -- 1h match range. Inner join emits on arrival of the second
+        -- side, so AvailableNow drains exactly the batch-join set.
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id AS user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    description="stream-stream watermarked interval join executed BY "
+    "Structured Streaming: click and purchase file streams (same staged "
+    "ascending micro-batches, independent sources) join on user within "
+    "a 1h lookback, both sides watermarked 24h so join state is evicted "
+    "behind the watermark; AvailableNow drains all matches and the "
+    "oracle is the plain batch interval join — the green row attests "
+    "that bounded-state streaming join ≡ batch join under in-order "
+    "arrival",
+    tags=("events", "join", "streaming", "watermark"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: per-side state is bounded by (watermark delay + join
+    range) x arrival rate, not by history — clicks older than
+    watermark - 1h and purchases older than watermark are dropped from
+    state by the engine. The state store is keyed by user_id, so the
+    join shuffles each micro-batch by key once; at 100 TB/day the same
+    plan runs with RocksDB state and more shuffle partitions, unchanged.
+    Emission is on second-side arrival (inner join), so no result waits
+    for the watermark — only eviction does."""
+    from counsel_data_pipeline_spark.streaming.windows import run_available_now
+
+    stage = _staged_ts_batches_dir(spark, sf_dir)
+    cols = (
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, "
+        "event_type STRING, value DOUBLE"
+    )
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(cols)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "24 hours")
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "24 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR "
+            "AND c_ts <= p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    out = run_available_now(joined, output_mode="append")
+    rows = out.collect()
+    schema = out.schema
+    return spark.createDataFrame(rows, schema)

@@ -304,3 +304,86 @@ def test_bench_write_reset_forces_identical_rebuild(spark, name):
     q.reset(spark, SF)
     after = sorted(map(tuple, q.fn(spark, SF).collect()))
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# streaming_stream_stream_join (late-r9)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark):
+    """The streamed inner interval join must emit EXACTLY the batch
+    join's match set — the eviction-safety argument (ascending batches,
+    24h watermark >> 1h range) made executable."""
+    from counsel_data_pipeline_spark.io.sources import load_table
+
+    rows = _rows("streaming_stream_stream_join", spark, SF01)
+    ev = load_table(spark, SF01, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = (
+        p.join(
+            c,
+            F.expr(
+                "user_id = cu AND c_ts >= p_ts - INTERVAL 1 HOUR "
+                "AND c_ts <= p_ts"
+            ),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        )
+        .collect()
+    )
+    key = lambda r: (r.purchase_id, r.click_id, r.user_id, r.gap_us)
+    assert sorted(map(key, rows)) == sorted(map(key, batch))
+    assert len(rows) > 0
+    # every gap respects the interval predicate
+    assert all(0 <= r.gap_us <= 3_600_000_000 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# incremental_cdc_upsert_apply (late-r9)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_apply_merge_semantics(spark):
+    rows = _rows("incremental_cdc_upsert_apply", spark, SF01)
+    by_key = {r.c_custkey: r for r in rows}
+    assert len(by_key) == len(rows)  # one row per key — it's a snapshot
+    cust = {
+        r.c_custkey: r
+        for r in spark.read.parquet(os.path.join(SF01, "customer.parquet"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.expr("CAST(round(c_acctbal*100) AS BIGINT)").alias("cents"),
+        )
+        .collect()
+    }
+    for k, src in cust.items():
+        if k % 13 == 0:  # delete is the latest op — key must be gone
+            assert k not in by_key
+            continue
+        r = by_key[k]
+        if k % 21 == 0:  # double update: seq-3 image wins
+            assert r.applied_op == "U" and r.acctbal_cents == src.cents + 9999
+        elif k % 7 == 0:  # single update
+            assert r.applied_op == "U" and r.acctbal_cents == src.cents + 5000
+        elif k % 10 == 0:  # insert of a key absent from the base
+            assert r.applied_op == "I" and r.acctbal_cents == src.cents
+        else:  # untouched base row passes through unchanged
+            assert r.applied_op == "K" and r.acctbal_cents == src.cents
+        assert r.c_mktsegment == src.c_mktsegment
+    # nothing in the result that isn't in the source universe
+    assert set(by_key) <= set(cust)
