@@ -153,3 +153,83 @@ def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.documents_as_media(load_table(spark, sf_dir, "documents"))
     return mm.cas_audit(media)
+
+
+_PROBE = (3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3)  # fixed probe vec
+
+
+def _feature_dot_oracle() -> str:
+    """DuckDB twin of extract_features + probe dot product. Byte i of
+    sha256(payload) → round(b/255, 6) → FLOAT32 (Arrow float parity —
+    the CAST AS FLOAT reproduces the array<float> narrowing) → exact
+    integer micros; verified bit-identical to the pandas path over the
+    whole 256-value byte domain."""
+    terms = " + ".join(
+        f"CAST(round(CAST(round(CAST(concat('0x', substr(h, {1 + 2 * i}, 2)) "
+        f"AS INT) / 255.0, 6) AS FLOAT) * 1000000) AS BIGINT) * {p}"
+        for i, p in enumerate(_PROBE)
+    )
+    return f"""
+        WITH m AS (
+          SELECT doc_id AS media_id, {_SQL_MEDIA_TYPE} AS media_type,
+                 sha256(text) AS h
+          FROM documents
+        ),
+        scored AS (SELECT media_id, media_type, {terms} AS dot_probe FROM m),
+        ranked AS (
+          SELECT media_id, media_type, dot_probe,
+                 row_number() OVER (PARTITION BY media_type
+                   ORDER BY dot_probe DESC, media_id) AS rk
+          FROM scored
+        )
+        SELECT media_type, media_id, dot_probe, rk FROM ranked WHERE rk <= 3
+    """
+
+
+@register(
+    "multimodal_feature_topk",
+    oracle=_feature_dot_oracle(),
+    description="feature-extraction path attested end-to-end: the Arrow "
+    "mapInPandas extract_features stub (sha256-derived 16-dim "
+    "array<float> — the slot where real model inference goes) scored "
+    "against a fixed probe vector in exact integer micros, top-3 per "
+    "media type; the oracle reproduces the byte->float32->micro grid, "
+    "so the pandas batch path itself is hash-checked",
+    tags=("llm", "multimodal", "similarity"),
+)
+def feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: feature extraction is embarrassingly parallel Arrow
+    batches (mapInPandas — swap the sha256 stub for a real encoder and
+    the plan is unchanged); the probe scoring is a per-row expression,
+    and the only shuffle is the media_type-partitioned top-k window —
+    grouped, never a global sort. At 100 TB the same shape holds with
+    the probe broadcast; k-per-group keeps the result bounded."""
+    from pyspark.sql import Window
+
+    media = mm.documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = mm.extract_features(media)
+    dot = F.expr(
+        " + ".join(
+            f"CAST(round(element_at(features, {i + 1}) * 1000000) AS BIGINT)"
+            f" * {p}"
+            for i, p in enumerate(_PROBE)
+        )
+    ).alias("dot_probe")
+    # media_type is a pure function of media_id (documents_as_media),
+    # so re-derive it instead of joining the media relation back in —
+    # one scan, no join shuffle.
+    media_type = (
+        F.when(F.col("media_id") % 3 == 0, "image")
+        .when(F.col("media_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type")
+    )
+    scored = feats.select("media_id", media_type, dot)
+    w = Window.partitionBy("media_type").orderBy(
+        F.col("dot_probe").desc(), F.col("media_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("media_type", "media_id", "dot_probe", "rk")
+    )

@@ -387,3 +387,41 @@ def test_cdc_apply_merge_semantics(spark):
         assert r.c_mktsegment == src.c_mktsegment
     # nothing in the result that isn't in the source universe
     assert set(by_key) <= set(cust)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_feature_topk (late-r9)
+# ---------------------------------------------------------------------------
+
+
+def test_feature_topk_matches_recomputed_dot(spark):
+    """The windowed top-3 must agree with a from-scratch numpy recompute
+    of the sha256-derived float32 features and probe dot product."""
+    import hashlib
+
+    import numpy as np
+
+    rows = _rows("multimodal_feature_topk", spark, SF01)
+    assert len(rows) == 9  # 3 media types x top-3
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet")).select(
+        "doc_id", "text"
+    ).collect()
+    probe = (3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3)
+    scored = {}
+    for d in docs:
+        h = hashlib.sha256(d.text.encode("utf-8")).digest()
+        dot = sum(
+            round(float(np.float32(round(h[i] / 255.0, 6))) * 1_000_000) * p
+            for i, p in enumerate(probe)
+        )
+        mt = ("image", "audio", "video")[d.doc_id % 3]
+        scored.setdefault(mt, []).append((-dot, d.doc_id))
+    for mt, lst in scored.items():
+        expect = sorted(lst)[:3]
+        got = sorted(
+            (-r.dot_probe, r.media_id) for r in rows if r.media_type == mt
+        )
+        assert got == expect, mt
+    # rank column is 1..3 per type
+    for mt in scored:
+        assert sorted(r.rk for r in rows if r.media_type == mt) == [1, 2, 3]
