@@ -1000,15 +1000,18 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type STRING, value DOUBLE"
     )
 
-    def src() -> DataFrame:
-        return (
-            spark.readStream.schema(cols)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(stage)
-        )
+    # ONE source, referenced by both sides (stream-stream self-join):
+    # a single offset sequence means the two sides can never skew by a
+    # batch, so the per-side watermark stats advance in lockstep — one
+    # fewer moving part than two independent sources over the same dir.
+    src_df = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
 
     clicks = (
-        src()
+        src_df
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -1018,7 +1021,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("c_ts", "24 hours")
     )
     purchases = (
-        src()
+        src_df
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -1037,6 +1040,119 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "click_id",
         F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    out = run_available_now(joined, output_mode="append")
+    rows = out.collect()
+    schema = out.schema
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "streaming_stream_stream_outer_join",
+    oracle="""
+        -- Matched pairs are the plain batch interval join (same
+        -- eviction-safety argument as the inner twin). A NULL row for an
+        -- unmatched click is emitted when the click's state is evicted,
+        -- i.e. iff c_ts + 1h < final watermark, STRICTLY (probed at the
+        -- exact-equality point), where the final watermark under the
+        -- default min multiple-watermark policy is
+        -- min(max click ts, max purchase ts) - 24h, ms-truncated (the
+        -- engine tracks event-time stats in ms); AvailableNow's trailing
+        -- no-data batches drain the watermark there, so the final SET
+        -- depends only on that value.
+        WITH c AS (
+          SELECT event_id AS click_id, user_id, ts AS c_ts
+          FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+          SELECT event_id AS purchase_id, user_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'
+        ),
+        wm AS (
+          SELECT make_timestamp(
+                   least((SELECT epoch_us(max(c_ts)) FROM c),
+                         (SELECT epoch_us(max(p_ts)) FROM p))
+                   // 1000 * 1000) - INTERVAL 24 HOUR AS w
+        ),
+        matched AS (
+          SELECT c.click_id, c.user_id, p.purchase_id,
+                 epoch_us(p.p_ts) - epoch_us(c.c_ts) AS gap_us
+          FROM c JOIN p ON c.user_id = p.user_id
+             AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+        ),
+        nulls AS (
+          SELECT c.click_id, c.user_id, CAST(NULL AS BIGINT) AS purchase_id,
+                 CAST(NULL AS BIGINT) AS gap_us
+          FROM c, wm
+          WHERE NOT EXISTS (
+                  SELECT 1 FROM p WHERE p.user_id = c.user_id
+                    AND p.p_ts >= c.c_ts
+                    AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR)
+            AND c.c_ts + INTERVAL 1 HOUR < wm.w
+        )
+        SELECT * FROM matched UNION ALL SELECT * FROM nulls
+    """,
+    description="stream-stream LEFT OUTER interval join executed BY "
+    "Structured Streaming: same single-source click/purchase self-join "
+    "as the inner twin, but unmatched clicks emit a NULL row when their "
+    "state is evicted behind the watermark — the oracle replays the "
+    "exact emission rule (strict c_ts + range < min-policy final "
+    "watermark, ms truncation), so the green row pins the engine's "
+    "outer-null boundary, not just the match set",
+    tags=("events", "join", "streaming", "watermark"),
+)
+def streaming_stream_stream_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: identical state bounds to the inner twin — per-side
+    state is (delay + range) x arrival rate; the outer semantics add no
+    state, only an emit-on-evict of rows whose matched flag never set.
+    The oracle encodes the two facts a batch engine cannot see: null
+    emission is gated by the GLOBAL (min-policy) watermark across both
+    sides, and the eviction predicate is strict — both probed at the
+    boundary before this was registered."""
+    from counsel_data_pipeline_spark.streaming.windows import run_available_now
+
+    stage = _staged_ts_batches_dir(spark, sf_dir)
+    cols = (
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, "
+        "event_type STRING, value DOUBLE"
+    )
+    src_df = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    clicks = (
+        src_df.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "24 hours")
+    )
+    purchases = (
+        src_df.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "24 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + "
+            "INTERVAL 1 HOUR"
+        ),
+        "left_outer",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
     out = run_available_now(joined, output_mode="append")

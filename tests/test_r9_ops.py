@@ -425,3 +425,48 @@ def test_feature_topk_matches_recomputed_dot(spark):
     # rank column is 1..3 per type
     for mt in scored:
         assert sorted(r.rk for r in rows if r.media_type == mt) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# streaming_stream_stream_outer_join (late-r9)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_stream_outer_join_null_boundary(spark):
+    """Outer rows = unmatched clicks strictly behind the min-policy
+    final watermark; matched rows = exactly the inner join's set."""
+    from counsel_data_pipeline_spark.io.sources import load_table
+
+    rows = _rows("streaming_stream_stream_outer_join", spark, SF01)
+    matched = [r for r in rows if r.purchase_id is not None]
+    nulls = [r for r in rows if r.purchase_id is None]
+    assert matched and nulls
+    inner = _rows("streaming_stream_stream_join", spark, SF01)
+    assert sorted((r.click_id, r.purchase_id) for r in matched) == sorted(
+        (r.click_id, r.purchase_id) for r in inner
+    )
+    # null rows carry null gaps; matched gaps respect the interval
+    assert all(r.gap_us is None for r in nulls)
+    assert all(0 <= r.gap_us <= 3_600_000_000 for r in matched)
+    # the watermark gate: every emitted null click is strictly behind
+    # min(max click, max purchase) - 24h - 1h; no unmatched click at or
+    # beyond the gate is emitted
+    ev = load_table(spark, SF01, "events")
+    agg = ev.groupBy("event_type").agg(F.max("ts").alias("mx")).collect()
+    mx = {r.event_type: r.mx for r in agg}
+    wm = min(mx["click"], mx["purchase"])
+    import datetime as dt
+
+    gate = wm - dt.timedelta(hours=25)  # 24h delay + 1h join range
+    clicks = {
+        r.event_id: r.ts
+        for r in ev.filter(F.col("event_type") == "click")
+        .select("event_id", "ts")
+        .collect()
+    }
+    emitted_null = {r.click_id for r in nulls}
+    matched_ids = {r.click_id for r in matched}
+    for cid, cts in clicks.items():
+        if cid in matched_ids:
+            continue
+        assert (cid in emitted_null) == (cts < gate), (cid, cts, gate)
