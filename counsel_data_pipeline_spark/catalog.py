@@ -103,6 +103,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "incremental_cdc_upsert_apply",
     "multimodal_feature_topk",
     "streaming_stream_stream_outer_join",
+    "text_udtf_token_chunks",
     # -- (b) oldest evidence: last hash-green row is r4 --
     "text_quality_scores",
     "text_lang_id",
@@ -137,9 +138,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_outer_nation_customer_counts",
     "sketch_cms_user_counts",
     "sketch_bloom_custkey_probe",
-    "tpch_q3_shipping_priority",
     # r5 rows deferred to r10 for slot budget (displaced as new r9
-    # queries prepend): tpch_q4_order_priority,
+    # queries prepend): tpch_q3_shipping_priority,
+    # tpch_q4_order_priority,
     # tpch_q5_local_supplier_volume,
     # tpch_q10_returned_customers,
     # tpch_q18_large_volume, tpch_copurchase_part_pairs,

@@ -906,3 +906,80 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+_CHUNK_K = 16
+
+
+def _chunk_udtf():
+    """Arrow-optimized Python UDTF: fixed-size token chunking — the
+    row-expansion shape a training pipeline uses to split documents into
+    model-window sequences. Defined lazily so importing this module
+    never touches the UDTF machinery."""
+    from pyspark.sql.functions import udtf
+
+    k = _CHUNK_K
+
+    @udtf(
+        returnType="chunk_idx BIGINT, n_tokens BIGINT, "
+        "first_token STRING, last_token STRING",
+        useArrow=True,
+    )
+    class ChunkTokens:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range((len(toks) + k - 1) // k):
+                c = toks[i * k : (i + 1) * k]
+                yield i, len(c), c[0], c[-1]
+
+    return ChunkTokens
+
+
+@register(
+    "text_udtf_token_chunks",
+    oracle=f"""
+        -- Restates the chunking rule relationally: tokens by single-space
+        -- split, ceil(n/k) chunks per doc, per-chunk size and boundary
+        -- tokens. The UDTF must reproduce this exactly.
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id % 17 = 0
+        ),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM d)
+        SELECT doc_id, i AS chunk_idx,
+               least({_CHUNK_K}, n - i*{_CHUNK_K}) AS n_tokens,
+               toks[CAST(i*{_CHUNK_K} + 1 AS INT)] AS first_token,
+               toks[CAST(least(n, (i+1)*{_CHUNK_K}) AS INT)] AS last_token
+        FROM n CROSS JOIN LATERAL (
+          SELECT unnest(range(CAST(ceil(n/{_CHUNK_K}.0) AS BIGINT))) AS i
+        ) t
+    """,
+    description=f"Python UDTF surface attested: an Arrow-optimized "
+    f"user-defined TABLE function chunks each sampled document into "
+    f"{_CHUNK_K}-token sequences via LATERAL row expansion (the "
+    "model-window splitting step of corpus prep); the oracle restates "
+    "the chunk rule relationally, so the UDTF eval path itself is "
+    "hash-checked",
+    tags=("llm", "text", "udtf"),
+)
+def text_udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: a UDTF is per-row generation — embarrassingly
+    parallel, no shuffle, no state; Arrow batches keep the Python
+    boundary vectorized (useArrow=True). The 1/17 doc sample bounds the
+    attested result; the operator itself streams chunks at corpus scale
+    with output size ~n_tokens/k per doc. Chunking is the UDTF-shaped
+    sibling of curation_pack_sequences (which packs chunks into fixed
+    windows JVM-side)."""
+    spark.udtf.register("counsel_chunk_tokens", _chunk_udtf())
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id", "text")
+    )
+    docs.createOrReplaceTempView("counsel_udtf_chunk_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.first_token, "
+        "c.last_token "
+        "FROM counsel_udtf_chunk_docs d, "
+        "LATERAL counsel_chunk_tokens(d.text) c"
+    )

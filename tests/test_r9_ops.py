@@ -470,3 +470,36 @@ def test_stream_stream_outer_join_null_boundary(spark):
         if cid in matched_ids:
             continue
         assert (cid in emitted_null) == (cts < gate), (cid, cts, gate)
+
+
+# ---------------------------------------------------------------------------
+# text_udtf_token_chunks (late-r9)
+# ---------------------------------------------------------------------------
+
+
+def test_udtf_chunks_cover_every_token_exactly_once(spark):
+    from counsel_data_pipeline_spark.io.sources import load_table
+
+    rows = _rows("text_udtf_token_chunks", spark, SF01)
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF01, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id", "text")
+        .collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for did, toks in docs.items():
+        chunks = sorted(by_doc[did], key=lambda r: r.chunk_idx)
+        # contiguous indices, sizes partition the token list, all full
+        # except possibly the last
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert sum(c.n_tokens for c in chunks) == len(toks)
+        assert all(c.n_tokens == 16 for c in chunks[:-1])
+        # boundary tokens point back into the source token list
+        for c in chunks:
+            assert c.first_token == toks[c.chunk_idx * 16]
+            assert c.last_token == toks[c.chunk_idx * 16 + c.n_tokens - 1]
