@@ -104,6 +104,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_feature_topk",
     "streaming_stream_stream_outer_join",
     "text_udtf_token_chunks",
+    "streaming_python_source_agg",
     # -- (b) oldest evidence: last hash-green row is r4 --
     "text_quality_scores",
     "text_lang_id",
@@ -137,9 +138,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_semi_suppliers_of_big_items",
     "join_outer_nation_customer_counts",
     "sketch_cms_user_counts",
-    "sketch_bloom_custkey_probe",
     # r5 rows deferred to r10 for slot budget (displaced as new r9
-    # queries prepend): tpch_q3_shipping_priority,
+    # queries prepend): sketch_bloom_custkey_probe,
+    # tpch_q3_shipping_priority,
     # tpch_q4_order_priority,
     # tpch_q5_local_supplier_volume,
     # tpch_q10_returned_customers,

@@ -1159,3 +1159,55 @@ def streaming_stream_stream_outer_join(
     rows = out.collect()
     schema = out.schema
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "streaming_python_source_agg",
+    oracle="""
+        -- The custom source serves every events row exactly once (offset
+        -- = batch ordinal over ascending event_id slices), so the
+        -- complete-mode aggregate equals the plain batch aggregate.
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_mi,
+               CAST(max(user_id) AS BIGINT) AS max_user
+        FROM events GROUP BY 1
+    """,
+    description="streaming Python Data Source attested (13th streaming "
+    "row): a custom simpleStreamReader replays the events table as 4 "
+    "ascending event_id micro-batch slices (offset = batch ordinal, "
+    "deterministic without any file staging), feeding a complete-mode "
+    "per-type aggregate — the oracle is the plain batch aggregate, so "
+    "the green row certifies the source's exactly-once slice contract "
+    "end-to-end through the streaming engine",
+    tags=("events", "streaming", "source"),
+)
+def streaming_python_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: in io/range_stream_source.py — the simple reader is
+    driver-side by design (replay/test facility; per-batch memory is one
+    slice via pushed LIMIT/OFFSET); the partition-based streamReader is
+    the production-volume path, demonstrated by the batch clinicjson
+    source's partitions(). The aggregate state is event-type sized."""
+    from counsel_data_pipeline_spark.io import range_stream_source as rss
+
+    rss.register(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    expected = spark.read.parquet(path).count()
+    stream = (
+        spark.readStream.format("rangeparquet")
+        .option("path", path)
+        .option("batches", "4")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("value_mi").cast("bigint").alias("sum_value_mi"),
+        F.max("user_id").cast("bigint").alias("max_user"),
+    )
+    rows, schema, n_batches = rss.run_complete_until(agg, expected)
+    if n_batches < 2:
+        raise RuntimeError(
+            f"expected multiple micro-batches, stream drained in {n_batches}"
+        )
+    return spark.createDataFrame(rows, schema)

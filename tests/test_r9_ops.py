@@ -503,3 +503,42 @@ def test_udtf_chunks_cover_every_token_exactly_once(spark):
         for c in chunks:
             assert c.first_token == toks[c.chunk_idx * 16]
             assert c.last_token == toks[c.chunk_idx * 16 + c.n_tokens - 1]
+
+
+# ---------------------------------------------------------------------------
+# streaming_python_source_agg / range_stream_source (late-r9)
+# ---------------------------------------------------------------------------
+
+
+def test_range_stream_source_slices_partition_the_table(spark):
+    """The source's ascending slices must serve every row exactly once,
+    and replay (readBetweenOffsets) must reproduce read()'s rows."""
+    from counsel_data_pipeline_spark.io.range_stream_source import (
+        RangeParquetStreamReader,
+    )
+
+    path = os.path.join(SF01, "events.parquet")
+    r = RangeParquetStreamReader({"path": path, "batches": "4"})
+    served = []
+    off = r.initialOffset()
+    n_batches = 0
+    while True:
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if not rows and nxt == off:
+            break
+        n_batches += 1
+        served.extend(rows)
+        assert list(r.readBetweenOffsets(off, nxt)) == rows  # replay ≡ read
+        off = nxt
+    assert n_batches == 4
+    ids = [t[0] for t in served]
+    assert len(ids) == len(set(ids))  # exactly once
+    assert ids == sorted(ids)  # ascending key order across batches
+    assert len(ids) == spark.read.parquet(path).count()
+
+
+def test_streaming_python_source_agg_multibatch(spark):
+    rows = _rows("streaming_python_source_agg", spark, SF01)
+    assert len(rows) == 5  # one row per event_type
+    assert sum(r.n_events for r in rows) == 10000
