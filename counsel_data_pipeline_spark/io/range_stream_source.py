@@ -52,6 +52,7 @@ class RangeParquetStreamReader(SimpleDataSourceStreamReader):
         self.path = str(options["path"])
         self.n = int(options.get("batches", "4"))
         self.keycol = str(options.get("keycol", "event_id"))
+        self._total: int | None = None  # memoized; immutable per path
         if self.n < 1:
             raise ValueError(f"batches must be >= 1, got {self.n}")
 
@@ -64,9 +65,11 @@ class RangeParquetStreamReader(SimpleDataSourceStreamReader):
 
         con = duckdb.connect()
         try:
-            total = con.execute(
-                "SELECT count(*) FROM read_parquet(?)", [self.path]
-            ).fetchone()[0]
+            if self._total is None:
+                self._total = con.execute(
+                    "SELECT count(*) FROM read_parquet(?)", [self.path]
+                ).fetchone()[0]
+            total = self._total
             lo = total * b // self.n
             hi = total * (b + 1) // self.n
             return con.execute(
@@ -134,6 +137,11 @@ def run_complete_until(
     deadline = time.time() + timeout_s
     try:
         while time.time() < deadline:
+            if not q.isActive:
+                # fail fast: surface the query's own error instead of
+                # spinning to the timeout with an empty progress log
+                q.awaitTermination()
+                raise RuntimeError("streaming query terminated early")
             for p in q.recentProgress:
                 seen[p["batchId"]] = p["numInputRows"]
             if sum(seen.values()) >= expected_rows:

@@ -38,6 +38,17 @@ FEATURE_DIM = 16
 FEATURES_SCHEMA = f"media_id bigint, features array<float>"
 
 
+def media_type_expr(id_col):
+    """The id → media-type rule, defined ONCE: used by the media adapter
+    below, re-derivable from media_id downstream (it is a pure function
+    of the id), and mirrored in SQL by plans/llm_multimodal._SQL_MEDIA_TYPE."""
+    return (
+        F.when(id_col % 3 == 0, "image")
+        .when(id_col % 3 == 1, "audio")
+        .otherwise("video")
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as opaque media payloads so the
     multimodal path has driver-provided data to run against."""
@@ -45,10 +56,7 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
         payload.alias("payload"),
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
-        .otherwise("video")
-        .alias("media_type"),
+        media_type_expr(F.col("doc_id")).alias("media_type"),
         F.struct(
             F.length(payload).cast("bigint").alias("n_bytes"),
             F.md5(payload).alias("content_hash"),

@@ -215,16 +215,14 @@ def feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, p in enumerate(_PROBE)
         )
     ).alias("dot_probe")
-    # media_type is a pure function of media_id (documents_as_media),
-    # so re-derive it instead of joining the media relation back in —
-    # one scan, no join shuffle.
-    media_type = (
-        F.when(F.col("media_id") % 3 == 0, "image")
-        .when(F.col("media_id") % 3 == 1, "audio")
-        .otherwise("video")
-        .alias("media_type")
+    # media_type is a pure function of media_id (the shared
+    # mm.media_type_expr rule), so re-derive it instead of joining the
+    # media relation back in — one scan, no join shuffle.
+    scored = feats.select(
+        "media_id",
+        mm.media_type_expr(F.col("media_id")).alias("media_type"),
+        dot,
     )
-    scored = feats.select("media_id", media_type, dot)
     w = Window.partitionBy("media_type").orderBy(
         F.col("dot_probe").desc(), F.col("media_id")
     )

@@ -953,6 +953,47 @@ def streaming_static_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _click_purchase_streams(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The (clicks, purchases) sides shared by BOTH stream-stream join
+    twins — ONE readStream source referenced twice (self-join): a single
+    offset sequence means the sides can never skew by a batch, so the
+    per-side watermark stats advance in lockstep — one fewer moving
+    part than two independent sources over the same dir. Keeping this
+    in one place keeps the twins (whose tests compare match sets)
+    structurally identical."""
+    stage = _staged_ts_batches_dir(spark, sf_dir)
+    cols = (
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, "
+        "event_type STRING, value DOUBLE"
+    )
+    src_df = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    clicks = (
+        src_df.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "24 hours")
+    )
+    purchases = (
+        src_df.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "24 hours")
+    )
+    return clicks, purchases
+
+
 @register(
     "streaming_stream_stream_join",
     oracle="""
@@ -994,42 +1035,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the watermark — only eviction does."""
     from counsel_data_pipeline_spark.streaming.windows import run_available_now
 
-    stage = _staged_ts_batches_dir(spark, sf_dir)
-    cols = (
-        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, "
-        "event_type STRING, value DOUBLE"
-    )
-
-    # ONE source, referenced by both sides (stream-stream self-join):
-    # a single offset sequence means the two sides can never skew by a
-    # batch, so the per-side watermark stats advance in lockstep — one
-    # fewer moving part than two independent sources over the same dir.
-    src_df = (
-        spark.readStream.schema(cols)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-    )
-
-    clicks = (
-        src_df
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "24 hours")
-    )
-    purchases = (
-        src_df
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "24 hours")
-    )
+    clicks, purchases = _click_purchase_streams(spark, sf_dir)
     joined = purchases.join(
         clicks,
         F.expr(
@@ -1114,34 +1120,7 @@ def streaming_stream_stream_outer_join(
     boundary before this was registered."""
     from counsel_data_pipeline_spark.streaming.windows import run_available_now
 
-    stage = _staged_ts_batches_dir(spark, sf_dir)
-    cols = (
-        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, "
-        "event_type STRING, value DOUBLE"
-    )
-    src_df = (
-        spark.readStream.schema(cols)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-    )
-    clicks = (
-        src_df.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "24 hours")
-    )
-    purchases = (
-        src_df.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "24 hours")
-    )
+    clicks, purchases = _click_purchase_streams(spark, sf_dir)
     joined = clicks.join(
         purchases,
         F.expr(

@@ -457,6 +457,9 @@ def test_stream_stream_outer_join_null_boundary(spark):
     wm = min(mx["click"], mx["purchase"])
     import datetime as dt
 
+    # the engine tracks event-time stats in ms — truncate like the
+    # oracle does before applying delay + join range
+    wm = wm.replace(microsecond=wm.microsecond // 1000 * 1000)
     gate = wm - dt.timedelta(hours=25)  # 24h delay + 1h join range
     clicks = {
         r.event_id: r.ts
