@@ -105,6 +105,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_stream_stream_outer_join",
     "text_udtf_token_chunks",
     "streaming_python_source_agg",
+    "graph_bfs_copurchase_hops",
     # -- (b) oldest evidence: last hash-green row is r4 --
     "text_quality_scores",
     "text_lang_id",
@@ -136,10 +137,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "setop_union_priority_buckets",
     "join_anti_customers_without_orders",
     "join_semi_suppliers_of_big_items",
-    "join_outer_nation_customer_counts",
+    # sketch_cms_user_counts stays windowed ahead of the outer-join fill:
+    # its r9 probe-reuse rewrite supersedes the r5 green row (the
+    # superseded-implementation rule), while the outer join is unchanged
+    # since r5.
     "sketch_cms_user_counts",
     # r5 rows deferred to r10 for slot budget (displaced as new r9
-    # queries prepend): sketch_bloom_custkey_probe,
+    # queries prepend): join_outer_nation_customer_counts,
+    # sketch_bloom_custkey_probe,
     # tpch_q3_shipping_priority,
     # tpch_q4_order_priority,
     # tpch_q5_local_supplier_volume,

@@ -336,3 +336,81 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(F.col("part").alias("part_id"), F.col("a").cast("bigint").alias("auth_scaled"))
     )
+
+
+_BFS_MAX_HOPS = 3
+
+
+@register(
+    "graph_bfs_copurchase_hops",
+    oracle=f"""
+        -- BFS as a recursive CTE: UNION dedups (node, hop) pairs so the
+        -- recursion is finite under the hop bound; min(hop) per node is
+        -- the BFS distance (a node reachable in h hops is generated at
+        -- hop h). Seed = the smallest part key.
+        WITH RECURSIVE edges AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2
+        ),
+        seed AS (SELECT min(l_partkey) AS s FROM lineitem),
+        walk(node, hop) AS (
+          SELECT s, 0 FROM seed
+          UNION
+          SELECT e.dst, w.hop + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.hop < {_BFS_MAX_HOPS}
+        )
+        SELECT node AS part, CAST(min(hop) AS BIGINT) AS hops
+        FROM walk GROUP BY node
+    """,
+    description=f"BFS shortest-hops (<= {_BFS_MAX_HOPS}) from the smallest "
+    "part over the co-purchase graph — frontier expansion with a "
+    "left-anti visited filter and localCheckpoint per level (the 5th "
+    "fully-oracle-checked iterative algorithm); the DuckDB twin is a "
+    "recursive CTE, so the traversal itself is hash-attested",
+    tags=("graph", "iterative"),
+)
+def bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the edge list is built once, hash-partitioned on src
+    by the first frontier join and persisted in that layout — every
+    level's frontier⋈edges join moves only the (node-sized) frontier,
+    never the edges; the visited set stays node-sized and the per-level
+    localCheckpoint cuts the growing lineage exactly like the CC loop
+    (ops/clusters.py). Levels are set-valued (distinct + left-anti), so
+    the result is independent of join order and partitioning — which is
+    what lets a recursive CTE attest it."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        li.withColumnRenamed("l_partkey", "src")
+        .join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    try:
+        seed = li.agg(F.min("l_partkey")).collect()[0][0]  # one scalar
+        visited = spark.createDataFrame(
+            [(int(seed), 0)], "part BIGINT, hops BIGINT"
+        )
+        frontier = visited
+        for hop in range(1, _BFS_MAX_HOPS + 1):
+            nxt = (
+                frontier.join(edges, frontier["part"] == edges["src"])
+                .select(F.col("dst").alias("part"))
+                .distinct()
+                .join(visited.select("part"), "part", "left_anti")
+                .withColumn("hops", F.lit(hop).cast("bigint"))
+                .localCheckpoint()
+            )
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+        # every level is localCheckpoint'ed (materialized), so the union
+        # no longer reads the edge cache — safe to free it, no collect
+        return visited
+    finally:
+        edges.unpersist()

@@ -545,3 +545,43 @@ def test_streaming_python_source_agg_multibatch(spark):
     rows = _rows("streaming_python_source_agg", spark, SF01)
     assert len(rows) == 5  # one row per event_type
     assert sum(r.n_events for r in rows) == 10000
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_copurchase_hops (late-r9)
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_are_true_shortest_paths(spark):
+    """Recompute BFS distances with a driver-side queue over the same
+    edge set and compare level-for-level."""
+    from collections import deque
+
+    from counsel_data_pipeline_spark.io.sources import load_table
+
+    rows = _rows("graph_bfs_copurchase_hops", spark, SF)
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.withColumnRenamed("l_partkey", "src")
+        .join(li.select("l_orderkey", F.col("l_partkey").alias("dst")), "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .collect()
+    )
+    adj = {}
+    for r in pairs:
+        adj.setdefault(r.src, set()).add(r.dst)
+    seed = li.agg(F.min("l_partkey")).collect()[0][0]
+    dist = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        if dist[u] >= 3:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {r.part: r.hops for r in rows}
+    assert got == dist
