@@ -585,3 +585,42 @@ def test_bfs_hops_are_true_shortest_paths(spark):
                 q.append(v)
     got = {r.part: r.hops for r in rows}
     assert got == dist
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_count (late-r9)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_matches_naive_recount(spark):
+    """Degree-ordered orientation must land on the same count as a
+    driver-side brute-force recount (orientation invariance), and the
+    clustering ppm must be the exact integer quotient."""
+    from counsel_data_pipeline_spark.io.sources import load_table
+
+    row = _rows("graph_triangle_count", spark, SF)[0]
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.withColumnRenamed("l_partkey", "u")
+        .join(li.select("l_orderkey", F.col("l_partkey").alias("v")), "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .collect()
+    )
+    edges = {(r.u, r.v) for r in pairs}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(
+        1
+        for (u, v) in edges
+        for w in adj[u] & adj[v]
+        if v < w  # u < v < w counts each triangle once
+    )
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == tri
+    assert row.n_wedges == wedges
+    assert row.clustering_ppm == 3 * tri * 1_000_000 // wedges
