@@ -107,6 +107,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_python_source_agg",
     "graph_bfs_copurchase_hops",
     "graph_triangle_count",
+    "layout_compact_small_files",
     # -- (b) oldest evidence: last hash-green row is r4 --
     "text_quality_scores",
     "text_lang_id",
@@ -136,14 +137,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "setop_repeat_buyers_intersect",
     "setop_lapsed_buyers_except",
     "setop_union_priority_buckets",
-    "join_anti_customers_without_orders",
     # sketch_cms_user_counts stays windowed ahead of the outer-join fill:
     # its r9 probe-reuse rewrite supersedes the r5 green row (the
     # superseded-implementation rule), while the outer join is unchanged
     # since r5.
     "sketch_cms_user_counts",
     # r5 rows deferred to r10 for slot budget (displaced as new r9
-    # queries prepend): join_semi_suppliers_of_big_items,
+    # queries prepend): join_anti_customers_without_orders,
+    # join_semi_suppliers_of_big_items,
     # join_outer_nation_customer_counts,
     # sketch_bloom_custkey_probe,
     # tpch_q3_shipping_priority,

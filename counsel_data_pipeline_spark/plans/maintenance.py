@@ -773,3 +773,88 @@ def incremental_cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_cents"), F.col("cents")).alias("acctbal_cents"),
         F.coalesce(F.col("op"), F.lit("K")).alias("applied_op"),
     )
+
+
+_COMPACT_SMALL_N, _COMPACT_TARGET_N = 128, 8
+
+
+def _reset_compact(spark: SparkSession, sf_dir: str) -> None:
+    import shutil
+
+    for tag in ("counsel_compact_small", "counsel_compact_out"):
+        shutil.rmtree(
+            derived_cache_dir(tag, sf_dir, "events"), ignore_errors=True
+        )
+
+
+@register(
+    "layout_compact_small_files",
+    oracle=f"""
+        -- The compaction loop's contract: file counts are pinned by the
+        -- plan fn (it RAISES unless before={_COMPACT_SMALL_N} and
+        -- after={_COMPACT_TARGET_N}), and the aggregates — recomputed
+        -- here from the raw table — must survive the rewrite untouched
+        -- (content invariance is what makes compaction safe to run
+        -- online).
+        SELECT CAST({_COMPACT_SMALL_N} AS BIGINT) AS n_files_before,
+               CAST({_COMPACT_TARGET_N} AS BIGINT) AS n_files_after,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_mi,
+               CAST(min(event_id) AS BIGINT) AS min_event,
+               CAST(max(event_id) AS BIGINT) AS max_event
+        FROM events
+    """,
+    description=f"small-file compaction attested end-to-end: events staged "
+    f"as {_COMPACT_SMALL_N} small parquet files, compacted to "
+    f"{_COMPACT_TARGET_N} via coalesce (NO shuffle — each output merges "
+    "whole input files), read back and re-aggregated; the fn raises on "
+    "any other file count and the oracle recomputes the aggregates from "
+    "the raw table, so the green row certifies both the file-count "
+    "contract and content invariance through the rewrite",
+    tags=("layout", "events", "write", "bench-write"),
+    reset=_reset_compact,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: compaction-without-reclustering is coalesce, not
+    repartition — zero shuffle, each task concatenates whole input
+    files, so a 100 TB table compacts at pure I/O cost partition by
+    partition. (Re-clustering compaction is the Z-order rewrite,
+    layout_zorder_write_prune.) The small-file stage is the pathological
+    state streaming sinks and per-batch ingests actually produce; the
+    read-back aggregate proves no row was lost or duplicated — the
+    invariant that makes compaction safe to run concurrently with
+    readers on immutable-file storage."""
+    small = derived_cache_dir("counsel_compact_small", sf_dir, "events")
+    out = derived_cache_dir("counsel_compact_out", sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    if not os.path.exists(os.path.join(small, "_SUCCESS")):
+        ev.repartition(_COMPACT_SMALL_N).write.mode("overwrite").parquet(small)
+    small_df = spark.read.parquet(small)
+    n_before = len({f for f in small_df.inputFiles() if "parquet" in f})
+    if n_before != _COMPACT_SMALL_N:
+        raise RuntimeError(
+            f"staged small-file layout has {n_before} files, "
+            f"expected {_COMPACT_SMALL_N}"
+        )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        small_df.coalesce(_COMPACT_TARGET_N).write.mode("overwrite").parquet(out)
+    compacted = spark.read.parquet(out)
+    n_after = len({f for f in compacted.inputFiles() if "parquet" in f})
+    if n_after != _COMPACT_TARGET_N:
+        raise RuntimeError(
+            f"compacted layout has {n_after} files, "
+            f"expected {_COMPACT_TARGET_N}"
+        )
+    return compacted.agg(
+        F.lit(n_before).cast("bigint").alias("n_files_before"),
+        F.lit(n_after).cast("bigint").alias("n_files_after"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_value_mi"),
+        F.min("event_id").cast("bigint").alias("min_event"),
+        F.max("event_id").cast("bigint").alias("max_event"),
+    )

@@ -295,6 +295,7 @@ def test_salted_join_is_lossless(spark):
         "layout_time_partition_prune",
         "layout_zorder_write_prune",
         "dedup_store_bucketed_ingest",
+        "layout_compact_small_files",
     ],
 )
 def test_bench_write_reset_forces_identical_rebuild(spark, name):
