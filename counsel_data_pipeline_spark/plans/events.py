@@ -611,3 +611,84 @@ def join_salted_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_value_mi"),
     )
+
+
+@register(
+    "events_variant_props_extract",
+    oracle="""
+        WITH ex AS (
+          SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                 event_type, user_id,
+                 CAST(round(value * 1000000) AS BIGINT) AS value_mi
+          FROM events
+        ),
+        per_user AS (
+          SELECT event_type, k % 8 AS k_bucket, user_id,
+                 count(*) AS n, CAST(sum(value_mi) AS BIGINT) AS s
+          FROM ex GROUP BY 1, 2, 3
+        )
+        SELECT event_type, k_bucket,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(count(user_id) AS BIGINT) AS n_users,
+               CAST(sum(s) AS BIGINT) AS sum_value_mi,
+               CAST(0 AS BIGINT) AS n_missing_path
+        FROM per_user GROUP BY 1, 2
+    """,
+    description="Spark-4 VARIANT surface attested end-to-end: parse_json "
+    "over the real events.props JSON column plus a nested document built "
+    "from relational columns, typed variant_get extraction (int path, "
+    "string path, nested double path), try_variant_get on an absent path "
+    "(NULL, counted), aggregated per extracted (event_type, k%8) — the "
+    "oracle computes the same result straight from the columns, so the "
+    "green row attests the VARIANT roundtrip is value-exact",
+    tags=("events", "variant", "semistructured"),
+    bench=True,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: VARIANT is Spark 4's binary semi-structured encoding —
+    parse once at the scan boundary, then typed path extraction is a
+    columnar read, not a per-row JSON re-parse (the 100 TB answer to
+    schema-on-read props). Everything here is Column algebra inside
+    whole-stage codegen: parse_json/variant_get are JVM expressions, no
+    Python worker. The aggregate pre-folds per (type, bucket, user) with
+    map-side combine, so the shuffle carries user-bucket rows, not events,
+    and the final distinct-user count is a group count (no expand).
+    Cites ref: SURVEY §2.4 polymorphic JSON source — the reference parses
+    wrapped JSON per county file; this is the same schema-on-read need
+    expressed as a first-class columnar type."""
+    ev = load_table(spark, sf_dir, "events")
+    # Nested doc from relational columns: {"event_type": ..., "m":
+    # {"user_id": ..., "value": ...}} — to_json's shortest-repr doubles
+    # roundtrip bit-exact through parse_json (decimal-exact digits).
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type"),
+            F.struct(F.col("user_id"), F.col("value")).alias("m"),
+        )
+    )
+    ex = ev.select(
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias("k"),
+        F.variant_get(F.parse_json(doc), "$.event_type", "string").alias(
+            "event_type"
+        ),
+        F.variant_get(F.parse_json(doc), "$.m.user_id", "bigint").alias("uid"),
+        F.expr(
+            "CAST(round(variant_get(parse_json(to_json(named_struct("
+            "'value', value))), '$.value', 'double') * 1000000) AS BIGINT)"
+        ).alias("value_mi"),
+        F.try_variant_get(F.parse_json(F.col("props")), "$.absent", "string")
+        .alias("missing"),
+    )
+    per_user = ex.groupBy(
+        "event_type", (F.col("k") % 8).alias("k_bucket"), "uid"
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("value_mi").cast("bigint").alias("__s"),
+        F.count("missing").alias("__miss"),
+    )
+    return per_user.groupBy("event_type", "k_bucket").agg(
+        F.sum("__n").cast("bigint").alias("n_events"),
+        F.count("uid").cast("bigint").alias("n_users"),
+        F.sum("__s").cast("bigint").alias("sum_value_mi"),
+        F.sum("__miss").cast("bigint").alias("n_missing_path"),
+    )
