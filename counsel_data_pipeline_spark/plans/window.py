@@ -577,3 +577,165 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill with linear interpolation on a per-user hourly grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_gap_fill_interpolate",
+    oracle="""
+        -- Per-user hourly resample with exact integer linear interpolation:
+        -- observed hour -> last reading of the hour; gap hour -> floor-div
+        -- interpolation between bracketing observations. The output folds
+        -- the filled series per user with a position-weighted checksum so
+        -- every filled value AND its grid position is hash-attested.
+        WITH obs AS (
+          SELECT user_id, hour_idx, v6 FROM (
+            SELECT user_id,
+                   CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_idx,
+                   CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS v6,
+                   row_number() OVER (
+                     PARTITION BY user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+        ),
+        spans AS (
+          SELECT user_id, min(hour_idx) AS hmin, max(hour_idx) AS hmax
+          FROM obs GROUP BY 1
+        ),
+        grid AS (
+          SELECT user_id, unnest(generate_series(hmin, hmax)) AS hour_idx
+          FROM spans
+        ),
+        joined AS (
+          SELECT g.user_id, g.hour_idx, o.v6,
+                 last_value(o.v6 IGNORE NULLS) OVER w_prev AS v_prev,
+                 last_value(CASE WHEN o.v6 IS NOT NULL THEN g.hour_idx END
+                            IGNORE NULLS) OVER w_prev AS h_prev,
+                 first_value(o.v6 IGNORE NULLS) OVER w_next AS v_next,
+                 first_value(CASE WHEN o.v6 IS NOT NULL THEN g.hour_idx END
+                             IGNORE NULLS) OVER w_next AS h_next
+          FROM grid g LEFT JOIN obs o
+            ON g.user_id = o.user_id AND g.hour_idx = o.hour_idx
+          WINDOW
+            w_prev AS (PARTITION BY g.user_id ORDER BY g.hour_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_next AS (PARTITION BY g.user_id ORDER BY g.hour_idx
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ),
+        filled AS (
+          SELECT user_id, hour_idx,
+                 CASE WHEN v6 IS NOT NULL THEN v6
+                      ELSE v_prev + CAST(
+                        ((v_next - v_prev) * (hour_idx - h_prev)
+                         - ((((v_next - v_prev) * (hour_idx - h_prev))
+                             % (h_next - h_prev)) + (h_next - h_prev))
+                           % (h_next - h_prev))
+                        // (h_next - h_prev) AS BIGINT)
+                 END AS fv6,
+                 CASE WHEN v6 IS NOT NULL THEN 1 ELSE 0 END AS is_obs,
+                 hour_idx - (min(hour_idx) OVER (PARTITION BY user_id)) AS off
+          FROM joined
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_grid_hours,
+               CAST(sum(is_obs) AS BIGINT) AS n_observed,
+               CAST(sum(1 - is_obs) AS BIGINT) AS n_interpolated,
+               CAST(sum(fv6) AS BIGINT) AS sum_filled_v6,
+               CAST(sum(fv6 * ((off % 97) + 1)) AS BIGINT) AS checksum_v6
+        FROM filled GROUP BY 1
+    """,
+    description="time-series gap-fill: per-user hourly grid resample with "
+    "exact integer linear interpolation between bracketing observations "
+    "(floor-division in BIGINT micro-units — bit-identical across engines), "
+    "folded per user with a position-weighted checksum that attests every "
+    "filled value and its grid position",
+    tags=("events", "window", "gap-fill", "interpolation"),
+    bench=True,
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the grid is generated PER USER via sequence() over the
+    user's own [min,max] hour span — no global driver-side range, no
+    cartesian; a user's grid explodes inside their partition. All window
+    passes share ONE (user_id, hour_idx) sort: prev/next carries are two
+    frames over the same shuffle (Catalyst reuses the Exchange+Sort).
+    Interpolation is pure BIGINT column algebra (pmod floor-div — exact,
+    no float drift), inside whole-stage codegen. At 100 TB the grid size
+    is bounded by users x their active span in hours, and the per-user
+    fold means the shuffle out is one row per user. Hot users with long
+    spans cost O(span) rows inside their own partition — bounded by
+    wall-clock hours, not event count."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = F.expr("unix_micros(ts) DIV 3600000000")
+    v6 = (dec("value") * 1_000_000).cast("bigint")
+    w_rn = Window.partitionBy("user_id", "hour_idx").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        ev.select(
+            "user_id",
+            hour_idx.alias("hour_idx"),
+            v6.alias("v6"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour_idx", "v6")
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("hour_idx").alias("hmin"), F.max("hour_idx").alias("hmax"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("hmin", "hmax")).alias("hour_idx"),
+        )
+    )
+    j = grid.join(obs, ["user_id", "hour_idx"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    h_if_obs = F.when(F.col("v6").isNotNull(), F.col("hour_idx"))
+    carried = j.select(
+        "user_id",
+        "hour_idx",
+        "v6",
+        F.last("v6", ignorenulls=True).over(w_prev).alias("v_prev"),
+        F.last(h_if_obs, ignorenulls=True).over(w_prev).alias("h_prev"),
+        F.first("v6", ignorenulls=True).over(w_next).alias("v_next"),
+        F.first(h_if_obs, ignorenulls=True).over(w_next).alias("h_next"),
+        (
+            F.col("hour_idx")
+            - F.min("hour_idx").over(Window.partitionBy("user_id"))
+        ).alias("off"),
+    )
+    interp = F.col("v_prev") + F.expr(
+        "CAST((((v_next - v_prev) * (hour_idx - h_prev))"
+        " - pmod((v_next - v_prev) * (hour_idx - h_prev), h_next - h_prev))"
+        " DIV (h_next - h_prev) AS BIGINT)"
+    )
+    filled = carried.select(
+        "user_id",
+        F.coalesce("v6", interp).alias("fv6"),
+        F.when(F.col("v6").isNotNull(), 1).otherwise(0).alias("is_obs"),
+        "off",
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grid_hours"),
+        F.sum("is_obs").cast("bigint").alias("n_observed"),
+        F.sum(1 - F.col("is_obs")).cast("bigint").alias("n_interpolated"),
+        F.sum("fv6").cast("bigint").alias("sum_filled_v6"),
+        F.sum(F.col("fv6") * ((F.col("off") % 97) + 1))
+        .cast("bigint")
+        .alias("checksum_v6"),
+    )
