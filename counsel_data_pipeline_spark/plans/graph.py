@@ -524,3 +524,115 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges BIGINT, n_wedges BIGINT, n_triangles BIGINT, "
         "clustering_ppm BIGINT",
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor scores over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_CN_DEG_CAP = 64  # middles above this degree carry no signal (hub guard)
+_CN_TOPK = 50
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+        -- Common-neighbor link prediction, hub-capped: a candidate pair
+        -- (y, z) scores one point per shared neighbor m with deg(m) <=
+        -- {_CN_DEG_CAP}; already-adjacent pairs are excluded. The cap is part
+        -- of the query semantics (hubs connect everyone and predict
+        -- nothing) and is exactly what bounds the wedge join at scale.
+        WITH e AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+        ),
+        deg AS (
+          SELECT x, count(*) AS d FROM (
+            SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+        ),
+        adj AS (
+          SELECT u AS m, v AS n FROM e
+          UNION ALL
+          SELECT v AS m, u AS n FROM e
+        ),
+        small_adj AS (
+          SELECT adj.m, adj.n FROM adj JOIN deg ON deg.x = adj.m
+          WHERE deg.d <= {_CN_DEG_CAP}
+        ),
+        cand AS (
+          SELECT a1.n AS y, a2.n AS z, count(*) AS common_mid
+          FROM small_adj a1 JOIN small_adj a2
+            ON a1.m = a2.m AND a1.n < a2.n
+          GROUP BY 1, 2
+        )
+        SELECT y, z, CAST(common_mid AS BIGINT) AS common_mid
+        FROM cand
+        WHERE NOT EXISTS (
+          SELECT 1 FROM e WHERE e.u = cand.y AND e.v = cand.z)
+        ORDER BY common_mid DESC, y, z
+        LIMIT {_CN_TOPK}
+    """,
+    description="link prediction over the co-purchase graph: top-50 "
+    f"non-adjacent part pairs by common-neighbor count through middles "
+    f"with degree <= {_CN_DEG_CAP} (the hub cap that bounds the wedge "
+    "self-join), existing edges removed by anti-join",
+    tags=("graph", "join"),
+    bench=True,
+)
+def common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the wedge self-join is the quadratic risk — capping
+    middle degree at 64 bounds each middle's contribution at C(cap,2)
+    pairs, so total candidates are O(nodes * cap^2) instead of
+    sum(deg^2) (148M wedges uncapped vs 252k capped at sf0.1). The
+    degree table is node-sized and broadcast; the candidate->edge
+    anti-join shuffles only the capped candidate set. Top-k is
+    TakeOrderedAndProject with a unique (score desc, y, z) tiebreak —
+    no global sort materializes. Hub middles are pruned BEFORE the
+    self-join, at the scan side of the adjacency build."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        li.withColumnRenamed("l_partkey", "u")
+        .join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    try:
+        deg = (
+            e.select(F.col("u").alias("x"))
+            .unionByName(e.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        adj = e.select(F.col("u").alias("m"), F.col("v").alias("n")).unionByName(
+            e.select(F.col("v").alias("m"), F.col("u").alias("n"))
+        )
+        small = adj.join(
+            F.broadcast(deg.filter(F.col("d") <= _CN_DEG_CAP)),
+            adj.m == F.col("x"),
+        ).select("m", "n")
+        a2 = small.select("m", F.col("n").alias("z"))
+        cand = (
+            small.withColumnRenamed("n", "y")
+            .join(a2, "m")
+            .filter(F.col("y") < F.col("z"))
+            .groupBy("y", "z")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("common_mid"))
+        )
+        out = (
+            cand.join(
+                e.select(F.col("u").alias("y"), F.col("v").alias("z")),
+                ["y", "z"],
+                "left_anti",
+            )
+            .orderBy(F.col("common_mid").desc(), "y", "z")
+            .limit(_CN_TOPK)
+        )
+        rows = out.collect()
+    finally:
+        e.unpersist()
+    return spark.createDataFrame(rows, "y BIGINT, z BIGINT, common_mid BIGINT")
