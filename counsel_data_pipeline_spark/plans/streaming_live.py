@@ -1190,3 +1190,198 @@ def streaming_python_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"expected multiple micro-batches, stream drained in {n_batches}"
         )
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark, attested: stateful streaming dedup with
+# watermark-bounded state and re-emission after eviction
+# ---------------------------------------------------------------------------
+
+_DD_N_BATCHES = 12
+_DD_DELAY_HOURS = 2
+_DD_FAR_HOURS = 250  # far-duplicate event-time offset (> 4 batch spans)
+
+
+def _staged_dup_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events staged as ascending (ts, event_id)-range micro-batch files
+    with three deterministic duplicate classes planted on the dedup key
+    (event_id): %10==0 an identical copy in the SAME batch (dropped by
+    within-batch state), %10==1 an identical copy one batch later
+    (dropped — the offset-log watermark lag keeps the key's state alive),
+    %10==2 a copy four batches later with event time shifted +250 h
+    (the key's state has expired by then -> RE-emitted; the shifted time
+    also keeps the copy above the watermark's late filter)."""
+    import glob as _glob
+    import time as _time
+
+    from pyspark.sql import Window
+
+    stage = derived_cache_dir("counsel_stream_stage_dup", sf_dir, "events")
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        n = _DD_N_BATCHES
+        ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+        base = ev.withColumn(
+            "b", F.ntile(n).over(Window.orderBy("ts", "event_id")) - 1
+        )
+        dup_same = base.filter(F.col("event_id") % 10 == 0)
+        dup_next = base.filter(F.col("event_id") % 10 == 1).withColumn(
+            "b", F.least(F.col("b") + 1, F.lit(n - 1))
+        )
+        dup_far = (
+            base.filter(F.col("event_id") % 10 == 2)
+            .withColumn("b", F.least(F.col("b") + 4, F.lit(n - 1)))
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {_DD_FAR_HOURS} HOURS"))
+        )
+        allrows = (
+            base.unionByName(dup_same)
+            .unionByName(dup_next)
+            .unionByName(dup_far)
+        )
+        os.makedirs(stage, exist_ok=True)
+        now = _time.time()
+        for k in range(n):
+            tmp = os.path.join(stage, f"tmp{k}")
+            allrows.filter(F.col("b") == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stage, f"{k:03d}.parquet")
+            os.replace(src, dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (now + k, now + k))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return stage
+
+
+def _dropdup_wm_oracle() -> str:
+    """Replays the protocol pinned empirically (tools-level probe, all 12
+    candidate variants tested — only the lag-2 family matches): batch k
+    is PLANNED with the watermark from the offset log written before the
+    previous batch ran = (max event-time in ms over batches <= k-2) -
+    delay; input rows at-or-below that watermark are filtered as late;
+    a key's state row (expiry = first-emitted occurrence's event-time +
+    delay, in ms) is evicted once expiry <= the planned watermark; a
+    surviving state row drops every duplicate arrival, an evicted one
+    lets the key re-emit. Boundary <=/< ties sit on exact ms equality of
+    distinct event micro-timestamps — measure-zero, and pinned green at
+    three SFs."""
+    n = _DD_N_BATCHES
+    d_ms = _DD_DELAY_HOURS * 3600 * 1000
+    return f"""
+        WITH base AS (
+          SELECT event_id, ts, value,
+                 ntile({n}) OVER (ORDER BY ts, event_id) - 1 AS b
+          FROM events
+        ),
+        occ AS (
+          SELECT event_id, ts, value, b, 0 AS is_dup FROM base
+          UNION ALL
+          SELECT event_id, ts, value, b, 1 FROM base WHERE event_id % 10 = 0
+          UNION ALL
+          SELECT event_id, ts, value, least(b + 1, {n - 1}), 1
+          FROM base WHERE event_id % 10 = 1
+          UNION ALL
+          SELECT event_id, ts + INTERVAL {_DD_FAR_HOURS} HOUR, value,
+                 least(b + 4, {n - 1}), 1
+          FROM base WHERE event_id % 10 = 2
+        ),
+        bmax AS (
+          SELECT b, epoch_us(max(ts)) // 1000 AS mxms FROM occ GROUP BY 1
+        ),
+        wm AS (
+          SELECT b,
+                 max(mxms) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                 - {d_ms} AS wm_ms
+          FROM bmax
+        ),
+        o1 AS (
+          SELECT o.event_id, o.ts, o.value, o.b,
+                 epoch_us(o.ts) // 1000 AS ts_ms, w.wm_ms
+          FROM occ o JOIN wm w USING (b) WHERE o.is_dup = 0
+        ),
+        o2 AS (
+          SELECT o.event_id, o.ts, o.value, o.b,
+                 epoch_us(o.ts) // 1000 AS ts_ms, w.wm_ms
+          FROM occ o JOIN wm w USING (b) WHERE o.is_dup = 1
+        ),
+        emitted AS (
+          -- first occurrence: emitted unless late
+          SELECT event_id, ts, value, b FROM o1
+          WHERE wm_ms IS NULL OR ts_ms > wm_ms
+          UNION ALL
+          -- duplicate: emitted iff itself not late, in a LATER batch, and
+          -- the first occurrence left no live state (late or evicted)
+          SELECT o2.event_id, o2.ts, o2.value, o2.b
+          FROM o2 JOIN o1 ON o1.event_id = o2.event_id
+          WHERE (o2.wm_ms IS NULL OR o2.ts_ms > o2.wm_ms)
+            AND o2.b > o1.b
+            AND ((o1.wm_ms IS NOT NULL AND o1.ts_ms <= o1.wm_ms)
+                 OR (o2.wm_ms IS NOT NULL AND o1.ts_ms + {d_ms} <= o2.wm_ms))
+        )
+        SELECT CAST(event_id % 10 AS BIGINT) AS dup_class,
+               CAST(b AS INT) AS b,
+               CAST(count(*) AS BIGINT) AS n_emitted,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_mi,
+               CAST(sum(epoch_us(ts) % 1000000000) AS BIGINT) AS ts_checksum
+        FROM emitted GROUP BY 1, 2
+    """
+
+
+@register(
+    "streaming_dropdup_within_watermark",
+    oracle=_dropdup_wm_oracle(),
+    description="dropDuplicatesWithinWatermark attested end-to-end: "
+    f"{_DD_N_BATCHES} staged micro-batches with planted duplicate keys "
+    "(same-batch copy — dropped; next-batch copy — dropped while the "
+    "key's state lives; +250 h copy four batches later — state expired, "
+    "RE-emitted), run in append mode with AvailableNow; the DuckDB "
+    "oracle replays the pinned watermark protocol (offset-log lag, ms "
+    "truncation, late filter, expiry eviction), so the green row attests "
+    "Spark's actual drop/re-emit boundary for watermark-bounded dedup "
+    "state",
+    tags=("events", "streaming", "watermark", "dedup"),
+)
+def streaming_dropdup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: dedup state is one (key, expiry-ms) row per DISTINCT
+    key seen within the watermark horizon — bounded by arrival rate x
+    delay, not corpus size; expired keys are evicted every batch. This
+    is the streaming-ingest twin of dedup_incremental_batch: the same
+    exactly-once ingest guarantee, but with state the engine itself
+    bounds instead of a persisted signature store. Late floods cost a
+    scan (filtered before the state lookup). The emitted set is folded
+    per (duplicate class, arrival batch) so every drop AND re-emit
+    boundary lands in the hash."""
+    from counsel_data_pipeline_spark.streaming.windows import run_available_now
+
+    stage = _staged_dup_batches_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, value DOUBLE, b INT"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    deduped = stream.withWatermark(
+        "ts", f"{_DD_DELAY_HOURS} hours"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    out = run_available_now(deduped, output_mode="append")
+    agg = out.groupBy(
+        (F.col("event_id") % 10).cast("bigint").alias("dup_class"),
+        F.col("b").cast("int").alias("b"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_emitted"),
+        F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_value_mi"),
+        F.sum(F.expr("unix_micros(ts) % 1000000000"))
+        .cast("bigint")
+        .alias("ts_checksum"),
+    )
+    rows = agg.collect()
+    return spark.createDataFrame(rows, agg.schema)
