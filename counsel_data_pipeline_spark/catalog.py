@@ -86,6 +86,10 @@ def register(
 # driver attestation.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) new in r9 (prepend as they land) --
+    "events_variant_props_extract",
+    "window_gap_fill_interpolate",
+    "graph_common_neighbors",
+    "streaming_dropdup_within_watermark",
     "dedup_ngram_jaccard_capped",
     "sketch_histogram_quantiles",
     "tpch_q2_min_cost_supplier",
@@ -133,17 +137,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ops_stable_sort_topk",
     "rollup_revenue_region_nation",
     "cube_orders_status_priority",
-    "grouping_sets_lineitem",
-    "setop_repeat_buyers_intersect",
-    "setop_lapsed_buyers_except",
-    "setop_union_priority_buckets",
     # sketch_cms_user_counts stays windowed ahead of the outer-join fill:
     # its r9 probe-reuse rewrite supersedes the r5 green row (the
     # superseded-implementation rule), while the outer join is unchanged
     # since r5.
     "sketch_cms_user_counts",
     # r5 rows deferred to r10 for slot budget (displaced as new r9
-    # queries prepend): join_anti_customers_without_orders,
+    # queries prepend): grouping_sets_lineitem,
+    # setop_repeat_buyers_intersect, setop_lapsed_buyers_except,
+    # setop_union_priority_buckets,
+    # join_anti_customers_without_orders,
     # join_semi_suppliers_of_big_items,
     # join_outer_nation_customer_counts,
     # sketch_bloom_custkey_probe,

@@ -591,48 +591,59 @@ def common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with a unique (score desc, y, z) tiebreak —
     no global sort materializes. Hub middles are pruned BEFORE the
     self-join, at the scan side of the adjacency build."""
+    e = _copurchase_edge_list(spark, sf_dir).persist()
+    try:
+        rows = common_neighbors_plan(e).collect()
+    finally:
+        e.unpersist()
+    return spark.createDataFrame(rows, "y BIGINT, z BIGINT, common_mid BIGINT")
+
+
+def _copurchase_edge_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
-    e = (
+    return (
         li.withColumnRenamed("l_partkey", "u")
         .join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-        .persist()
     )
-    try:
-        deg = (
-            e.select(F.col("u").alias("x"))
-            .unionByName(e.select(F.col("v").alias("x")))
-            .groupBy("x")
-            .agg(F.count(F.lit(1)).alias("d"))
+
+
+def common_neighbors_plan(
+    e: DataFrame, deg_cap: int = _CN_DEG_CAP, topk: int = _CN_TOPK
+) -> DataFrame:
+    """Top-k common-neighbor candidates from an undirected (u < v) edge
+    list — the pre-collect plan, shared by the catalog query and the
+    plan-shape/semantic tests."""
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionByName(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    adj = e.select(F.col("u").alias("m"), F.col("v").alias("n")).unionByName(
+        e.select(F.col("v").alias("m"), F.col("u").alias("n"))
+    )
+    small = adj.join(
+        F.broadcast(deg.filter(F.col("d") <= deg_cap)),
+        adj.m == F.col("x"),
+    ).select("m", "n")
+    a2 = small.select("m", F.col("n").alias("z"))
+    cand = (
+        small.withColumnRenamed("n", "y")
+        .join(a2, "m")
+        .filter(F.col("y") < F.col("z"))
+        .groupBy("y", "z")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_mid"))
+    )
+    return (
+        cand.join(
+            e.select(F.col("u").alias("y"), F.col("v").alias("z")),
+            ["y", "z"],
+            "left_anti",
         )
-        adj = e.select(F.col("u").alias("m"), F.col("v").alias("n")).unionByName(
-            e.select(F.col("v").alias("m"), F.col("u").alias("n"))
-        )
-        small = adj.join(
-            F.broadcast(deg.filter(F.col("d") <= _CN_DEG_CAP)),
-            adj.m == F.col("x"),
-        ).select("m", "n")
-        a2 = small.select("m", F.col("n").alias("z"))
-        cand = (
-            small.withColumnRenamed("n", "y")
-            .join(a2, "m")
-            .filter(F.col("y") < F.col("z"))
-            .groupBy("y", "z")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("common_mid"))
-        )
-        out = (
-            cand.join(
-                e.select(F.col("u").alias("y"), F.col("v").alias("z")),
-                ["y", "z"],
-                "left_anti",
-            )
-            .orderBy(F.col("common_mid").desc(), "y", "z")
-            .limit(_CN_TOPK)
-        )
-        rows = out.collect()
-    finally:
-        e.unpersist()
-    return spark.createDataFrame(rows, "y BIGINT, z BIGINT, common_mid BIGINT")
+        .orderBy(F.col("common_mid").desc(), "y", "z")
+        .limit(topk)
+    )

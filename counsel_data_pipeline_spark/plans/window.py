@@ -691,6 +691,7 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("hour_idx").alias("hmin"), F.max("hour_idx").alias("hmax"))
         .select(
             "user_id",
+            "hmin",
             F.explode(F.sequence("hmin", "hmax")).alias("hour_idx"),
         )
     )
@@ -714,10 +715,7 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(h_if_obs, ignorenulls=True).over(w_prev).alias("h_prev"),
         F.first("v6", ignorenulls=True).over(w_next).alias("v_next"),
         F.first(h_if_obs, ignorenulls=True).over(w_next).alias("h_next"),
-        (
-            F.col("hour_idx")
-            - F.min("hour_idx").over(Window.partitionBy("user_id"))
-        ).alias("off"),
+        (F.col("hour_idx") - F.col("hmin")).alias("off"),
     )
     interp = F.col("v_prev") + F.expr(
         "CAST((((v_next - v_prev) * (hour_idx - h_prev))"

@@ -488,3 +488,62 @@ def test_schema_evolution_reads_merged_footer_schema(spark):
         "ReadSchema" in line and "o_channel" in line
         for line in plan.splitlines()
     ), plan
+
+
+def test_variant_extract_stays_jvm_side(spark):
+    # VARIANT parse/extract must be Column expressions (JVM), never a
+    # Python worker, and the scan must prune to the 4 used columns.
+    plan = _plan(spark, "events_variant_props_extract")
+    assert "EvalPython" not in plan  # no row-at-a-time or Arrow Python UDF
+    assert "CartesianProduct" not in plan
+    assert _n_shuffles(plan) <= 2  # two-level aggregate only
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "props" in line and "event_type" in line
+            assert line.count(":") <= 5, line
+
+
+def test_gap_fill_single_sort_feeds_all_carries(spark):
+    # The prev/next carries (4 window expressions) must share ONE Window
+    # node over one (user, hour_idx) sort; the grid explode must not add
+    # a shuffle (hmin rides the span aggregate into the explode), and no
+    # single-partition window appears anywhere.
+    plan = _plan(spark, "window_gap_fill_interpolate")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert _n_shuffles(plan) <= 3
+    assert "SinglePartition" not in plan
+    import re
+
+    # strict Window nodes (WindowGroupLimit = the top-1-per-hour rewrite,
+    # counted separately): the 2 obs branches' rn + ONE carries node
+    windows = re.findall(r"^\(\d+\) Window$", plan, re.M)
+    assert len(windows) <= 3
+    # all four carries live in ONE Window node's argument list (formatted
+    # mode puts expressions on the node's Arguments detail line)
+    carries = [ln for ln in plan.splitlines() if "AS v_prev" in ln and "windowspecdefinition" in ln]
+    assert len(carries) == 1 and all(
+        f"AS {a}" in carries[0] for a in ("h_prev", "v_next", "h_next")
+    )
+
+
+def test_common_neighbors_broadcasts_degree_and_caps_hubs(spark):
+    # The registered fn collects (persist lifecycle), so inspect the
+    # pre-collect plan the helper builds from the same edge list.
+    from counsel_data_pipeline_spark.plans.graph import (
+        _copurchase_edge_list,
+        common_neighbors_plan,
+    )
+
+    df = common_neighbors_plan(_copurchase_edge_list(spark, SF))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    # the degree cap filter feeds a broadcast join into the adjacency
+    assert "BroadcastHashJoin" in plan
+    # candidate pruning happens via anti join, not a filter-after-join
+    assert "LeftAnti" in plan
+    # top-k never materializes a global sort
+    assert "TakeOrderedAndProject" in plan

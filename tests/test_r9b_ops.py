@@ -1,0 +1,117 @@
+"""Semantic tests for the late-r9 additions: VARIANT roundtrip exactness,
+gap-fill interpolation on known points, common-neighbor scores on a toy
+graph, and dropDuplicatesWithinWatermark emission invariants."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_variant_double_roundtrip_is_exact(spark):
+    # to_json prints shortest-repr doubles; parse_json keeps the exact
+    # digits; variant_get(... 'double') must return the original bits.
+    vals = [0.1, -3.5e10, 1e-7, 123456.789012, -0.0649375]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = df.select(
+        F.variant_get(
+            F.parse_json(F.to_json(F.struct(F.col("v")))), "$.v", "double"
+        ).alias("rt"),
+        "v",
+    ).collect()
+    for r in out:
+        assert r.rt == r.v
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+
+def test_gap_fill_interpolates_known_points(spark, tmp_path):
+    from counsel_data_pipeline_spark.catalog import all_queries
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        # user 7: observations at hours 0 and 4 -> 3 interpolated hours
+        (1, t0, 7, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(hours=4), 7, "view", 1.0, "{}"),
+        # user 8: two readings in ONE hour -> last by (ts, event_id) wins
+        (3, t0 + dt.timedelta(minutes=1), 8, "view", 5.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=2), 8, "view", 7.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r.user_id: r
+        for r in all_queries()["window_gap_fill_interpolate"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    u7 = out[7]
+    assert u7.n_grid_hours == 5
+    assert u7.n_observed == 2 and u7.n_interpolated == 3
+    # filled series: 0, 250000, 500000, 750000, 1000000 micro-units
+    assert u7.sum_filled_v6 == 2_500_000
+    # position-weighted checksum: sum(fv6 * (off%97 + 1))
+    assert u7.checksum_v6 == sum(
+        v * (i + 1) for i, v in enumerate([0, 250000, 500000, 750000, 1000000])
+    )
+    u8 = out[8]
+    assert u8.n_grid_hours == 1 and u8.n_observed == 1
+    assert u8.sum_filled_v6 == 7_000_000  # last reading of the hour
+
+
+def test_common_neighbors_toy_graph(spark, tmp_path):
+    from counsel_data_pipeline_spark.plans.graph import (
+        common_neighbors_plan,
+    )
+
+    # edges: 1-2, 2-3, 1-4, 3-4 (a 4-cycle): non-adjacent pairs (1,3)
+    # and (2,4) each share TWO middles; adjacent pairs excluded.
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (3, 4)], "u BIGINT, v BIGINT"
+    )
+    got = {
+        (r.y, r.z): r.common_mid
+        for r in common_neighbors_plan(e).collect()
+    }
+    assert got == {(1, 3): 2, (2, 4): 2}
+    # hub cap: with deg_cap=1 every middle (all degree 2) is pruned
+    assert common_neighbors_plan(e, deg_cap=1).count() == 0
+
+
+def test_dropdup_within_watermark_class_invariants(spark):
+    """Protocol invariants independent of the DuckDB oracle: same-batch
+    and next-batch duplicates never re-emit (state provably alive under
+    the offset-log watermark lag); far duplicates re-emit for a strict
+    subset of keys; untouched classes emit exactly once per key."""
+    from counsel_data_pipeline_spark.catalog import all_queries
+    from counsel_data_pipeline_spark.io.sources import load_table
+
+    base = (
+        load_table(spark, SF, "events")
+        .groupBy((F.col("event_id") % 10).alias("cls"))
+        .count()
+        .collect()
+    )
+    base_n = {int(r.cls): r["count"] for r in base}
+    res = (
+        all_queries()["streaming_dropdup_within_watermark"]
+        .fn(spark, SF)
+        .groupBy("dup_class")
+        .agg(F.sum("n_emitted").alias("n"))
+        .collect()
+    )
+    got = {int(r.dup_class): int(r.n) for r in res}
+    for cls in (0, 1, 3, 4, 5, 6, 7, 8, 9):
+        assert got[cls] == base_n[cls], f"class {cls}"
+    # far-dup class: every key emits its first occurrence; a nonempty
+    # strict subset re-emits after state eviction
+    assert base_n[2] < got[2] <= 2 * base_n[2]
