@@ -647,3 +647,71 @@ def common_neighbors_plan(
         .orderBy(F.col("common_mid").desc(), "y", "z")
         .limit(topk)
     )
+
+
+@register(
+    "graph_bfs_recursive_sql",
+    oracle=f"""
+        -- Identical recursive-CTE text to the Spark side: UNION ALL with
+        -- a per-level DISTINCT keeps each working table at most
+        -- node-sized (a node may reappear at several hops; min(hop)
+        -- recovers the BFS distance), so the recursion is bounded by
+        -- nodes x hops with no path enumeration.
+        WITH RECURSIVE edges AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2
+        ),
+        seed AS (SELECT min(l_partkey) AS s FROM lineitem),
+        walk(node, hop) AS (
+          SELECT s, 0 FROM seed
+          UNION ALL
+          SELECT DISTINCT e.dst, w.hop + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.hop < {_BFS_MAX_HOPS}
+        )
+        SELECT node AS part, CAST(min(hop) AS BIGINT) AS hops
+        FROM walk GROUP BY node
+    """,
+    description="the same BFS computed BY Spark's recursive CTE engine "
+    "(WITH RECURSIVE, new in Spark 4): UNION ALL recursion with a "
+    "per-level DISTINCT frontier, min(hop) per node — the DuckDB twin "
+    "runs the identical SQL, and graph_bfs_copurchase_hops' DataFrame "
+    "loop triangulates both, so the three traversals (DataFrame loop, "
+    "Spark recursion, DuckDB recursion) must agree row-for-row",
+    tags=("graph", "iterative", "sql"),
+)
+def bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: each recursive step's working table is the DISTINCT
+    frontier — node-sized, never path-sized (UNION ALL without the
+    DISTINCT would enumerate walks, ~deg^hops). The engine executes the
+    step as an ordinary join+distinct per level, so the same
+    frontier⋈edges shuffle discipline as the hand-rolled loop applies;
+    the hop bound caps the recursion depth well under
+    spark.sql.cteRecursionLevelLimit. The DataFrame-loop twin
+    (graph_bfs_copurchase_hops) additionally pins the visited-set /
+    localCheckpoint discipline the SQL engine hides."""
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).createOrReplaceTempView("lineitem_rcte")
+    return spark.sql(f"""
+        WITH RECURSIVE edges AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem_rcte a JOIN lineitem_rcte b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2
+        ),
+        seed AS (SELECT min(l_partkey) AS s FROM lineitem_rcte),
+        walk(node, hop) AS (
+          SELECT s, 0 FROM seed
+          UNION ALL
+          SELECT DISTINCT e.dst, w.hop + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.hop < {_BFS_MAX_HOPS}
+        )
+        SELECT node AS part, CAST(min(hop) AS BIGINT) AS hops
+        FROM walk GROUP BY node
+    """)

@@ -115,3 +115,24 @@ def test_dropdup_within_watermark_class_invariants(spark):
     # far-dup class: every key emits its first occurrence; a nonempty
     # strict subset re-emits after state eviction
     assert base_n[2] < got[2] <= 2 * base_n[2]
+
+
+def test_bfs_recursive_sql_matches_dataframe_loop(spark):
+    # Three independent traversals must agree: the DataFrame frontier
+    # loop, Spark's recursive-CTE engine, and (via the correctness
+    # harness) DuckDB's recursive CTE. Pin the first two here.
+    from counsel_data_pipeline_spark.catalog import all_queries
+
+    loop = {
+        (r.part, r.hops)
+        for r in all_queries()["graph_bfs_copurchase_hops"]
+        .fn(spark, SF)
+        .collect()
+    }
+    rec = {
+        (r.part, r.hops)
+        for r in all_queries()["graph_bfs_recursive_sql"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert loop == rec and len(loop) > 0
