@@ -983,3 +983,91 @@ def text_udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM counsel_udtf_chunk_docs d, "
         "LATERAL counsel_chunk_tokens(d.text) c"
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native grouped apply: exact discrete-percentile length profile
+# ---------------------------------------------------------------------------
+
+
+def _arrow_profile_fn():
+    """Per-(source, lang) profile computed directly on pyarrow arrays —
+    no pandas materialization. Discrete percentiles use the SQL
+    percentile_disc index ceil(p*n)-1 on the sorted array, so the value
+    is an actual population member and bit-identical to the oracle."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # NOTE: deliberately no type annotations — pyspark's
+    # infer_group_arrow_eval_type_from_func calls get_type_hints, which
+    # raises on hints referencing function-local imports ("pa.Table"),
+    # and applyInArrow then crashes on an unbound eval_type (pyspark
+    # group_ops.py:930-936 swallows the exception but still reads the
+    # variable). Unannotated functions take the documented default path.
+    def profile(key, table):
+        lens = pc.array_sort_indices(table.column("n_chars"))
+        sorted_lens = table.column("n_chars").take(lens)
+        n = len(sorted_lens)
+
+        def disc(p: float) -> int:
+            return sorted_lens[max(0, math.ceil(p * n) - 1)].as_py()
+
+        return pa.table(
+            {
+                "source": pa.array([key[0].as_py()], pa.string()),
+                "lang": pa.array([key[1].as_py()], pa.string()),
+                "n_docs": pa.array([n], pa.int64()),
+                "p25_chars": pa.array([disc(0.25)], pa.int64()),
+                "median_chars": pa.array([disc(0.5)], pa.int64()),
+                "p75_chars": pa.array([disc(0.75)], pa.int64()),
+                "sum_chars": pa.array(
+                    [pc.sum(sorted_lens).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return profile
+
+
+@register(
+    "text_arrow_group_profile",
+    oracle="""
+        -- percentile_disc returns an actual member of the group (the
+        -- ceil(p*n)-1'th of the sorted values) — exact, engine-agnostic
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS p25_chars,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS median_chars,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS p75_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1, 2
+    """,
+    description="Arrow-native grouped apply attested (Spark 4 "
+    "applyInArrow): per-(source, lang) exact discrete-percentile length "
+    "profile computed on pyarrow arrays with zero pandas "
+    "materialization; percentile_disc indexing makes every output an "
+    "actual population member, so the DuckDB twin hash-matches",
+    tags=("llm", "text", "arrow", "udf"),
+)
+def arrow_group_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: applyInArrow ships each group as Arrow record
+    batches — one C-level transfer, no pandas conversion (the cheapest
+    Python boundary Spark has). Groups here are (source, lang) —
+    bounded cardinality, but each group's rows must fit one worker; at
+    100 TB the same profile runs as a distributed sort + offset pick
+    (window rank = the percentile index) or a mergeable t-digest — this
+    query attests the Arrow plumbing and the exact-index semantics.
+    Cites ref: quality profiling family (SURVEY §2.14)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars"
+    )
+    return docs.groupBy("source", "lang").applyInArrow(
+        _arrow_profile_fn(),
+        schema="source STRING, lang STRING, n_docs BIGINT, p25_chars BIGINT, "
+        "median_chars BIGINT, p75_chars BIGINT, sum_chars BIGINT",
+    )

@@ -1385,3 +1385,98 @@ def streaming_dropdup_within_watermark(
     )
     rows = agg.collect()
     return spark.createDataFrame(rows, agg.schema)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint restart, attested: exactly-once incremental recovery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_checkpoint_restart",
+    oracle="""
+        -- The restarted query's COMPLETE-mode state must equal the plain
+        -- batch aggregate over ALL files — phase-1 rows recovered from
+        -- the checkpoint, phase-2 rows read incrementally (the fn raises
+        -- if either phase reads the wrong row count).
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_mi
+        FROM events GROUP BY 1
+    """,
+    description="checkpoint recovery attested end-to-end: a COMPLETE-mode "
+    "aggregation runs over the first half of the staged files, STOPS, "
+    "then a second query restarts from the SAME checkpoint after the "
+    "remaining files land — the fn raises unless phase 2 reads EXACTLY "
+    "the new rows (no re-read, no loss), and the final state must equal "
+    "the full-table batch oracle, which is the exactly-once recovery "
+    "contract production streaming depends on",
+    tags=("events", "streaming", "checkpoint"),
+)
+def streaming_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: restart cost is state-sized (one row per group in the
+    HDFS-backed state store), not input-sized — the offset log pins
+    which files are already consumed, so a 100 TB backlog restart reads
+    only unconsumed files; aggregate state round-trips through the
+    checkpoint. The two-phase copy makes the recovery observable: phase
+    2's numInputRows is asserted == the new files' rows, so a silent
+    full-replay (which would double-count into the memory sink's
+    complete-mode output) or an offset loss fails loudly rather than
+    flipping the hash."""
+    import glob as _glob
+    import uuid as _uuid
+
+    files = sorted(
+        _glob.glob(os.path.join(_staged_ts_batches_dir(spark, sf_dir), "*.parquet"))
+    )
+    live = tempfile.mkdtemp(prefix="ckpt_restart_live_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_restart_ckpt_")
+    half = len(files) // 2
+
+    def _run_once() -> tuple[DataFrame, int]:
+        stream = spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, "
+            "event_type STRING, value DOUBLE"
+        ).parquet(live)
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sum_value_mi"),
+        )
+        name = f"q_{_uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_in = sum(int(p["numInputRows"]) for p in q.recentProgress)
+        return spark.table(name), n_in
+
+    def _expected(paths: list[str]) -> int:
+        return spark.read.parquet(*paths).count()
+
+    for f in files[:half]:
+        shutil.copy2(f, live)
+    _, n1 = _run_once()
+    exp1 = _expected(files[:half])
+    if n1 != exp1:
+        raise RuntimeError(f"phase 1 read {n1} rows, staged {exp1}")
+
+    for f in files[half:]:
+        shutil.copy2(f, live)
+    out, n2 = _run_once()
+    exp2 = _expected(files[half:])
+    if n2 != exp2:
+        raise RuntimeError(
+            f"restart read {n2} rows, expected exactly the {exp2} new ones"
+        )
+    rows = out.collect()
+    shutil.rmtree(live, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
