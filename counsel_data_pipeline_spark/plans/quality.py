@@ -350,3 +350,70 @@ def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("score_sum") > 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# observe(): run-level quality counters recorded during the scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_observe_scan_metrics",
+    oracle="""
+        -- the observation's counters, recomputed as a plain aggregate:
+        -- the Spark side records these DURING the gated scan (zero extra
+        -- pass), the oracle proves they equal a dedicated aggregation
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+                 AS n_high_discount,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS sum_price_c,
+               CAST(min(l_quantity) AS BIGINT) AS min_qty,
+               CAST(max(l_quantity) AS BIGINT) AS max_qty
+        FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    description="the Observation API attested: data-quality counters "
+    "(row count, predicate count, exact money sum, quantity min/max) "
+    "recorded by observe() DURING a gated scan whose downstream action "
+    "consumes every row — the metrics channel a production pipeline "
+    "uses for per-run accounting without a second pass; the oracle "
+    "recomputes them as a dedicated aggregate",
+    tags=("quality", "observe", "metrics"),
+)
+def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: observe() metrics are accumulator-style — collected
+    per task alongside the real work and merged on the driver, so the
+    quality counters of a 100 TB run cost zero extra scans and no
+    shuffle (vs a dedicated aggregation job). The observed plan here
+    feeds a real downstream aggregate (noop-sunk), so every row passes
+    the metrics operator exactly once; AQE never re-executes a
+    finished stage's accumulators into double counts."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    obs = Observation("quality_gate")
+    gated = li.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1))
+        .cast("bigint")
+        .alias("n_high_discount"),
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_price_c"),
+        F.min("l_quantity").cast("bigint").alias("min_qty"),
+        F.max("l_quantity").cast("bigint").alias("max_qty"),
+    )
+    # downstream action that consumes every gated row
+    gated.groupBy().sum("l_quantity").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    m = obs.get
+    cols = ["n_rows", "n_high_discount", "sum_price_c", "min_qty", "max_qty"]
+    return spark.createDataFrame(
+        [tuple(int(m[c]) for c in cols)],
+        ", ".join(f"{c} BIGINT" for c in cols),
+    )

@@ -1637,3 +1637,48 @@ def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name", "s_suppkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lateral correlated top-k: the SQL shape of per-group top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_lateral_top_customers",
+    oracle="""
+        SELECT n.n_name AS nation, t.c_custkey AS custkey,
+               CAST(round(t.c_acctbal * 100) AS BIGINT) AS acctbal_c
+        FROM nation n
+        JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t ON true
+    """,
+    description="correlated LATERAL top-k attested: per nation the top-2 "
+    "customers by account balance via a lateral ORDER BY .. LIMIT "
+    "subquery — the SQL-standard shape of per-group top-k, decorrelated "
+    "by the optimizer into the same windowed rank the DataFrame API "
+    "writes by hand; identical SQL runs on DuckDB",
+    tags=("tpch", "join", "lateral", "sql"),
+)
+def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: Catalyst decorrelates the lateral subquery into a
+    window rank over customer partitioned by nationkey — one shuffle on
+    the correlation key, no per-outer-row re-execution (the naive
+    nested-loop reading would rescan customer per nation). The
+    DataFrame twin of this shape is window_top3_orders_per_customer;
+    this query attests the SQL-surface route to the same plan."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lat"
+    )
+    return spark.sql("""
+        SELECT n.n_name AS nation, t.c_custkey AS custkey,
+               CAST(round(t.c_acctbal * 100) AS BIGINT) AS acctbal_c
+        FROM nation_lat n
+        JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_lat c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    """)
