@@ -547,3 +547,25 @@ def test_common_neighbors_broadcasts_degree_and_caps_hubs(spark):
     assert "LeftAnti" in plan
     # top-k never materializes a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lateral_topk_decorrelates_to_window_rank(spark):
+    # The correlated LATERAL ORDER BY..LIMIT must decorrelate into a
+    # windowed rank (WindowGroupLimit = map-side partial top-k), never a
+    # per-outer-row nested loop or cartesian.
+    plan = _plan(spark, "tpch_lateral_top_customers")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert _n_shuffles(plan) <= 1
+
+
+def test_arrow_group_profile_single_shuffle(spark):
+    # applyInArrow = one grouping shuffle feeding FlatMapGroupsInArrow;
+    # the scan prunes to the three referenced columns.
+    plan = _plan(spark, "text_arrow_group_profile")
+    assert "FlatMapGroupsInArrow" in plan
+    assert _n_shuffles(plan) == 1
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert line.count(":") <= 4, line

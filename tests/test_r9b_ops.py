@@ -136,3 +136,64 @@ def test_bfs_recursive_sql_matches_dataframe_loop(spark):
         .collect()
     }
     assert loop == rec and len(loop) > 0
+
+
+def test_arrow_profile_percentile_disc_indices(spark, tmp_path):
+    # percentile_disc semantics on even and odd group sizes: the value
+    # at ceil(p*n)-1 of the sorted lengths, an actual member.
+    from counsel_data_pipeline_spark.catalog import all_queries
+
+    rows = [
+        # source a / en: n=4 -> p25 idx 0, median idx 1, p75 idx 2
+        (1, "w", "en", "a", 10),
+        (2, "x", "en", "a", 20),
+        (3, "y", "en", "a", 30),
+        (4, "z", "en", "a", 40),
+        # source b / fr: n=5 -> p25 idx 1, median idx 2, p75 idx 3
+        (5, "v", "fr", "b", 1),
+        (6, "w", "fr", "b", 2),
+        (7, "x", "fr", "b", 3),
+        (8, "y", "fr", "b", 4),
+        (9, "z", "fr", "b", 5),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        (r.source, r.lang): r
+        for r in all_queries()["text_arrow_group_profile"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    a = out[("a", "en")]
+    assert (a.n_docs, a.p25_chars, a.median_chars, a.p75_chars) == (4, 10, 20, 30)
+    b = out[("b", "fr")]
+    assert (b.n_docs, b.p25_chars, b.median_chars, b.p75_chars) == (5, 2, 3, 4)
+
+
+def test_observe_metrics_equal_direct_aggregate(spark):
+    # The accumulator-channel numbers must equal a dedicated aggregation
+    # over the same gate (independent code path from the oracle).
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.catalog import all_queries
+    from counsel_data_pipeline_spark.io.sources import load_table
+
+    got = (
+        all_queries()["quality_observe_scan_metrics"].fn(spark, SF).collect()[0]
+    )
+    li = load_table(spark, SF, "lineitem").filter(F.col("l_returnflag") == "R")
+    ref = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("hd"),
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias("sp"),
+        F.min("l_quantity").cast("bigint").alias("mn"),
+        F.max("l_quantity").cast("bigint").alias("mx"),
+    ).collect()[0]
+    assert (got.n_rows, got.n_high_discount, got.sum_price_c) == (
+        ref.n, ref.hd, ref.sp,
+    )
+    assert (got.min_qty, got.max_qty) == (ref.mn, ref.mx)
