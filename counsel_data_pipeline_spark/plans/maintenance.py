@@ -15,6 +15,7 @@ Two families that were verified only by pytest get CORRECTNESS rows here:
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -858,3 +859,84 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").cast("bigint").alias("min_event"),
         F.max("event_id").cast("bigint").alias("max_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER: two-phase-commit JSONL sink roundtrip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_python_sink_roundtrip",
+    oracle="""
+        -- read-back aggregate of what the sink published; equality with
+        -- the direct relational answer attests the writer published
+        -- every row exactly once (staging -> atomic rename -> manifest)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_mi
+        FROM events WHERE event_type = 'purchase'
+    """,
+    description="Python DataSource WRITER attested (Spark 4 sink API): "
+    "purchase events written through the counseljsonl two-phase-commit "
+    "sink (tasks stage invisible files + commit messages; the driver "
+    "publishes via atomic rename and writes a totals manifest), then "
+    "read back and aggregated — the fn raises unless the manifest "
+    "totals match the read-back, and the hash must match the direct "
+    "relational oracle, which is the no-loss/no-duplication publication "
+    "contract",
+    tags=("layout", "events", "sink", "udf"),
+)
+def python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: write() streams rows executor-side (no driver data
+    path); driver state is one commit message per task. Readers never
+    see staged files — only the post-rename part-*.jsonl — so a
+    mid-job failure leaves the target directory unchanged (abort
+    deletes staging). The manifest totals give downstream consumers an
+    integrity check that costs O(1), not a re-scan; this fn USES it:
+    mismatch between manifest and read-back raises before any hash is
+    computed. JSON-lines is the interchange-friendly sink; columnar
+    targets use the parquet writers attested by the other layout
+    queries."""
+    import json as _json
+    import tempfile as _tempfile
+
+    from counsel_data_pipeline_spark.io import jsonl_sink
+
+    jsonl_sink.register(spark)
+    out_dir = _tempfile.mkdtemp(prefix="jsonl_sink_")
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("value_mi"),
+        )
+    )
+    rows.write.format("counseljsonl").option("path", out_dir).mode(
+        "append"
+    ).save()
+
+    with open(os.path.join(out_dir, "_SUCCESS")) as fh:
+        manifest = _json.load(fh)
+    back = spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, value_mi BIGINT"
+    ).json(os.path.join(out_dir, "part-*.jsonl"))
+    agg = back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("value_mi").cast("bigint").alias("sum_value_mi"),
+    )
+    got = agg.collect()[0]
+    if (
+        int(got.n_rows) != int(manifest["n_rows"])
+        or int(got.sum_value_mi) != int(manifest["value_sum_mi"])
+    ):
+        raise RuntimeError(
+            f"sink manifest {manifest} disagrees with read-back "
+            f"({got.n_rows} rows, {got.sum_value_mi})"
+        )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame([got], agg.schema)

@@ -197,3 +197,34 @@ def test_observe_metrics_equal_direct_aggregate(spark):
         ref.n, ref.hd, ref.sp,
     )
     assert (got.min_qty, got.max_qty) == (ref.mn, ref.mx)
+
+
+def test_jsonl_sink_two_phase_commit_and_abort(tmp_path):
+    # Unit-level walk of the writer's commit protocol, no Spark: staged
+    # files are invisible until commit publishes them atomically with a
+    # totals manifest; abort leaves the target untouched.
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from counsel_data_pipeline_spark.io.jsonl_sink import JsonlSinkWriter
+
+    target = str(tmp_path / "out")
+    os.makedirs(target)
+    w = JsonlSinkWriter({"path": target})
+    m1 = w.write(iter([Row(event_id=1, user_id=7, value_mi=100)]))
+    m2 = w.write(iter([Row(event_id=2, user_id=8, value_mi=250),
+                       Row(event_id=3, user_id=7, value_mi=50)]))
+    # nothing published yet
+    assert not [f for f in os.listdir(target) if f.startswith("part-")]
+    w.commit([m1, m2])
+    parts = sorted(f for f in os.listdir(target) if f.startswith("part-"))
+    assert parts == ["part-00000.jsonl", "part-00001.jsonl"]
+    manifest = json.load(open(os.path.join(target, "_SUCCESS")))
+    assert manifest == {"n_files": 2, "n_rows": 3, "value_sum_mi": 400}
+    # abort path: stage another file, then abort — target unchanged
+    m3 = w.write(iter([Row(event_id=4, user_id=9, value_mi=999)]))
+    w.abort([m3, None])
+    assert not os.path.exists(m3.staged_path)
+    assert sorted(f for f in os.listdir(target) if f.startswith("part-")) == parts
