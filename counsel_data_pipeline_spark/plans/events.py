@@ -692,3 +692,137 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__s").cast("bigint").alias("sum_value_mi"),
         F.sum("__miss").cast("bigint").alias("n_missing_path"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern detection: view -> click -> purchase with no error
+# between (MATCH_RECOGNIZE-lite over one sort + one co-partitioned join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sequence_detect",
+    oracle="""
+        -- For each purchase: its most recent prior click; at that click,
+        -- its most recent prior view and the running error count there;
+        -- a match requires zero errors strictly between view and
+        -- purchase. All carries ride ONE per-user ordered pass; the only
+        -- join fetches the click row's carried state by (user, rn).
+        WITH ordered AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CAST(round(value * 1000000) AS BIGINT) AS value_mi,
+                 row_number() OVER w AS rn,
+                 sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ce_incl
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        carried AS (
+          SELECT *,
+                 ce_incl - CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                   AS ce_prev,
+                 last_value(CASE WHEN event_type = 'click' THEN rn END
+                            IGNORE NULLS) OVER wp AS last_click_rn,
+                 last_value(CASE WHEN event_type = 'view' THEN rn END
+                            IGNORE NULLS) OVER wp AS last_view_rn,
+                 last_value(CASE WHEN event_type = 'view' THEN ce_incl END
+                            IGNORE NULLS) OVER wp AS last_view_ce
+          FROM ordered
+          WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        matches AS (
+          SELECT p.user_id, p.value_mi
+          FROM carried p JOIN carried c
+            ON p.user_id = c.user_id AND p.last_click_rn = c.rn
+          WHERE p.event_type = 'purchase'
+            AND c.last_view_rn IS NOT NULL
+            AND p.ce_prev - c.last_view_ce = 0
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(sum(value_mi) AS BIGINT) AS matched_value_mi
+        FROM matches GROUP BY 1
+    """,
+    description="sequential pattern detection (MATCH_RECOGNIZE-lite): "
+    "purchases preceded by click preceded by view with ZERO errors "
+    "strictly between view and purchase — resolved with running-count "
+    "carries over ONE per-user sort plus a single co-partitioned "
+    "rn-lookup join (no per-pattern rescans), folded per user",
+    tags=("events", "window", "pattern"),
+    bench=True,
+)
+def sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: arbitrary-gap sequence patterns cannot use fixed-lag
+    lag() — the carries (last click rn, last view rn, error running
+    count at the view) make each row carry its own pattern state, so
+    matching is O(n) in events after one (user, ts) sort shared by ALL
+    window columns; the only join is rn-equality inside the same user
+    partition (co-partitioned, never a cross product). The error-free
+    constraint is a difference of running counts — no interval scan.
+    At 100 TB this is the shape streaming CEP engines use (state =
+    carried columns), here in its batch form with an exact SQL twin."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    wi = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("value_mi"),
+        F.row_number().over(w).alias("rn"),
+        F.sum(is_err).over(wi).alias("ce_incl"),
+    )
+    carried = ordered.select(
+        "user_id",
+        "event_type",
+        "value_mi",
+        "rn",
+        (F.col("ce_incl") - is_err).alias("ce_prev"),
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("rn")),
+            ignorenulls=True,
+        )
+        .over(wp)
+        .alias("last_click_rn"),
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("rn")),
+            ignorenulls=True,
+        )
+        .over(wp)
+        .alias("last_view_rn"),
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ce_incl")),
+            ignorenulls=True,
+        )
+        .over(wp)
+        .alias("last_view_ce"),
+    )
+    p = carried.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "value_mi",
+        "ce_prev",
+        F.col("last_click_rn").alias("click_rn"),
+    )
+    c = carried.select(
+        F.col("user_id").alias("c_user"),
+        F.col("rn").alias("c_rn"),
+        F.col("last_view_rn").alias("c_view_rn"),
+        F.col("last_view_ce").alias("c_view_ce"),
+    )
+    matches = p.join(
+        c,
+        (p.user_id == c.c_user) & (p.click_rn == c.c_rn),
+    ).filter(
+        F.col("c_view_rn").isNotNull()
+        & (F.col("ce_prev") - F.col("c_view_ce") == 0)
+    )
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.sum("value_mi").cast("bigint").alias("matched_value_mi"),
+    )

@@ -657,17 +657,20 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale notes: the grid is generated PER USER via sequence() over the
-    user's own [min,max] hour span — no global driver-side range, no
-    cartesian; a user's grid explodes inside their partition. All window
-    passes share ONE (user_id, hour_idx) sort: prev/next carries are two
-    frames over the same shuffle (Catalyst reuses the Exchange+Sort).
+    """Scale notes: the plan works INTERVAL-wise, never grid-wise — the
+    only window pass (lead + per-user min, one node over one sort) runs
+    on the OBSERVATION rows (~10% of events here); each observation then
+    explodes into [its hour, next obs hour) with the interpolation
+    computed inline, so the dense grid rows are born inside whole-stage
+    codegen and flow straight into the map-side partial aggregate:
+    the grid is NEVER shuffled, sorted, or windowed. (The first cut
+    windowed the 1M-row grid with a currentRow->unboundedFollowing
+    frame — Spark evaluates that frame by rescanning the partition tail
+    per row, ~O(rows x span), 10.5 s at sf0.1 vs 0.3 s for this shape.)
     Interpolation is pure BIGINT column algebra (pmod floor-div — exact,
-    no float drift), inside whole-stage codegen. At 100 TB the grid size
-    is bounded by users x their active span in hours, and the per-user
-    fold means the shuffle out is one row per user. Hot users with long
-    spans cost O(span) rows inside their own partition — bounded by
-    wall-clock hours, not event count."""
+    no float drift). At 100 TB: one shuffle of observation rows per
+    user-hour, grid cost is pure codegen compute bounded by active span
+    hours, and the per-user fold ships one row per user."""
     ev = load_table(spark, sf_dir, "events")
     hour_idx = F.expr("unix_micros(ts) DIV 3600000000")
     v6 = (dec("value") * 1_000_000).cast("bigint")
@@ -686,47 +689,44 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "hour_idx", "v6")
     )
-    grid = (
-        obs.groupBy("user_id")
-        .agg(F.min("hour_idx").alias("hmin"), F.max("hour_idx").alias("hmax"))
-        .select(
-            "user_id",
-            "hmin",
-            F.explode(F.sequence("hmin", "hmax")).alias("hour_idx"),
-        )
-    )
-    j = grid.join(obs, ["user_id", "hour_idx"], "left")
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("hour_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy("hour_idx")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    h_if_obs = F.when(F.col("v6").isNotNull(), F.col("hour_idx"))
-    carried = j.select(
+    w_o = Window.partitionBy("user_id").orderBy("hour_idx")
+    w_all = Window.partitionBy("user_id")
+    intervals = obs.select(
         "user_id",
         "hour_idx",
         "v6",
-        F.last("v6", ignorenulls=True).over(w_prev).alias("v_prev"),
-        F.last(h_if_obs, ignorenulls=True).over(w_prev).alias("h_prev"),
-        F.first("v6", ignorenulls=True).over(w_next).alias("v_next"),
-        F.first(h_if_obs, ignorenulls=True).over(w_next).alias("h_next"),
-        (F.col("hour_idx") - F.col("hmin")).alias("off"),
+        F.lead("hour_idx").over(w_o).alias("nxt_h"),
+        F.lead("v6").over(w_o).alias("nxt_v"),
+        F.min("hour_idx").over(w_all).alias("hmin"),
     )
-    interp = F.col("v_prev") + F.expr(
-        "CAST((((v_next - v_prev) * (hour_idx - h_prev))"
-        " - pmod((v_next - v_prev) * (hour_idx - h_prev), h_next - h_prev))"
-        " DIV (h_next - h_prev) AS BIGINT)"
-    )
-    filled = carried.select(
+    # each observation owns the half-open hour range up to the next
+    # observation; the last observation owns only its own hour
+    expanded = intervals.select(
         "user_id",
-        F.coalesce("v6", interp).alias("fv6"),
-        F.when(F.col("v6").isNotNull(), 1).otherwise(0).alias("is_obs"),
-        "off",
+        "hour_idx",
+        "v6",
+        "nxt_h",
+        "nxt_v",
+        "hmin",
+        F.explode(
+            F.sequence(
+                "hour_idx",
+                F.coalesce(F.col("nxt_h") - 1, F.col("hour_idx")),
+            )
+        ).alias("h"),
+    )
+    interp = F.col("v6") + F.expr(
+        "CAST((((nxt_v - v6) * (h - hour_idx))"
+        " - pmod((nxt_v - v6) * (h - hour_idx), nxt_h - hour_idx))"
+        " DIV (nxt_h - hour_idx) AS BIGINT)"
+    )
+    filled = expanded.select(
+        "user_id",
+        F.when(F.col("h") == F.col("hour_idx"), F.col("v6"))
+        .otherwise(interp)
+        .alias("fv6"),
+        F.when(F.col("h") == F.col("hour_idx"), 1).otherwise(0).alias("is_obs"),
+        (F.col("h") - F.col("hmin")).alias("off"),
     )
     return filled.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grid_hours"),

@@ -503,28 +503,32 @@ def test_variant_extract_stays_jvm_side(spark):
             assert line.count(":") <= 5, line
 
 
-def test_gap_fill_single_sort_feeds_all_carries(spark):
-    # The prev/next carries (4 window expressions) must share ONE Window
-    # node over one (user, hour_idx) sort; the grid explode must not add
-    # a shuffle (hmin rides the span aggregate into the explode), and no
-    # single-partition window appears anywhere.
+def test_gap_fill_windows_only_observations(spark):
+    # Interval-wise plan: windows (lead + per-user min) run over the
+    # OBSERVATION rows only; the dense grid is born in the explode and
+    # flows straight into the map-side partial aggregate — never
+    # shuffled, sorted, or windowed. No unbounded-FOLLOWING frame may
+    # reappear (Spark evaluates it by rescanning the partition tail per
+    # row — the O(rows x span) shape this query was rewritten off of).
     plan = _plan(spark, "window_gap_fill_interpolate")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
-    assert _n_shuffles(plan) <= 3
+    assert _n_shuffles(plan) <= 2
     assert "SinglePartition" not in plan
-    import re
-
-    # strict Window nodes (WindowGroupLimit = the top-1-per-hour rewrite,
-    # counted separately): the 2 obs branches' rn + ONE carries node
-    windows = re.findall(r"^\(\d+\) Window$", plan, re.M)
-    assert len(windows) <= 3
-    # all four carries live in ONE Window node's argument list (formatted
-    # mode puts expressions on the node's Arguments detail line)
-    carries = [ln for ln in plan.splitlines() if "AS v_prev" in ln and "windowspecdefinition" in ln]
-    assert len(carries) == 1 and all(
-        f"AS {a}" in carries[0] for a in ("h_prev", "v_next", "h_next")
-    )
+    # (the whole-partition min's unbounded/unbounded frame is fine — it
+    # evaluates once per partition; the growing tail frame does not)
+    assert "currentrow$(), unboundedfollowing$()" not in plan.lower()
+    # both lead carries share one Window node over one sort
+    leads = [
+        ln
+        for ln in plan.splitlines()
+        if "AS nxt_h" in ln and "windowspecdefinition" in ln
+    ]
+    assert len(leads) == 1 and "AS nxt_v" in leads[0]
+    # the explode (grid generation) sits ABOVE every Exchange in the
+    # plan tree: no operator after it shuffles except the final partial
+    # aggregate pair
+    assert "Generate explode(sequence" in plan
 
 
 def test_common_neighbors_broadcasts_degree_and_caps_hubs(spark):
