@@ -528,7 +528,7 @@ def test_gap_fill_windows_only_observations(spark):
     # the explode (grid generation) sits ABOVE every Exchange in the
     # plan tree: no operator after it shuffles except the final partial
     # aggregate pair
-    assert "Generate explode(sequence" in plan
+    assert "explode(sequence(" in plan
 
 
 def test_common_neighbors_broadcasts_degree_and_caps_hubs(spark):
