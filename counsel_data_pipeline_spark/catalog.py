@@ -86,6 +86,7 @@ def register(
 # driver attestation.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) new in r9 (prepend as they land) --
+    "events_sequence_detect",
     "layout_python_sink_roundtrip",
     "tpch_lateral_top_customers",
     "quality_observe_scan_metrics",
@@ -136,14 +137,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_bm25_search",
     "text_source_entropy",
     "text_bigram_lm_score",
-    "ops_first_wins_dedup",
     # sketch_cms_user_counts stays windowed ahead of the outer-join fill:
     # its r9 probe-reuse rewrite supersedes the r5 green row (the
     # superseded-implementation rule), while the outer join is unchanged
     # since r5.
     "sketch_cms_user_counts",
     # r5 rows deferred to r10 for slot budget (displaced as new r9
-    # queries prepend): ops_keyed_merge_two_sources,
+    # queries prepend): ops_first_wins_dedup,
+    # ops_keyed_merge_two_sources,
     # ops_snapshot_carry_forward,
     # ops_clean_anchor_extract, ops_stable_sort_topk,
     # rollup_revenue_region_nation, cube_orders_status_priority,

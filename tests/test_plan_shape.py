@@ -573,3 +573,29 @@ def test_arrow_group_profile_single_shuffle(spark):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert line.count(":") <= 4, line
+
+
+def test_sequence_detect_one_sort_one_copartitioned_join(spark):
+    # Pattern state rides carried columns over ONE per-user sort; the
+    # only join is rn-equality inside the user partition. No cartesian,
+    # no per-pattern rescan, no growing tail frame.
+    plan = _plan(spark, "events_sequence_detect")
+    assert "CartesianProduct" not in plan
+    assert "currentrow$(), unboundedfollowing$()" not in plan.lower()
+    assert _n_shuffles(plan) <= 4
+    # column pruning splits the carries per join branch: the purchase
+    # side keeps only last_click_rn, the click side only the view
+    # carries (sharing ONE node) — assert that pruned shape
+    carries_click = [
+        ln
+        for ln in plan.splitlines()
+        if "AS last_click_rn" in ln and "windowspecdefinition" in ln
+    ]
+    assert len(carries_click) == 1
+    assert "AS last_view_rn" not in carries_click[0]  # pruned off this branch
+    carries_view = [
+        ln
+        for ln in plan.splitlines()
+        if "AS last_view_rn" in ln and "windowspecdefinition" in ln
+    ]
+    assert len(carries_view) == 1 and "AS last_view_ce" in carries_view[0]

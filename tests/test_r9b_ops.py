@@ -228,3 +228,38 @@ def test_jsonl_sink_two_phase_commit_and_abort(tmp_path):
     w.abort([m3, None])
     assert not os.path.exists(m3.staged_path)
     assert sorted(f for f in os.listdir(target) if f.startswith("part-")) == parts
+
+
+def test_sequence_detect_known_patterns(spark, tmp_path):
+    import datetime as dt
+
+    from counsel_data_pipeline_spark.catalog import all_queries
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, typ, val=10.0):
+        return (i, t0 + dt.timedelta(minutes=i), user, typ, val, "{}")
+
+    rows = [
+        # user 1: view -> click -> purchase = one clean match
+        ev(1, 1, "view"), ev(2, 1, "click"), ev(3, 1, "purchase", 5.0),
+        # user 2: error between view and click kills the match
+        ev(10, 2, "view"), ev(11, 2, "error"), ev(12, 2, "click"),
+        ev(13, 2, "purchase"),
+        # user 3: no view before the click — no match
+        ev(20, 3, "click"), ev(21, 3, "purchase"),
+        # user 4: error between click and purchase kills it
+        ev(30, 4, "view"), ev(31, 4, "click"), ev(32, 4, "error"),
+        ev(33, 4, "purchase"),
+        # user 5: two purchases share the same clean view->click prefix
+        ev(40, 5, "view"), ev(41, 5, "click"),
+        ev(42, 5, "purchase", 1.0), ev(43, 5, "purchase", 2.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r.user_id: (r.n_matches, r.matched_value_mi)
+        for r in all_queries()["events_sequence_detect"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out == {1: (1, 5_000_000), 5: (2, 3_000_000)}
