@@ -672,10 +672,16 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type"
         ),
         F.variant_get(F.parse_json(doc), "$.m.user_id", "bigint").alias("uid"),
-        F.expr(
-            "CAST(round(variant_get(parse_json(to_json(named_struct("
-            "'value', value))), '$.value', 'double') * 1000000) AS BIGINT)"
-        ).alias("value_mi"),
+        # nested double path off the SAME doc — identical parse_json(doc)
+        # trees, so codegen subexpression elimination serializes and
+        # parses the document once for all three extractions (a second
+        # per-row named_struct->JSON->VARIANT roundtrip here would be
+        # pure waste: distinct to_json calls can't be merged)
+        F.round(
+            F.variant_get(F.parse_json(doc), "$.m.value", "double") * 1000000
+        )
+        .cast("bigint")
+        .alias("value_mi"),
         F.try_variant_get(F.parse_json(F.col("props")), "$.absent", "string")
         .alias("missing"),
     )

@@ -266,8 +266,6 @@ def _reset_zorder(spark: SparkSession, sf_dir: str) -> None:
     """Drop the materialized Z-ordered layout so bench.py can time the
     write path cold (the OPTIMIZE-ZORDER rewrite cost, not just the
     pruned read)."""
-    import shutil
-
     shutil.rmtree(
         derived_cache_dir("counsel_zorder", sf_dir, "lineitem"),
         ignore_errors=True,
@@ -275,8 +273,6 @@ def _reset_zorder(spark: SparkSession, sf_dir: str) -> None:
 
 
 def _reset_timepart(spark: SparkSession, sf_dir: str) -> None:
-    import shutil
-
     shutil.rmtree(
         derived_cache_dir("counsel_timepart", sf_dir, "events"),
         ignore_errors=True,
@@ -524,8 +520,6 @@ def _staged_evolved_dir(spark: SparkSession, sf_dir: str) -> str:
     (ending 7..9) with an ADDED o_channel column derived
     deterministically from the key. The directory is what a 100 TB table
     looks like mid-migration — old files simply lack the new column."""
-    import shutil as _shutil
-
     stage = derived_cache_dir("counsel_schema_evo", sf_dir, "orders")
     marker = os.path.join(stage, "_STAGED")
     if not os.path.exists(marker):
@@ -539,7 +533,7 @@ def _staged_evolved_dir(spark: SparkSession, sf_dir: str) -> str:
                 F.lit("store")
             ),
         )
-        _shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
         old.write.parquet(os.path.join(stage, "epoch=0"))
         new.write.parquet(os.path.join(stage, "epoch=1"))
         with open(marker, "w") as fh:
@@ -780,8 +774,6 @@ _COMPACT_SMALL_N, _COMPACT_TARGET_N = 128, 8
 
 
 def _reset_compact(spark: SparkSession, sf_dir: str) -> None:
-    import shutil
-
     for tag in ("counsel_compact_small", "counsel_compact_out"):
         shutil.rmtree(
             derived_cache_dir(tag, sf_dir, "events"), ignore_errors=True
@@ -841,7 +833,32 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"expected {_COMPACT_SMALL_N}"
         )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        small_df.coalesce(_COMPACT_TARGET_N).write.mode("overwrite").parquet(out)
+        # Pin the scan's split planning for the compaction job: the
+        # n_after == TARGET contract needs the 128-file read to yield at
+        # least TARGET partitions, but the default bin-packing sizes
+        # bins from defaultParallelism (files*openCost/cores), so on a
+        # low-core session the tiny files pack into < TARGET partitions
+        # and coalesce — which can only DECREASE — writes fewer files.
+        # One-file-per-partition (openCost == maxPartitionBytes >> file
+        # size) makes the job core-count-independent; confs restored
+        # either way.
+        conf = spark.conf
+        olds = {
+            k: conf.get(k)
+            for k in (
+                "spark.sql.files.maxPartitionBytes",
+                "spark.sql.files.openCostInBytes",
+            )
+        }
+        try:
+            conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+            conf.set("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
+            small_df.coalesce(_COMPACT_TARGET_N).write.mode(
+                "overwrite"
+            ).parquet(out)
+        finally:
+            for k, v in olds.items():
+                conf.set(k, v)
     compacted = spark.read.parquet(out)
     n_after = len({f for f in compacted.inputFiles() if "parquet" in f})
     if n_after != _COMPACT_TARGET_N:

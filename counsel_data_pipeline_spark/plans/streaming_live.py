@@ -1233,23 +1233,29 @@ def _staged_dup_batches_dir(spark: SparkSession, sf_dir: str) -> str:
             .withColumn("b", F.least(F.col("b") + 4, F.lit(n - 1)))
             .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {_DD_FAR_HOURS} HOURS"))
         )
+        # persisted: the lineage contains a single-partition global
+        # ntile sort, and the per-batch writes below would otherwise
+        # re-execute it once per staged batch (n times)
         allrows = (
             base.unionByName(dup_same)
             .unionByName(dup_next)
             .unionByName(dup_far)
-        )
+        ).persist()
         os.makedirs(stage, exist_ok=True)
         now = _time.time()
-        for k in range(n):
-            tmp = os.path.join(stage, f"tmp{k}")
-            allrows.filter(F.col("b") == k).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(stage, f"{k:03d}.parquet")
-            os.replace(src, dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (now + k, now + k))
+        try:
+            for k in range(n):
+                tmp = os.path.join(stage, f"tmp{k}")
+                allrows.filter(F.col("b") == k).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+                dst = os.path.join(stage, f"{k:03d}.parquet")
+                os.replace(src, dst)
+                shutil.rmtree(tmp)
+                os.utime(dst, (now + k, now + k))
+        finally:
+            allrows.unpersist()
         with open(marker, "w") as fh:
             fh.write("ok")
     return stage

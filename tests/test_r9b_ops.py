@@ -223,11 +223,37 @@ def test_jsonl_sink_two_phase_commit_and_abort(tmp_path):
     assert parts == ["part-00000.jsonl", "part-00001.jsonl"]
     manifest = json.load(open(os.path.join(target, "_SUCCESS")))
     assert manifest == {"n_files": 2, "n_rows": 3, "value_sum_mi": 400}
-    # abort path: stage another file, then abort — target unchanged
+    # abort path: stage another file, then abort — target unchanged and
+    # the WHOLE staging dir is cleared (incl. orphans from task attempts
+    # that died mid-write and never produced a commit message)
     m3 = w.write(iter([Row(event_id=4, user_id=9, value_mi=999)]))
+    orphan = os.path.join(target, "_staging", "deadtask.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write('{"event_id": -1}\n')
     w.abort([m3, None])
     assert not os.path.exists(m3.staged_path)
+    assert not os.path.exists(orphan)
     assert sorted(f for f in os.listdir(target) if f.startswith("part-")) == parts
+    # append job: new parts number AFTER the existing ones and the
+    # manifest totals accumulate — nothing previously published moves
+    m4 = w.write(iter([Row(event_id=5, user_id=9, value_mi=600)]))
+    w.commit([m4])
+    parts2 = sorted(f for f in os.listdir(target) if f.startswith("part-"))
+    assert parts2 == ["part-00000.jsonl", "part-00001.jsonl", "part-00002.jsonl"]
+    manifest = json.load(open(os.path.join(target, "_SUCCESS")))
+    assert manifest == {"n_files": 3, "n_rows": 4, "value_sum_mi": 1000}
+    # overwrite job: previously published parts and manifest are
+    # replaced by exactly this job's output
+    w_ow = JsonlSinkWriter({"path": target}, overwrite=True)
+    m5 = w_ow.write(iter([Row(event_id=6, user_id=2, value_mi=70)]))
+    w_ow.commit([m5])
+    assert sorted(f for f in os.listdir(target) if f.startswith("part-")) == [
+        "part-00000.jsonl"
+    ]
+    manifest = json.load(open(os.path.join(target, "_SUCCESS")))
+    assert manifest == {"n_files": 1, "n_rows": 1, "value_sum_mi": 70}
+    # commit also reaps staging (orphans included)
+    assert not os.path.exists(os.path.join(target, "_staging"))
 
 
 def test_sequence_detect_known_patterns(spark, tmp_path):
