@@ -169,6 +169,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_sessionize_30m, events_sessionize_native_window,
     # quality_profile_lineitem, quality_referential_integrity,
     # window_balance_quartiles_distributed, window_event_value_delta
+    #
+    # Registered after the r9 window froze (never attested; front them
+    # in r10 with the fills above): dedup_jaccard_prefix_filter
 )
 
 

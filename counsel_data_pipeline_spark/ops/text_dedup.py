@@ -157,6 +157,108 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin
+    family, Bayardo et al. WWW'07) — the lossless scale path.
+
+    Same result set as ``jaccard_pairs(..., max_shingle_df=None)`` with
+    threshold t = t_num/t_den, but the candidate join touches only each
+    document's PREFIX: order every document's shingles by ascending
+    corpus document-frequency (rarest first; ties broken by the shingle
+    string so the global order is total and shared by all documents) and
+    keep the first |x| - ceil(t*|x|) + 1. Completeness: if J(x,y) >= t
+    then the common shingles number o >= ceil(t*|x|), while x's suffix
+    holds only ceil(t*|x|) - 1 positions — so the globally-smallest
+    common shingle sits inside BOTH prefixes, and the prefix equi-join
+    finds the pair. Unlike the df cap (``max_shingle_df``) this drops NO
+    pairs; unlike the uncapped join its blow-up is bounded — prefixes
+    are anchored on the RAREST shingles, so hot-shingle blocks never
+    enter the join. The length filter (min size >= t * max size, exact
+    integers) prunes candidates further before verification.
+
+    Returns (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b;
+    threshold is the exact rational t_num/t_den (no float in the prefix
+    arithmetic, so both engines agree on every prefix length).
+    """
+    # Persisted: the shingle stream feeds the df-count, the per-doc
+    # ranking, and both sides of the verification join.
+    sh = _doc_shingles(df, id_col, text_col, n).persist()
+    sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    w_doc = Window.partitionBy("id").orderBy("sdf", "shingle")
+    w_sz = Window.partitionBy("id")
+    ranked = (
+        sh.join(sh_df, "shingle")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .withColumn("sz", F.count(F.lit(1)).over(w_sz))
+    )
+    # prefix length = sz - ceil(t*sz) + 1, all-integer ceil (DIV, no float)
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("sz")
+        - F.expr(f"(sz * {t_num} + {t_den - 1}) DIV {t_den}")
+        + 1
+    ).select("id", "shingle", "sz")
+    a = prefix.select(
+        F.col("id").alias("id_a"), "shingle", F.col("sz").alias("size_a")
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), "shingle", F.col("sz").alias("size_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t forces t * max(|x|,|y|) <= min(|x|,|y|)
+            & (
+                F.least("size_a", "size_b") * t_den
+                >= F.greatest("size_a", "size_b") * t_num
+            )
+        )
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+    )
+    # exact verification over the candidates' FULL shingle sets, carried
+    # as per-doc ARRAYS: the doc-set table has one row per document (not
+    # per shingle), so both verify joins move doc-count rows — small
+    # enough to broadcast here, and never more than corpus metadata at
+    # scale — and the intersection is a hash-set probe inside codegen
+    # (array_intersect) instead of a re-explode + (id, shingle) shuffle
+    # of the whole shingle stream per candidate.
+    docsets = sh.groupBy("id").agg(F.collect_list("shingle").alias("shs"))
+    inter = (
+        cand.join(
+            docsets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")),
+            "id_a",
+        )
+        .join(
+            docsets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")),
+            "id_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint")
+        )
+    )
+    out = (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        # exact rational threshold: inter/union >= t_num/t_den
+        .filter(
+            F.col("inter") * t_den
+            >= (F.col("size_a") + F.col("size_b") - F.col("inter")) * t_num
+        )
+    )
+    return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

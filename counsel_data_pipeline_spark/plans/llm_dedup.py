@@ -249,6 +249,70 @@ def jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+        -- DELIBERATELY the plain exact-Jaccard pipeline (same SQL as
+        -- dedup_ngram_jaccard_pairs): the Spark side generates
+        -- candidates from document PREFIXES only (rarest ceil-filtered
+        -- slice under the global df order), so the green hash row
+        -- attests the AllPairs prefix-filter completeness theorem
+        -- itself — the pruned join provably drops no qualifying pair.
+        WITH toks AS (
+          SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS t FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter,
+               sa.sz AS size_a, sb.sz AS size_b,
+               CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    description=(
+        "exact 3-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin "
+        "family): shingles globally ordered by ascending document "
+        "frequency, each doc indexes only its first |x|-ceil(t|x|)+1 — "
+        "the LOSSLESS scale path between the uncapped join (exact, "
+        "skew-fragile) and the df cap (bounded, drops pairs): candidates "
+        "anchor on each doc's rarest shingles so hot-shingle blocks never "
+        "enter the join, yet the theorem guarantees the full answer; the "
+        "oracle recomputes with the naive all-shared-shingle join, so the "
+        "green row certifies losslessness across engines"
+    ),
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: three bounded shuffles (shingle df count, per-doc
+    rank, prefix equi-join) replace the raw shingle self-join whose cost
+    is sum(df^2) over ALL shingles — prefix blocks are capped by
+    construction at the rare end of the df distribution, and the exact
+    integer length filter (t*max <= min) prunes before verification.
+    Verification joins only candidate pairs against the full shingle
+    sets — O(candidates x doc size), the AllPairs bound. At 100 TB the
+    df table is corpus metadata (shingle cardinality), the global order
+    is a property of the corpus, and incremental ingest reuses it.
+    Cites Bayardo et al., 'Scaling Up All Pairs Similarity Search',
+    WWW 2007 (public algorithm)."""
+    return td.jaccard_prefix_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, t_num=1, t_den=2
+    )
+
+
+@register(
     "dedup_minhash_lsh_pairs",
     oracle=_minhash_lsh_oracle(n_hashes=16, bands=4, threshold=0.5),
     description="MinHash(16)+LSH(4 bands) candidate pairs, exact-jaccard verified ≥ 0.5 (md5-affine family, full oracle)",

@@ -41,6 +41,42 @@ def test_minhash_lsh_recall_and_precision(docs, exact_pairs):
     assert len(lsh) >= 0.85 * len(exact_pairs)
 
 
+def test_jaccard_prefix_filter_lossless_and_pruning(docs, exact_pairs):
+    from pyspark.sql import functions as F
+
+    # Losslessness (the AllPairs prefix-filter theorem): identical result
+    # set AND identical (inter, sizes, jaccard) values vs the plain
+    # exact shingle self-join.
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"], r["jaccard"])
+        for r in td.jaccard_prefix_pairs(docs, n=3, t_num=1, t_den=2).collect()
+    }
+    assert set(got) == set(exact_pairs)
+    assert all(got[k][3] == exact_pairs[k] for k in got)
+    # Pruning actually engages: each doc indexes only its prefix, so the
+    # indexed (id, shingle) stream is a strict subset of the full one.
+    sh = td._doc_shingles(docs, "doc_id", "text", 3)
+    n_full = sh.count()
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    from pyspark.sql import Window
+
+    ranked = (
+        sh.join(sdf, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("sdf", "shingle")
+            ),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    n_prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.expr("(sz + 1) DIV 2") + 1
+    ).count()
+    # t=0.5 keeps ~half of each doc's shingles (+1)
+    assert n_prefix < 0.6 * n_full
+
+
 def test_simhash_finds_near_identical_docs(docs, exact_pairs):
     simp = {
         (r["id_a"], r["id_b"]): r["hamming"]
