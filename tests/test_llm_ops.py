@@ -89,6 +89,48 @@ def test_simhash_finds_near_identical_docs(docs, exact_pairs):
     assert all(0 <= h <= 5 for h in simp.values())
 
 
+def test_minhash_agrees_with_mllib_minhashlsh(docs, exact_pairs):
+    """Triangulation against Spark's own MLlib MinHashLSH: an independent
+    implementation (random-permutation family, banding via OR-ed hash
+    tables, exact Jaccard verification on the feature vectors) run on the
+    same corpus must land on the same near-dup pairs as our md5-affine
+    family — agreement across two unrelated implementations pins the
+    semantics, not just our arithmetic."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.ops.text_analysis import (
+        norm_text,
+        word_shingles,
+    )
+
+    feat = docs.select(
+        "doc_id", word_shingles(norm_text(F.col("text")), 3).alias("shs")
+    ).filter(F.size("shs") > 0)
+    # 2^20 feature buckets: ~50 shingles/doc -> hash collisions are rare
+    # enough that MLlib's exact-on-vectors Jaccard equals set Jaccard
+    tf = HashingTF(
+        inputCol="shs", outputCol="v", numFeatures=1 << 20, binary=True
+    )
+    vec = tf.transform(feat)
+    lsh = MinHashLSH(inputCol="v", outputCol="h", numHashTables=8, seed=42)
+    model = lsh.fit(vec)
+    joined = model.approxSimilarityJoin(vec, vec, 0.5, distCol="d")
+    mllib = {
+        (r["a"], r["b"])
+        for r in joined.select(
+            F.col("datasetA.doc_id").alias("a"), F.col("datasetB.doc_id").alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .collect()
+    }
+    # MLlib verifies exact Jaccard on the vectors -> subset of truth...
+    assert mllib <= set(exact_pairs)
+    # ...and its 8-table OR-banding should recover most true pairs
+    assert len(mllib) >= 0.8 * len(exact_pairs)
+
+
 def test_exact_dedup_no_false_merges(docs):
     out = td.exact_dedup(docs).collect()
     n_docs = docs.count()
