@@ -260,3 +260,59 @@ def test_duplicate_span_coverage_matches_bruteforce(spark, docs, k):
         for r in duplicate_span_coverage(df, k=k).collect()
     }
     assert got == py_span_coverage(data, k)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered Jaccard == brute force on arbitrary corpora
+# ---------------------------------------------------------------------------
+
+
+def py_jaccard_pairs(texts, n=3):
+    """Exact threshold-0.5 Jaccard over n-word shingle sets."""
+    sh = {}
+    for i, text in enumerate(texts):
+        t = text.split()
+        sh[i] = (
+            {" ".join(t[j : j + n]) for j in range(len(t) - n + 1)}
+            if len(t) >= n
+            else set()
+        )
+    out = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sh[ids[x]], sh[ids[y]]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if 2 * inter >= len(a | b):
+                out[(ids[x], ids[y])] = (inter, len(a), len(b))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee ff".split()),
+                 min_size=1, max_size=24)
+        .map(" ".join),
+        min_size=3,
+        max_size=10,
+    ),
+)
+def test_jaccard_prefix_pairs_match_bruteforce(spark, docs):
+    """The prefix+positional+length filter stack must be LOSSLESS on
+    arbitrary corpora, including sub-shingle-length docs, all-identical
+    docs (maximal ties in the global order), and single-shingle docs —
+    not just the committed corpus the oracle gate runs on."""
+    from counsel_data_pipeline_spark.ops.text_dedup import jaccard_prefix_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"])
+        for r in jaccard_prefix_pairs(df, n=3, t_num=1, t_den=2).collect()
+    }
+    assert got == py_jaccard_pairs(docs)
