@@ -171,7 +171,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window_balance_quartiles_distributed, window_event_value_delta
     #
     # Registered after the r9 window froze (never attested; front them
-    # in r10 with the fills above): dedup_jaccard_prefix_filter
+    # in r10 with the fills above): dedup_jaccard_prefix_filter,
+    # dedup_containment_prefix_filter
 )
 
 

@@ -289,6 +289,121 @@ def jaccard_prefix_pairs(
     return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
 
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """Exact containment pairs via prefix filtering — the lossless
+    bounded path for the ASYMMETRIC measure (Broder containment =
+    inter / min(|A|, |B|)), completing what ``jaccard_prefix_pairs``
+    does for the symmetric one.
+
+    C(x,y) >= t bounds the overlap by the SMALLER set only, so the
+    prefix theorem applies one-sided: if |x| <= |y| then o >=
+    ceil(t*|x|), and x's suffix past |x| - ceil(t*|x|) + 1 cannot hold
+    all common tokens — some common token sits in x's prefix, which may
+    match ANYWHERE in y. Candidates are therefore prefix(smaller) ⋈
+    FULL(larger): every doc is indexed both ways and the direction with
+    the smaller doc on the prefix side is guaranteed to fire. Hot
+    corpus-wide shingles still never explode the join — on the full
+    side their df is n, but on the prefix side it is ~0, and the join
+    cost is sum over shingles of prefix_df * full_df. The positional
+    filter carries over: a matched row survives only if
+    1 + min(remaining positions) can reach ceil(t * |smaller|).
+
+    Returns (id_a, id_b, inter, size_a, size_b, containment) with
+    id_a < id_b; threshold is the exact rational t_num/t_den.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n).persist()
+    sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    w_doc = Window.partitionBy("id").orderBy("sdf", "shingle")
+    w_sz = Window.partitionBy("id")
+    ranked = (
+        sh.join(sh_df, "shingle")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .withColumn("sz", F.count(F.lit(1)).over(w_sz))
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("sz")
+        - F.expr(f"(sz * {t_num} + {t_den - 1}) DIV {t_den}")
+        + 1
+    ).select(
+        F.col("id").alias("id_p"),
+        "shingle",
+        F.col("sz").alias("sz_p"),
+        F.col("rn").alias("rn_p"),
+    )
+    full = ranked.select(
+        F.col("id").alias("id_f"),
+        "shingle",
+        F.col("sz").alias("sz_f"),
+        F.col("rn").alias("rn_f"),
+    )
+    # required overlap is set by the prefix (smaller) side
+    alpha_p = F.expr(f"(sz_p * {t_num} + {t_den - 1}) DIV {t_den}")
+    cand = (
+        prefix.join(full, "shingle")
+        .filter(
+            (F.col("id_p") != F.col("id_f"))
+            # the smaller-side-as-prefix direction is the guaranteed one;
+            # ties fire in both directions and collapse in the distinct
+            & (F.col("sz_p") <= F.col("sz_f"))
+            & (
+                1
+                + F.least(
+                    F.col("sz_p") - F.col("rn_p"),
+                    F.col("sz_f") - F.col("rn_f"),
+                )
+                >= alpha_p
+            )
+        )
+        .select(
+            F.least("id_p", "id_f").alias("id_a"),
+            F.greatest("id_p", "id_f").alias("id_b"),
+            F.when(F.col("id_p") < F.col("id_f"), F.col("sz_p"))
+            .otherwise(F.col("sz_f"))
+            .alias("size_a"),
+            F.when(F.col("id_p") < F.col("id_f"), F.col("sz_f"))
+            .otherwise(F.col("sz_p"))
+            .alias("size_b"),
+        )
+        .distinct()
+    )
+    docsets = sh.groupBy("id").agg(F.collect_list("shingle").alias("shs"))
+    inter = (
+        cand.join(
+            docsets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")),
+            "id_a",
+        )
+        .join(
+            docsets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")),
+            "id_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint")
+        )
+    )
+    out = (
+        inter.withColumn(
+            "containment",
+            F.col("inter") / F.least(F.col("size_a"), F.col("size_b")),
+        )
+        # exact rational threshold: inter / min >= t_num/t_den
+        .filter(
+            F.col("inter") * t_den
+            >= F.least(F.col("size_a"), F.col("size_b")) * t_num
+        )
+    )
+    return out.select(
+        "id_a", "id_b", "inter", "size_a", "size_b", "containment"
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -901,6 +901,66 @@ def containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment_prefix_filter",
+    oracle=f"""
+        -- DELIBERATELY the same naive shared-shingle pipeline as
+        -- dedup_containment_pairs: the Spark side generates candidates
+        -- from prefix(smaller) x FULL(larger) under the global df
+        -- order, so the green hash row attests the one-sided prefix
+        -- completeness theorem for the asymmetric measure.
+        WITH toks AS (
+          SELECT doc_id, string_split_regex({_SQL_NORM}, ' ') AS t FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter,
+               sa.sz AS size_a, sb.sz AS size_b,
+               CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.8
+    """,
+    description=(
+        "exact containment pairs via one-sided prefix filtering — the "
+        "lossless bounded path for the ASYMMETRIC near-dup measure: the "
+        "smaller doc's rarest-shingle prefix must intersect the larger "
+        "doc's full set (C >= t bounds overlap by the smaller side only), "
+        "so candidates are prefix(smaller) x full(larger) with the "
+        "positional filter carried over; hot corpus-wide shingles have "
+        "~zero prefix-side df, bounding the join the way the df cap does "
+        "WITHOUT dropping pairs — the oracle recomputes with the naive "
+        "all-shared-shingle join, certifying losslessness across engines"
+    ),
+    tags=("llm", "dedup"),
+)
+def containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: join cost is sum over shingles of prefix_df x
+    full_df — boilerplate shingles (df = n on the full side) carry ~0
+    prefix-side df, so the product stays bounded where the naive join
+    pays n^2; verification probes per-doc shingle-set arrays (doc-sized
+    joins, no shingle re-explode). Same funnel discipline as
+    jaccard_prefix_pairs (prefix -> positional -> distinct -> exact
+    verify), adapted to the one-sided bound ceil(t * |smaller|).
+    Cites Bayardo et al. WWW'07 for the prefix principle; the
+    containment adaptation indexes the full set on the probe side."""
+    return td.containment_prefix_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, t_num=4, t_den=5
+    )
+
+
 _DSB_BUCKETS = 8
 
 

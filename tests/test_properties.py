@@ -316,3 +316,59 @@ def test_jaccard_prefix_pairs_match_bruteforce(spark, docs):
         for r in jaccard_prefix_pairs(df, n=3, t_num=1, t_den=2).collect()
     }
     assert got == py_jaccard_pairs(docs)
+
+
+def py_containment_pairs(texts, n=3, t_num=4, t_den=5):
+    """Exact containment (inter/min >= t) over n-word shingle sets."""
+    sh = {}
+    for i, text in enumerate(texts):
+        t = text.split()
+        sh[i] = (
+            {" ".join(t[j : j + n]) for j in range(len(t) - n + 1)}
+            if len(t) >= n
+            else set()
+        )
+    out = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sh[ids[x]], sh[ids[y]]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if inter * t_den >= min(len(a), len(b)) * t_num:
+                out[(ids[x], ids[y])] = (inter, len(a), len(b))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee ff".split()),
+                 min_size=1, max_size=24)
+        .map(" ".join),
+        min_size=3,
+        max_size=10,
+    ),
+)
+def test_containment_prefix_pairs_match_bruteforce(spark, docs):
+    """The one-sided prefix + positional filter must be lossless for the
+    asymmetric measure on arbitrary corpora — including the pasted-
+    paragraph shape (tiny doc fully contained in a long one) where the
+    size ratio is extreme and Jaccard's two-sided length filter would
+    have pruned the pair."""
+    from counsel_data_pipeline_spark.ops.text_dedup import (
+        containment_prefix_pairs,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"])
+        for r in containment_prefix_pairs(
+            df, n=3, t_num=4, t_den=5
+        ).collect()
+    }
+    assert got == py_containment_pairs(docs)
