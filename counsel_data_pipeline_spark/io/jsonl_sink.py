@@ -58,9 +58,12 @@ class JsonlCommit(WriterCommitMessage):
     value_sum_mi: int
 
 
-def _part_index(name: str) -> int:
-    # "part-00042.jsonl" -> 42; malformed names never count as parts.
-    return int(name[len("part-"):-len(".jsonl")])
+def _part_index(name: str) -> int | None:
+    # "part-00042.jsonl" -> 42; None for foreign part-*.jsonl files a
+    # human or tool dropped in (they must neither crash a commit nor be
+    # clobbered/deleted by one).
+    mid = name[len("part-"):-len(".jsonl")]
+    return int(mid) if mid.isdigit() else None
 
 
 class JsonlSinkWriter(DataSourceWriter):
@@ -101,12 +104,15 @@ class JsonlSinkWriter(DataSourceWriter):
                     vsum += int(v)
         return JsonlCommit(staged_path=staged, n_rows=n, value_sum_mi=vsum)
 
-    def _published_parts(self) -> list[str]:
-        return sorted(
-            f
-            for f in os.listdir(self.path)
-            if f.startswith("part-") and f.endswith(".jsonl")
-        )
+    def _published_parts(self) -> dict[int, str]:
+        """index -> filename for the sink's own numbered parts only."""
+        out: dict[int, str] = {}
+        for f in os.listdir(self.path):
+            if f.startswith("part-") and f.endswith(".jsonl"):
+                i = _part_index(f)
+                if i is not None:
+                    out[i] = f
+        return out
 
     def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
         commits = [m for m in messages if m is not None]
@@ -117,17 +123,26 @@ class JsonlSinkWriter(DataSourceWriter):
             # the listing before any part file changes), then the parts.
             if os.path.exists(manifest_path):
                 os.remove(manifest_path)
-            for f in self._published_parts():
+            for f in self._published_parts().values():
                 os.remove(os.path.join(self.path, f))
             start = 0
             prev = {"n_files": 0, "n_rows": 0, "value_sum_mi": 0}
         else:
-            existing = self._published_parts()
-            start = (_part_index(existing[-1]) + 1) if existing else 0
             prev = {"n_files": 0, "n_rows": 0, "value_sum_mi": 0}
             if os.path.exists(manifest_path):
                 with open(manifest_path) as fh:
                     prev = json.load(fh)
+            # Crash repair: the manifest is the publication gate, so any
+            # numbered parts beyond its n_files are orphans of a commit
+            # that died between its renames and its manifest write —
+            # UNPUBLISHED by contract. Remove them; otherwise every later
+            # append publishes a manifest whose totals exclude them and
+            # the manifest/read-back integrity check fails forever.
+            existing = self._published_parts()
+            orphans = sorted(existing)[prev["n_files"]:]
+            for i in orphans:
+                os.remove(os.path.join(self.path, existing.pop(i)))
+            start = (max(existing) + 1) if existing else 0
         for i, m in enumerate(sorted(commits, key=lambda c: c.staged_path)):
             final = os.path.join(self.path, f"part-{start + i:05d}.jsonl")
             os.replace(m.staged_path, final)

@@ -157,6 +157,65 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
 
+def _df_ranked_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared scaffolding for the prefix-filter family: the persisted
+    distinct shingle stream (it feeds the df-count, the per-doc ranking,
+    and the verification join) plus the ranked view — each (id, shingle)
+    annotated with its position ``rn`` under the global ascending-df
+    order (ties broken by the shingle string, so the order is total and
+    shared by all documents) and the doc's shingle-set size ``sz``."""
+    sh = _doc_shingles(df, id_col, text_col, n).persist()
+    sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    ranked = (
+        sh.join(sh_df, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("sdf", "shingle")
+            ),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    return sh, ranked
+
+
+def _prefix_slice(ranked: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """First |x| - ceil(t*|x|) + 1 positions of each doc's ranked
+    shingles — all-integer ceil (DIV, no float)."""
+    return ranked.filter(
+        F.col("rn")
+        <= F.col("sz")
+        - F.expr(f"(sz * {t_num} + {t_den - 1}) DIV {t_den}")
+        + 1
+    ).select("id", "shingle", "sz", "rn")
+
+
+def _intersect_candidates(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact verification over the candidates' FULL shingle sets, carried
+    as per-doc ARRAYS: the doc-set table has one row per document (not
+    per shingle), so both verify joins move doc-count rows — small
+    enough to broadcast here, and never more than corpus metadata at
+    scale — and the intersection is a hash-set probe inside codegen
+    (array_intersect) instead of a re-explode + (id, shingle) shuffle
+    of the whole shingle stream per candidate."""
+    docsets = sh.groupBy("id").agg(F.collect_list("shingle").alias("shs"))
+    return (
+        cand.join(
+            docsets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")),
+            "id_a",
+        )
+        .join(
+            docsets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")),
+            "id_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint")
+        )
+    )
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -191,24 +250,8 @@ def jaccard_prefix_pairs(
     threshold is the exact rational t_num/t_den (no float in the prefix
     arithmetic, so both engines agree on every prefix length).
     """
-    # Persisted: the shingle stream feeds the df-count, the per-doc
-    # ranking, and both sides of the verification join.
-    sh = _doc_shingles(df, id_col, text_col, n).persist()
-    sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-    w_doc = Window.partitionBy("id").orderBy("sdf", "shingle")
-    w_sz = Window.partitionBy("id")
-    ranked = (
-        sh.join(sh_df, "shingle")
-        .withColumn("rn", F.row_number().over(w_doc))
-        .withColumn("sz", F.count(F.lit(1)).over(w_sz))
-    )
-    # prefix length = sz - ceil(t*sz) + 1, all-integer ceil (DIV, no float)
-    prefix = ranked.filter(
-        F.col("rn")
-        <= F.col("sz")
-        - F.expr(f"(sz * {t_num} + {t_den - 1}) DIV {t_den}")
-        + 1
-    ).select("id", "shingle", "sz", "rn")
+    sh, ranked = _df_ranked_shingles(df, id_col, text_col, n)
+    prefix = _prefix_slice(ranked, t_num, t_den)
     a = prefix.select(
         F.col("id").alias("id_a"),
         "shingle",
@@ -254,27 +297,7 @@ def jaccard_prefix_pairs(
         .select("id_a", "id_b", "size_a", "size_b")
         .distinct()
     )
-    # exact verification over the candidates' FULL shingle sets, carried
-    # as per-doc ARRAYS: the doc-set table has one row per document (not
-    # per shingle), so both verify joins move doc-count rows — small
-    # enough to broadcast here, and never more than corpus metadata at
-    # scale — and the intersection is a hash-set probe inside codegen
-    # (array_intersect) instead of a re-explode + (id, shingle) shuffle
-    # of the whole shingle stream per candidate.
-    docsets = sh.groupBy("id").agg(F.collect_list("shingle").alias("shs"))
-    inter = (
-        cand.join(
-            docsets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")),
-            "id_a",
-        )
-        .join(
-            docsets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")),
-            "id_b",
-        )
-        .withColumn(
-            "inter", F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint")
-        )
-    )
+    inter = _intersect_candidates(cand, sh)
     out = (
         inter.withColumn(
             "jaccard",
@@ -318,21 +341,8 @@ def containment_prefix_pairs(
     Returns (id_a, id_b, inter, size_a, size_b, containment) with
     id_a < id_b; threshold is the exact rational t_num/t_den.
     """
-    sh = _doc_shingles(df, id_col, text_col, n).persist()
-    sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-    w_doc = Window.partitionBy("id").orderBy("sdf", "shingle")
-    w_sz = Window.partitionBy("id")
-    ranked = (
-        sh.join(sh_df, "shingle")
-        .withColumn("rn", F.row_number().over(w_doc))
-        .withColumn("sz", F.count(F.lit(1)).over(w_sz))
-    )
-    prefix = ranked.filter(
-        F.col("rn")
-        <= F.col("sz")
-        - F.expr(f"(sz * {t_num} + {t_den - 1}) DIV {t_den}")
-        + 1
-    ).select(
+    sh, ranked = _df_ranked_shingles(df, id_col, text_col, n)
+    prefix = _prefix_slice(ranked, t_num, t_den).select(
         F.col("id").alias("id_p"),
         "shingle",
         F.col("sz").alias("sz_p"),
@@ -374,20 +384,7 @@ def containment_prefix_pairs(
         )
         .distinct()
     )
-    docsets = sh.groupBy("id").agg(F.collect_list("shingle").alias("shs"))
-    inter = (
-        cand.join(
-            docsets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")),
-            "id_a",
-        )
-        .join(
-            docsets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")),
-            "id_b",
-        )
-        .withColumn(
-            "inter", F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint")
-        )
-    )
+    inter = _intersect_candidates(cand, sh)
     out = (
         inter.withColumn(
             "containment",

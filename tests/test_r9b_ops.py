@@ -254,6 +254,33 @@ def test_jsonl_sink_two_phase_commit_and_abort(tmp_path):
     assert manifest == {"n_files": 1, "n_rows": 1, "value_sum_mi": 70}
     # commit also reaps staging (orphans included)
     assert not os.path.exists(os.path.join(target, "_staging"))
+    # crash repair: parts beyond the manifest's n_files are orphans of a
+    # commit that died before its manifest write — unpublished by
+    # contract, so the next append removes them and its manifest matches
+    # the directory again
+    with open(os.path.join(target, "part-00001.jsonl"), "w") as fh:
+        fh.write('{"event_id": 99, "value_mi": 5}\n')  # orphan
+    m6 = w_ow.write(iter([Row(event_id=7, user_id=3, value_mi=30)]))
+    JsonlSinkWriter({"path": target}).commit([m6])
+    assert sorted(f for f in os.listdir(target) if f.startswith("part-")) == [
+        "part-00000.jsonl", "part-00001.jsonl"
+    ]
+    manifest = json.load(open(os.path.join(target, "_SUCCESS")))
+    assert manifest == {"n_files": 2, "n_rows": 2, "value_sum_mi": 100}
+    # foreign part-*.jsonl files (non-numeric) neither crash a commit nor
+    # get clobbered; numbering starts after the HIGHEST numeric index
+    # even when lexicographic order disagrees (6-digit vs 5-digit names)
+    foreign = os.path.join(target, "part-merged.jsonl")
+    with open(foreign, "w") as fh:
+        fh.write('{"event_id": -2}\n')
+    os.rename(
+        os.path.join(target, "part-00001.jsonl"),
+        os.path.join(target, "part-100000.jsonl"),
+    )
+    m7 = w_ow.write(iter([Row(event_id=8, user_id=4, value_mi=1)]))
+    JsonlSinkWriter({"path": target}).commit([m7])
+    names = sorted(f for f in os.listdir(target) if f.startswith("part-"))
+    assert "part-100001.jsonl" in names and "part-merged.jsonl" in names
 
 
 def test_sequence_detect_known_patterns(spark, tmp_path):

@@ -56,31 +56,35 @@ def main() -> None:
     print(f"# corpus: {n} docs, every one carrying the {len(BOILER.split())}-token boilerplate", file=sys.stderr)
 
     def race(label, fn):
+        # collect the pair keys as the forcing action so the later
+        # losslessness comparison reuses them — re-evaluating the
+        # deliberately pathological uncapped join from cold just for the
+        # comparison would roughly double the tool's wall time
         t0 = time.time()
-        out = fn()
-        cnt = out.count()
+        pairs = {
+            (r.id_a, r.id_b) for r in fn().select("id_a", "id_b").collect()
+        }
         dt = round(time.time() - t0, 2)
-        print(f"{label}: {dt}s, {cnt} pairs", file=sys.stderr)
+        print(f"{label}: {dt}s, {len(pairs)} pairs", file=sys.stderr)
         spark.catalog.clearCache()
         docs.persist().count()
-        return dt, cnt, out
+        return dt, pairs
 
-    t_un, n_un, un = race(
+    t_un, un = race(
         "uncapped  (shingle self-join, O(n^2) on hot shingles)",
         lambda: td.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None),
     )
-    t_cap, n_cap, _ = race(
+    t_cap, cap = race(
         "df-capped (max_shingle_df=1000, rare-shingle universe)",
         lambda: td.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=1000),
     )
-    t_pf, n_pf, pf = race(
+    t_pf, pf = race(
         "prefix    (AllPairs filter, exact)",
         lambda: td.jaccard_prefix_pairs(docs, n=3, t_num=1, t_den=2),
     )
+    n_un, n_cap, n_pf = len(un), len(cap), len(pf)
     # losslessness on the polluted corpus too
-    a = {(r.id_a, r.id_b) for r in un.select("id_a", "id_b").collect()}
-    b = {(r.id_a, r.id_b) for r in pf.select("id_a", "id_b").collect()}
-    assert a == b, f"prefix != uncapped: {len(a ^ b)} differing pairs"
+    assert un == pf, f"prefix != uncapped: {len(un ^ pf)} differing pairs"
     print(
         '{"metric": "jaccard_scale_race", '
         f'"n_docs": {n}, '
