@@ -76,103 +76,73 @@ def register(
 # registration order. Rotate per round: once a family has its green
 # CORRECTNESS row, swap the next unverified family in.
 #
-# Round 9 window (ledger in COVERAGE.md). Evidence state after r8:
-# 50 queries hash-green in r8, 50 in r7, 46 in r5, 10 in r4 — so this
-# round's 50 slots go to (a) new-in-r9 queries as they land, prepended
-# to this block, (b) the 10 queries whose last green row is r4 (the
-# fill queue displaced by the r8 additions), then (c) the oldest of the
-# 46 r5-green rows in registration-family order. r5 rows that miss the
-# cut rotate in r10, which then gives every catalog query a post-r4
-# driver attestation.
+# Round 10 window (ledger in COVERAGE.md). Evidence state after r9:
+# 50 queries hash-green in r9, 50 in r8, 50 in r7, 39 in r5, and 2
+# never attested (the prefix-filter dedup pair registered after the r9
+# window froze). This round's 50 slots: (a) the 2 never-attested
+# queries FIRST, (b) all 39 r5-green fills — retiring the last pre-r6
+# evidence debt, (c) new-in-r10 queries as they land (displacing the
+# placeholder block from the END), (d) placeholder top-up from the
+# oldest r7-green rows so the window is always exactly 50 deliberate
+# entries.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- (a) new in r9 (prepend as they land) --
-    "events_sequence_detect",
-    "layout_python_sink_roundtrip",
-    "tpch_lateral_top_customers",
-    "quality_observe_scan_metrics",
-    "text_arrow_group_profile",
-    "streaming_checkpoint_restart",
-    "graph_bfs_recursive_sql",
-    "events_variant_props_extract",
-    "window_gap_fill_interpolate",
-    "graph_common_neighbors",
-    "streaming_dropdup_within_watermark",
-    "dedup_ngram_jaccard_capped",
-    "sketch_histogram_quantiles",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_ship_latency_priority",
-    "tpch_q20_dominant_suppliers",
-    "tpch_q21_blocking_supplier",
-    "streaming_watermark_late_drop",
-    "join_salted_hot_users",
-    "layout_schema_evolution_read",
-    "streaming_static_join_daily",
-    "incremental_join_view_merge",
-    "streaming_stream_stream_join",
-    "incremental_cdc_upsert_apply",
-    "multimodal_feature_topk",
-    "streaming_stream_stream_outer_join",
-    "text_udtf_token_chunks",
-    "streaming_python_source_agg",
-    "graph_bfs_copurchase_hops",
-    "graph_triangle_count",
-    "layout_compact_small_files",
-    # -- (b) oldest evidence: last hash-green row is r4 --
-    "text_quality_scores",
-    "text_lang_id",
-    "text_fingerprints",
-    "text_token_stats_by_lang",
-    "text_boilerplate_ngrams",
-    "text_oov_trigram_ratio",
-    "llm_corpus_prep",
-    "sim_quantized_topk",
-    "sim_embedding_dim_profile",
-    "tpch_q15_top_supplier",
-    # -- (c) r5-green fill, oldest evidence after the r4 rows --
-    "text_bpe_token_counts",
-    "text_top_ngrams_per_lang",
-    "text_tfidf_top_terms",
-    "text_bm25_search",
-    "text_source_entropy",
-    "text_bigram_lm_score",
-    # sketch_cms_user_counts stays windowed ahead of the outer-join fill:
-    # its r9 probe-reuse rewrite supersedes the r5 green row (the
-    # superseded-implementation rule), while the outer join is unchanged
-    # since r5.
-    "sketch_cms_user_counts",
-    # r5 rows deferred to r10 for slot budget (displaced as new r9
-    # queries prepend): ops_first_wins_dedup,
-    # ops_keyed_merge_two_sources,
-    # ops_snapshot_carry_forward,
-    # ops_clean_anchor_extract, ops_stable_sort_topk,
-    # rollup_revenue_region_nation, cube_orders_status_priority,
-    # grouping_sets_lineitem,
-    # setop_repeat_buyers_intersect, setop_lapsed_buyers_except,
-    # setop_union_priority_buckets,
-    # join_anti_customers_without_orders,
-    # join_semi_suppliers_of_big_items,
-    # join_outer_nation_customer_counts,
-    # sketch_bloom_custkey_probe,
-    # tpch_q3_shipping_priority,
-    # tpch_q4_order_priority,
-    # tpch_q5_local_supplier_volume,
-    # tpch_q10_returned_customers,
-    # tpch_q18_large_volume, tpch_copurchase_part_pairs,
-    # agg_brand_volume, agg_order_value_percentiles,
-    # curation_gopher_filters, curation_c4_filters,
-    # curation_shuffle_order,
-    # curation_weighted_sample, llm_corpus_prep_v2, dedup_keep_list,
-    # quality_profile_documents, quality_token_drift_psi,
-    # window_rolling_7day_user_value, window_fill_forward_last_purchase,
-    # events_sessionize_30m, events_sessionize_native_window,
-    # quality_profile_lineitem, quality_referential_integrity,
-    # window_balance_quartiles_distributed, window_event_value_delta
-    #
-    # Registered after the r9 window froze (never attested; front them
-    # in r10 with the fills above): dedup_jaccard_prefix_filter,
-    # dedup_containment_prefix_filter
+    # -- (a) never attested: registered after the r9 window froze --
+    "dedup_jaccard_prefix_filter",
+    "dedup_containment_prefix_filter",
+    # -- (b) r5-green fill queue (complete; retires pre-r6 debt) --
+    "ops_first_wins_dedup",
+    "ops_keyed_merge_two_sources",
+    "ops_snapshot_carry_forward",
+    "ops_clean_anchor_extract",
+    "ops_stable_sort_topk",
+    "rollup_revenue_region_nation",
+    "cube_orders_status_priority",
+    "grouping_sets_lineitem",
+    "setop_repeat_buyers_intersect",
+    "setop_lapsed_buyers_except",
+    "setop_union_priority_buckets",
+    "join_anti_customers_without_orders",
+    "join_semi_suppliers_of_big_items",
+    "join_outer_nation_customer_counts",
+    "sketch_bloom_custkey_probe",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_customers",
+    "tpch_q18_large_volume",
+    "tpch_copurchase_part_pairs",
+    "agg_brand_volume",
+    "agg_order_value_percentiles",
+    "curation_gopher_filters",
+    "curation_c4_filters",
+    "curation_shuffle_order",
+    "curation_weighted_sample",
+    "llm_corpus_prep_v2",
+    "dedup_keep_list",
+    "quality_profile_documents",
+    "quality_token_drift_psi",
+    "window_rolling_7day_user_value",
+    "window_fill_forward_last_purchase",
+    "events_sessionize_30m",
+    "events_sessionize_native_window",
+    "quality_profile_lineitem",
+    "quality_referential_integrity",
+    "window_balance_quartiles_distributed",
+    "window_event_value_delta",
+    # -- (c) new in r10 (prepend here as they land, dropping
+    #    placeholders from the END of block (d)) --
+    # -- (d) placeholder top-up: oldest r7-green rows (front of the r7
+    #    window, CORRECTNESS_r07 key order). Fresh attestation is
+    #    harmless if they stay; new r10 queries displace from the END. --
+    "streaming_weighted_reservoir",
+    "streaming_cms_user_counts",
+    "streaming_incremental_dedup",
+    "incremental_orders_state_merge",
+    "join_bucketed_order_revenue",
+    "sim_ivf_incremental_append",
+    "sim_ivf_centroid_drift",
+    "sketch_sampled_quantiles",
+    "sketch_cms_heavy_hitters",
 )
 
 
