@@ -590,13 +590,16 @@ def common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join shuffles only the capped candidate set. Top-k is
     TakeOrderedAndProject with a unique (score desc, y, z) tiebreak —
     no global sort materializes. Hub middles are pruned BEFORE the
-    self-join, at the scan side of the adjacency build."""
+    self-join, at the scan side of the adjacency build.
+
+    The result is localCheckpoint'ed (eager, executor-side) so the
+    persisted edge list can be released without the top-k ever
+    round-tripping the driver."""
     e = _copurchase_edge_list(spark, sf_dir).persist()
     try:
-        rows = common_neighbors_plan(e).collect()
+        return common_neighbors_plan(e).localCheckpoint()
     finally:
         e.unpersist()
-    return spark.createDataFrame(rows, "y BIGINT, z BIGINT, common_mid BIGINT")
 
 
 def _copurchase_edge_list(spark: SparkSession, sf_dir: str) -> DataFrame:
