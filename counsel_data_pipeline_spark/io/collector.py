@@ -439,12 +439,14 @@ class RecordedBrowserPage:
         self._grid_open = False
 
 
-def playwright_page(base_url: str) -> BrowserPage:  # pragma: no cover
+def playwright_page(base_url: str) -> BrowserPage:
     """Production :class:`BrowserPage`: a thin adapter over a real
     Playwright page using the reference's selectors. Requires the
     ``playwright`` package and an installed browser — neither ships in
-    this sandbox, so this is the declared integration point (the recorded
-    twin above carries the tests); the adapter mirrors
+    this sandbox, so tests drive this adapter through a fake
+    ``playwright.sync_api`` module (tests/test_playwright_adapter.py)
+    while ``RecordedBrowserPage`` carries the transport-protocol tests;
+    the adapter mirrors
     ref src/index.js: #county select, #isYes/#isNo checks,
     CSSM_SearchDataGrid trigger (:198-207), grid-XHR interception
     (:167-172), pager scrape (:209-231), CSSM_CloseDialog reset (:251-274).
