@@ -945,6 +945,7 @@ def containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "all-shared-shingle join, certifying losslessness across engines"
     ),
     tags=("llm", "dedup"),
+    bench=True,
 )
 def containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale notes: join cost is sum over shingles of prefix_df x
