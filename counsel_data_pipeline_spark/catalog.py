@@ -131,6 +131,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_event_value_delta",
     # -- (c) new in r10 (prepend here as they land, dropping
     #    placeholders from the END of block (d)) --
+    "dedup_levenshtein_blocked",
     # -- (d) placeholder top-up: oldest r7-green rows (front of the r7
     #    window, CORRECTNESS_r07 key order). Fresh attestation is
     #    harmless if they stay; new r10 queries displace from the END. --
@@ -142,7 +143,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_ivf_incremental_append",
     "sim_ivf_centroid_drift",
     "sketch_sampled_quantiles",
-    "sketch_cms_heavy_hitters",
 )
 
 

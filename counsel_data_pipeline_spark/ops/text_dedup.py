@@ -433,6 +433,76 @@ def containment_pairs(
     )
 
 
+def levenshtein_blocked_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 12,
+    max_dist: int = 40,
+    rel_den: int = 5,
+    max_block: int = 64,
+) -> DataFrame:
+    """Character-level edit-distance near-dups over prefix-blocked
+    candidates: pairs of docs sharing the first ``prefix_len`` chars of
+    their normalized text, with ``lev <= max_dist`` AND
+    ``lev * rel_den <= min(len_a, len_b)`` (a relative cap, compared in
+    exact integer arithmetic — no float ratio in the predicate).
+
+    Edit distance complements the shingle family: Jaccard/containment
+    see bag-of-shingles overlap and miss heavy in-place character churn;
+    Levenshtein charges every insertion/deletion/substitution. The
+    candidate set is part of the query semantics (same discipline as the
+    graph hub cap): blocks larger than ``max_block`` docs are dropped
+    before the self-join — a template prefix shared by half the corpus
+    would otherwise recreate the quadratic blow-up the blocking exists
+    to prevent.
+
+    Scale shape: one hash self-join on the block key (never a cartesian),
+    a broadcast-sized block-count table as the skew guard, and a length
+    pre-filter (|len_a - len_b| <= max_dist is a lower bound on lev) so
+    the O(len^2) DP runs only on surviving candidates. The Spark side
+    passes ``max_dist`` as the levenshtein threshold — the JVM computes
+    the banded O(max_dist * len) DP and returns -1 above it, so cost per
+    candidate is linear in doc length, not quadratic.
+
+    Returns (id_a, id_b, dist, len_a, len_b), id_a < id_b.
+    """
+    k = _spread(df).select(
+        F.col(id_col).alias("id"),
+        norm_text(F.col(text_col)).alias("nt"),
+    ).select(
+        "id", "nt",
+        F.substring("nt", 1, prefix_len).alias("bk"),
+        F.length("nt").cast("bigint").alias("ln"),
+    )
+    small = (
+        k.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("n_blk"))
+        .filter(F.col("n_blk") <= max_block)
+        .select("bk")
+    )
+    k = k.join(F.broadcast(small), "bk")
+    a = k.select(F.col("id").alias("id_a"), F.col("nt").alias("ta"),
+                 F.col("ln").alias("len_a"), "bk")
+    b = k.select(F.col("id").alias("id_b"), F.col("nt").alias("tb"),
+                 F.col("ln").alias("len_b"), "bk")
+    return (
+        a.join(b, "bk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        )
+        .withColumn(
+            "dist", F.levenshtein("ta", "tb", max_dist).cast("bigint")
+        )
+        .filter(
+            (F.col("dist") >= 0)
+            & (F.col("dist") * rel_den <= F.least("len_a", "len_b"))
+        )
+        .select("id_a", "id_b", "dist", "len_a", "len_b")
+    )
+
+
 def _signature_rows(
     df: DataFrame,
     id_col: str,

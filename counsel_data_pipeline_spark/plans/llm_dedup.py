@@ -962,6 +962,56 @@ def containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_levenshtein_blocked",
+    oracle=f"""
+        -- Edit-distance near-dups over prefix-blocked candidates.
+        -- The block (12-char normalized prefix, blocks capped at 64
+        -- docs) and the twin thresholds (absolute lev <= 40, relative
+        -- lev*5 <= min len — integer arithmetic, no float ratio) are
+        -- the query semantics, mirrored exactly.
+        WITH k AS (
+          SELECT doc_id, {_SQL_NORM} AS nt,
+                 substring({_SQL_NORM}, 1, 12) AS bk,
+                 CAST(length({_SQL_NORM}) AS BIGINT) AS ln
+          FROM documents
+        ),
+        small AS (
+          SELECT bk FROM k GROUP BY bk HAVING count(*) <= 64
+        ),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.nt AS ta, b.nt AS tb, a.ln AS len_a, b.ln AS len_b
+          FROM k a JOIN k b USING (bk) JOIN small USING (bk)
+          WHERE a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 40
+        )
+        SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+               len_a, len_b
+        FROM cand
+        WHERE levenshtein(ta, tb) <= 40
+          AND levenshtein(ta, tb) * 5 <= least(len_a, len_b)
+    """,
+    description=(
+        "character-level edit-distance near-dups: candidates share a "
+        "12-char normalized prefix (blocks capped at 64 docs — the "
+        "template-prefix skew guard), survivors satisfy lev <= 40 AND "
+        "lev*5 <= min(len) in exact integer arithmetic; complements the "
+        "shingle family (bag-of-shingles overlap misses in-place "
+        "character churn); Spark computes the banded O(k*n) DP via the "
+        "levenshtein threshold argument"
+    ),
+    tags=("llm", "dedup"),
+)
+def levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: equi-join on the prefix block key (hash join, never
+    cartesian), broadcast block-count guard, |len| difference prunes
+    before the DP, and the threshold-banded levenshtein bounds per-pair
+    cost at O(max_dist * len). Block population is corpus-dependent:
+    the 64-doc cap bounds any block's pair count at C(64,2) regardless
+    of how templated the corpus is."""
+    return td.levenshtein_blocked_pairs(load_table(spark, sf_dir, "documents"))
+
+
 _DSB_BUCKETS = 8
 
 
