@@ -832,3 +832,108 @@ def sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.sum("value_mi").cast("bigint").alias("matched_value_mi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval concurrency
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_max_concurrent",
+    oracle="""
+        -- Naive global sweep-line: every event opens a [ts, ts+30min)
+        -- interval; +1/-1 deltas sorted by (t, delta) — ends before
+        -- starts at the same instant (end-exclusive intervals) — and a
+        -- running sum whose max is the peak concurrency per type. The
+        -- Spark side decomposes the same prefix sum by day; the green
+        -- hash row attests the decomposition's exactness.
+        WITH pts AS (
+          SELECT event_type, ts AS t, 1 AS delta FROM events
+          UNION ALL
+          SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS delta
+          FROM events
+        ),
+        rs AS (
+          SELECT event_type,
+                 sum(delta) OVER (
+                   PARTITION BY event_type ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+          FROM pts
+        ),
+        mx AS (
+          SELECT event_type, CAST(max(r) AS BIGINT) AS max_concurrent
+          FROM rs GROUP BY 1
+        ),
+        ns AS (
+          SELECT event_type, count(*) AS n_sessions FROM events GROUP BY 1
+        )
+        SELECT event_type, max_concurrent, n_sessions
+        FROM mx JOIN ns USING (event_type)
+    """,
+    description=(
+        "peak interval concurrency per event type (each event holds a "
+        "30-minute end-exclusive session): the classic +1/-1 sweep-line, "
+        "computed as a DISTRIBUTED prefix sum — per-(type, day) running "
+        "sums plus a tiny cross-day offset cascade — so no event type "
+        "ever sorts in a single task; max over equal-timestamp tie "
+        "groups is order-independent, so the result is deterministic"
+    ),
+    tags=("events", "window-time"),
+    bench=True,
+)
+def max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sweep-line. The naive plan windows over the whole
+    event type — a single sorting task per type at 100 TB. Instead the
+    running sum is decomposed: (1) within (type, day), sort locally and
+    take the running sum `rs`, its per-day max, and the day's total
+    delta; (2) across the (type, day) grid — thousands of rows, not
+    billions — cumulate the day totals into each day's starting offset;
+    (3) the answer is max(offset + day_max). Exact for any bucketing of
+    a prefix sum; day granularity keeps every sort partition bounded by
+    one day of one type's events. Equal (t, delta) rows are
+    interchangeable, so the within-group visit order cannot change the
+    max. Ends sort before starts at the same instant (delta -1 < +1),
+    matching end-exclusive [ts, ts+30m) semantics."""
+    events = load_table(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        events.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    ).withColumn("day", F.date_trunc("day", "t"))
+
+    in_day = Window.partitionBy("event_type", "day").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_day = (
+        pts.withColumn("rs", F.sum("delta").over(in_day))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("rs").alias("day_max"),
+            F.sum("delta").alias("day_sum"),
+        )
+    )
+    across = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    peaks = (
+        per_day.withColumn(
+            "offset", F.coalesce(F.sum("day_sum").over(across), F.lit(0))
+        )
+        .groupBy("event_type")
+        .agg(
+            (F.max(F.col("offset") + F.col("day_max")))
+            .cast("bigint")
+            .alias("max_concurrent")
+        )
+    )
+    n_sessions = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    return peaks.join(n_sessions, "event_type")
