@@ -133,6 +133,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #    placeholders from the END of block (d)) --
     "dedup_levenshtein_blocked",
     "events_max_concurrent",
+    "agg_modern_aggregates",
     # -- (d) placeholder top-up: oldest r7-green rows (front of the r7
     #    window, CORRECTNESS_r07 key order). Fresh attestation is
     #    harmless if they stay; new r10 queries displace from the END. --
@@ -142,7 +143,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "incremental_orders_state_merge",
     "join_bucketed_order_revenue",
     "sim_ivf_incremental_append",
-    "sim_ivf_centroid_drift",
 )
 
 

@@ -433,6 +433,55 @@ def brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The max_by/min_by ordering key: exact-decimal price scaled past the key
+# space, plus the unique orderkey as tiebreak — ties on raw o_totalprice
+# would make arg-extrema nondeterministic (both engines pick arbitrarily),
+# and decimal arithmetic keeps the comparison exact cross-engine.
+_ARGKEY = "CAST(o_totalprice AS DECIMAL(30,6)) * 100000000 + o_orderkey"
+
+
+@register(
+    "agg_modern_aggregates",
+    oracle=f"""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               max_by(o_orderkey, {_ARGKEY}) AS top_order,
+               min_by(o_orderkey, {_ARGKEY}) AS cheapest_order,
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_fulfilled,
+               bool_or(o_totalprice > 400000.0) AS has_jumbo,
+               any_value(substring(o_orderpriority, 1, 1)) AS prio_code,
+               median(o_orderkey) AS med_orderkey
+        FROM orders GROUP BY 1
+    """,
+    description=(
+        "the modern SQL aggregate surface in one pass: max_by/min_by "
+        "(arg-extrema on a tie-safe exact-decimal key), count_if, "
+        "bool_or, any_value (on a constant-per-group expression — the "
+        "only deterministic use), and exact median (integer inputs -> "
+        "midpoint halves are exact binary fractions, so the interpolated "
+        "value is bit-identical cross-engine)"
+    ),
+    tags=("relational", "agg"),
+)
+def modern_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: a single hash aggregate with map-side partials —
+    every aggregate here (including arg-extrema and count_if) carries a
+    constant-size state, so the shuffle moves one row per (partition,
+    priority). median is the exception (holds the group's values) but
+    groups by 5 priorities only; at real scale swap approx_percentile
+    or the sketch family (sketch_histogram_quantiles) for it."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(f"max_by(o_orderkey, {_ARGKEY})").alias("top_order"),
+        F.expr(f"min_by(o_orderkey, {_ARGKEY})").alias("cheapest_order"),
+        F.expr("count_if(o_orderstatus = 'F')").alias("n_fulfilled"),
+        F.expr("bool_or(o_totalprice > 400000.0D)").alias("has_jumbo"),
+        F.expr("any_value(substring(o_orderpriority, 1, 1))").alias("prio_code"),
+        F.expr("median(o_orderkey)").alias("med_orderkey"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q7-style — volume shipping between two nations
 # ---------------------------------------------------------------------------
