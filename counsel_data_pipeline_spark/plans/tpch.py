@@ -482,6 +482,76 @@ def modern_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_linear_trend_per_brand",
+    oracle="""
+        -- OLS y = price(cents) on x = size per brand, from EXACT integer
+        -- moments: cents are a deterministic double->bigint grid, every
+        -- moment is a bigint sum, and the only inexact steps are the two
+        -- final correctly-rounded bigint->double conversions plus IEEE
+        -- ops on identical operands — bit-reproducible across engines
+        -- (raw ratio doctrine in plans/_parity.py).
+        WITH m AS (
+          SELECT p_brand,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(p_size) AS BIGINT) AS sx,
+                 CAST(sum(p_size * p_size) AS BIGINT) AS sx2,
+                 CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+                 CAST(sum(p_size * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sxy
+          FROM part GROUP BY 1
+        )
+        SELECT p_brand, n AS n_parts,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sx2 - sx * sx AS DOUBLE) AS slope_cents,
+               (CAST(sy AS DOUBLE)
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sx2 - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) AS intercept_cents
+        FROM m
+        WHERE n >= 2 AND n * sx2 - sx * sx <> 0
+    """,
+    description=(
+        "least-squares linear trend (price vs size) per brand from exact "
+        "integer moments — the distributed regression pattern: one "
+        "map-side-combinable aggregate collects 5 constant-size moments, "
+        "slope/intercept derived in closed form; no per-group iteration, "
+        "no float accumulation order-dependence"
+    ),
+    tags=("relational", "agg"),
+)
+def linear_trend_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: a single hash aggregate over (brand) with 5 bigint
+    moment columns — fully map-side combinable, shuffle volume = one row
+    per (partition, brand). The closed-form solve is per-group scalar
+    arithmetic. The same shape extends to any GLM normal-equation fit
+    with d features: d^2 moments per group, still one aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    y_mi = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    x = F.col("p_size").cast("bigint")
+    m = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sx2"),
+        F.sum(y_mi).alias("sy"),
+        F.sum(x * y_mi).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return (
+        m.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "p_brand",
+            F.col("n").alias("n_parts"),
+            slope.alias("slope_cents"),
+            intercept.alias("intercept_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q7-style — volume shipping between two nations
 # ---------------------------------------------------------------------------
