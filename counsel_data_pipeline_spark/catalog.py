@@ -135,6 +135,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_max_concurrent",
     "agg_modern_aggregates",
     "agg_linear_trend_per_brand",
+    "quality_benford_first_digit",
     # -- (d) placeholder top-up: oldest r7-green rows (front of the r7
     #    window, CORRECTNESS_r07 key order). Fresh attestation is
     #    harmless if they stay; new r10 queries displace from the END. --
@@ -142,7 +143,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_cms_user_counts",
     "streaming_incremental_dedup",
     "incremental_orders_state_merge",
-    "join_bucketed_order_revenue",
 )
 
 

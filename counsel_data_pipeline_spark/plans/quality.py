@@ -417,3 +417,85 @@ def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [tuple(int(m[c]) for c in cols)],
         ", ".join(f"{c} BIGINT" for c in cols),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# Expected Benford shares log10(1 + 1/d) in ppm, precomputed once in
+# Python and inlined as LITERALS in both engines — transcendental math
+# never crosses the Spark/DuckDB boundary, so no libm-ulp parity risk.
+import math as _math
+
+_BENFORD_PPM = {d: round(_math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+
+@register(
+    "quality_benford_first_digit",
+    oracle=f"""
+        -- First-significant-digit distribution of order totals vs the
+        -- Benford expectation. The digit comes from the exact integer
+        -- cents grid (first significant digit is invariant under the
+        -- x100 scaling), extracted via bigint->string — no float log in
+        -- the digit path; shares are integer ppm via floor division.
+        WITH c AS (
+          SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                     AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM orders WHERE o_totalprice > 0
+        ),
+        g AS (SELECT digit, count(*) AS n_orders FROM c GROUP BY 1),
+        t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM g)
+        SELECT digit, n_orders,
+               CAST((n_orders * 1000000) // total AS BIGINT) AS observed_ppm,
+               CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm,
+               CAST((n_orders * 1000000) // total - ({_BENFORD_CASE}) AS BIGINT)
+                 AS deviation_ppm
+        FROM g, t
+    """,
+    description=(
+        "Benford's-law first-digit audit over order totals — the classic "
+        "fabricated-numbers screen for a training-data/finance pipeline: "
+        "digit from the exact cents grid (scale-invariant), observed "
+        "share in integer ppm, expected share from precomputed "
+        "log10(1+1/d) literals, deviation per digit"
+    ),
+    tags=("quality", "agg"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: one map-side-combinable count by digit (9 groups),
+    grand total re-aggregated from the 9-row result and broadcast back —
+    the fact table is scanned once, projected to one int column."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    g = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = g.agg(F.sum("n_orders").alias("total"))
+    expected = F.expr(_BENFORD_CASE).cast("bigint")
+    return (
+        g.crossJoin(F.broadcast(total))
+        .withColumn(
+            "observed_ppm",
+            F.expr("CAST((n_orders * 1000000) DIV total AS BIGINT)"),
+        )
+        .select(
+            "digit",
+            "n_orders",
+            "observed_ppm",
+            expected.alias("expected_ppm"),
+            (F.col("observed_ppm") - expected).cast("bigint").alias("deviation_ppm"),
+        )
+    )
