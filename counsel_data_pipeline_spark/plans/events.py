@@ -937,3 +937,82 @@ def max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions")
     )
     return peaks.join(n_sessions, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mad_robust_outliers",
+    oracle="""
+        -- Median/MAD robust outlier screen per event type, computed on
+        -- the exact 1e6 micro-unit grid: medians of integers (and of
+        -- the .5-grid deviations) interpolate to exact binary
+        -- fractions, so every comparison — including the 3*MAD fence —
+        -- is bit-deterministic across engines. MAD tolerates up to 50%
+        -- contamination where the zscore twin's mean/stddev are
+        -- dragged by the outliers themselves.
+        WITH v AS (
+          SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_mi
+          FROM events WHERE value IS NOT NULL
+        ),
+        med AS (
+          SELECT event_type, median(v_mi) AS med_mi FROM v GROUP BY 1
+        ),
+        dev AS (
+          SELECT v.event_type,
+                 abs(CAST(v_mi AS DOUBLE) - med_mi) AS dev, med_mi
+          FROM v JOIN med USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, median(dev) AS mad_mi FROM dev GROUP BY 1
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(count_if(dev > 3 * mad_mi) AS BIGINT) AS n_outliers,
+               min(med_mi) AS med_mi,
+               min(mad_mi) AS mad_mi
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY 1
+    """,
+    description=(
+        "robust anomaly screen: per-type median and median-absolute-"
+        "deviation on the exact micro-unit grid, outliers = |v - med| > "
+        "3*MAD — the breakdown-point-0.5 complement of "
+        "events_zscore_anomalies (mean/stddev have breakdown point 0)"
+    ),
+    tags=("events", "quality"),
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: two aggregations over event_type with the small
+    (types-sized) median tables broadcast back — no window over a whole
+    type, no sort of the fact table. Exact median holds group values in
+    memory; at 100 TB per-type cardinality, swap approx_percentile(0.5)
+    or the mergeable histogram sketch — the fence logic is unchanged."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 1000000).cast("bigint").alias("v_mi"),
+        )
+    )
+    med = ev.groupBy("event_type").agg(F.expr("median(v_mi)").alias("med_mi"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_mi",
+        F.abs(F.col("v_mi").cast("double") - F.col("med_mi")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("median(dev)").alias("mad_mi"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("count_if(dev > 3 * mad_mi)").alias("n_outliers"),
+            F.min("med_mi").alias("med_mi"),
+            F.min("mad_mi").alias("mad_mi"),
+        )
+    )
