@@ -1000,11 +1000,14 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     med = ev.groupBy("event_type").agg(F.expr("median(v_mi)").alias("med_mi"))
+    # Persisted: dev feeds BOTH the MAD aggregation and the final fence
+    # count; without it the events scan + median join run twice more
+    # (4 fact scans instead of 2).
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         "med_mi",
         F.abs(F.col("v_mi").cast("double") - F.col("med_mi")).alias("dev"),
-    )
+    ).persist()
     mad = dev.groupBy("event_type").agg(F.expr("median(dev)").alias("mad_mi"))
     return (
         dev.join(F.broadcast(mad), "event_type")
