@@ -737,3 +737,86 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("checksum_v6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median without a row-level global sort
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_weighted_median_distributed",
+    oracle="""
+        -- Lower weighted median per return flag: the smallest price
+        -- (exact cents grid) whose cumulative quantity-weight reaches
+        -- half the group total. Computed over VALUE-level aggregates:
+        -- the cumulative window runs on one row per distinct (flag,
+        -- cents), never on raw fact rows.
+        WITH g AS (
+          SELECT l_returnflag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+                 CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w,
+                 count(*) AS nr
+          FROM lineitem GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS total_weight,
+                 CAST(sum(nr) AS BIGINT) AS n_rows
+          FROM g GROUP BY 1
+        ),
+        c AS (
+          SELECT l_returnflag, x, w,
+                 sum(w) OVER (PARTITION BY l_returnflag ORDER BY x) AS cum
+          FROM g
+        )
+        SELECT t.l_returnflag, t.n_rows, t.total_weight,
+               CAST(min(CASE WHEN 2 * cum >= total_weight THEN x END)
+                    AS BIGINT) AS weighted_median_cents
+        FROM c JOIN t USING (l_returnflag)
+        GROUP BY 1, 2, 3
+    """,
+    description=(
+        "exact quantity-weighted median price per return flag — the "
+        "distributed form: pre-aggregate weights per distinct value "
+        "(map-side combinable), cumulate over the value domain, take the "
+        "smallest value reaching half the total weight; all arithmetic "
+        "on the exact integer cents/quantity grids"
+    ),
+    tags=("relational", "window", "scale", "agg"),
+)
+def weighted_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the naive weighted median sorts every fact row per
+    group through one task. Here the fact table collapses FIRST to one
+    row per distinct (group, value) — a plain hash aggregate, shuffle
+    bounded by the VALUE DOMAIN (cents), not row count — and the
+    cumulative-weight window then orders only that domain (~1e5 distinct
+    cents per flag here, invariant as rows grow 1000x). If the domain
+    itself were unbounded, the same range-partition + offset prefix-sum
+    trick as window_balance_quartiles_distributed applies unchanged."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+    )
+    g = li.groupBy("l_returnflag", "x").agg(
+        F.sum("q").alias("w"), F.count(F.lit(1)).alias("nr")
+    )
+    t = g.groupBy("l_returnflag").agg(
+        F.sum("w").alias("total_weight"), F.sum("nr").alias("n_rows")
+    )
+    cum = Window.partitionBy("l_returnflag").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.withColumn("cum", F.sum("w").over(cum))
+    return (
+        c.join(F.broadcast(t), "l_returnflag")
+        .groupBy("l_returnflag", "n_rows", "total_weight")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("total_weight"), F.col("x"))
+            )
+            .cast("bigint")
+            .alias("weighted_median_cents")
+        )
+        .select("l_returnflag", "n_rows", "total_weight", "weighted_median_cents")
+    )
