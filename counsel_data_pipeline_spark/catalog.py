@@ -138,11 +138,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quality_benford_first_digit",
     "events_mad_robust_outliers",
     "agg_weighted_median_distributed",
+    "layout_csv_roundtrip",
     # -- (d) placeholder top-up: oldest r7-green rows (front of the r7
     #    window, CORRECTNESS_r07 key order). Fresh attestation is
     #    harmless if they stay; new r10 queries displace from the END. --
     "streaming_weighted_reservoir",
-    "streaming_cms_user_counts",
 )
 
 

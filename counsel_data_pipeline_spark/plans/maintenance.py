@@ -957,3 +957,81 @@ def python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame([got], agg.schema)
+
+
+# ---------------------------------------------------------------------------
+# CSV dialect round-trip (the catalog's CSV source/sink attestation)
+# ---------------------------------------------------------------------------
+
+
+def _reset_csv_roundtrip(spark: SparkSession, sf_dir: str) -> None:
+    shutil.rmtree(
+        derived_cache_dir("counsel_csv_roundtrip", sf_dir, "orders"),
+        ignore_errors=True,
+    )
+
+
+@register(
+    "layout_csv_roundtrip",
+    oracle="""
+        -- The aggregate recomputed straight from orders: a green hash
+        -- row means the Spark CSV writer+reader pair preserved every
+        -- value — including the quote-and-comma label that forces the
+        -- dialect's escaping path and the NULL that must not collapse
+        -- into empty-string.
+        SELECT o_orderpriority,
+               concat('"', o_orderpriority, '", note') AS tricky_label,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                    ELSE 'ok' END AS opt_note,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM orders GROUP BY 1
+    """,
+    description=(
+        "CSV sink+source fidelity attested end-to-end: a per-priority "
+        "aggregate — with a quote-and-comma label exercising the "
+        "escaping path and a NULL column exercising null round-trip — "
+        "is written through the Spark CSV writer, read back through the "
+        "CSV reader with an explicit schema, and hash-compared against "
+        "the oracle's direct recomputation"
+    ),
+    tags=("layout", "relational", "write"),
+    reset=_reset_csv_roundtrip,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the written artifact is the AGGREGATE (priority
+    cardinality), so the round-trip cost is O(groups); the fact scan is
+    the same single hash aggregate as any groupBy. For fact-sized CSV,
+    the same writer/reader pair shards per partition — CSV is splittable
+    on read (uncompressed), so re-ingest parallelism survives. Parquet
+    remains the engine's layout of record (typed, compressed, prunable);
+    this query pins the interchange path the reference's K2 CSV sink
+    (io/sinks.py) feeds."""
+    out = derived_cache_dir("counsel_csv_roundtrip", sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    ).select(
+        "o_orderpriority",
+        F.concat(
+            F.lit('"'), F.col("o_orderpriority"), F.lit('", note')
+        ).alias("tricky_label"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(None).cast("string"))
+        .otherwise(F.lit("ok"))
+        .alias("opt_note"),
+        "n_orders",
+        "sum_cents",
+    )
+    agg.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    return (
+        spark.read.schema(
+            "o_orderpriority string, tricky_label string, opt_note string, "
+            "n_orders bigint, sum_cents bigint"
+        )
+        .option("header", True)
+        .csv(out)
+    )
