@@ -272,3 +272,38 @@ def test_modern_aggregates_arg_extrema_tie_safe(spark):
         assert r.n_orders == b["n"]
         assert r.n_fulfilled == b["f"]
         assert r.prio_code == r.o_orderpriority[0]
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_median_distributed / layout_csv_roundtrip
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    by_flag = {}
+    for r in li:
+        x = round(r.l_extendedprice * 100)
+        w = round(r.l_quantity)
+        by_flag.setdefault(r.l_returnflag, []).append((x, w))
+    for row in _rows("agg_weighted_median_distributed", spark):
+        pairs = sorted(by_flag[row.l_returnflag])
+        total = sum(w for _, w in pairs)
+        cum = 0
+        med = None
+        for x, w in pairs:
+            cum += w
+            if 2 * cum >= total:
+                med = x
+                break
+        assert row.weighted_median_cents == med
+        assert row.total_weight == total
+        assert row.n_rows == len(pairs)
+
+
+def test_csv_roundtrip_preserves_escaping_and_null(spark):
+    rows = {r.o_orderpriority: r for r in _rows("layout_csv_roundtrip", spark)}
+    assert len(rows) == 5
+    for prio, r in rows.items():
+        assert r.tricky_label == f'"{prio}", note'  # quotes+comma survived
+        assert (r.opt_note is None) == (prio == "1-URGENT")  # null survived
