@@ -38,3 +38,27 @@ def test_bench_records_error_and_keeps_going(spark, monkeypatch):
     assert all(v >= 0 for v in d["queries"].values())
     assert "b_broken_query" in d["errors"]
     assert "forced failure" in d["errors"]["b_broken_query"]
+
+
+def test_headline_stdout_line_fits_driver_capture_tail():
+    """The driver keeps only the last 2000 chars of stdout; the compact
+    headline line for the CURRENT bench-flagged set (worst-case 2dp
+    values) must fit whole, or the official BENCH artifact goes back to
+    parsed:null (observed in r9)."""
+    import json
+
+    from counsel_data_pipeline_spark.catalog import all_queries
+
+    names = [n for n, q in all_queries().items() if q.bench]
+    headline = {
+        "metric": "bench_total_headline_queries",
+        "value": 9999.99,
+        "unit": "sec",
+        "queries": {n: 99.99 for n in names},
+        "sf": 0.1,
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    assert len(line) <= 1950, (
+        f"{len(line)} chars for {len(names)} benched queries — trim the "
+        "headline set or shorten values before the driver runs bench"
+    )
