@@ -14,7 +14,11 @@ Covered here:
     naive single-pass Python sweep, on timestamp sets squeezed around
     day boundaries (the decomposition's seam);
   - agg_weighted_median_distributed vs a Python weighted-median over
-    the raw (flag, cents, qty) rows.
+    the raw (flag, cents, qty) rows;
+  - agg_linear_trend_per_brand vs the exact-integer-moment formula
+    (identical IEEE ops on identical operands -> bit-for-bit equality,
+    not approx);
+  - events_mad_robust_outliers vs statistics.median on the micro grid.
 """
 
 import datetime as dt
@@ -217,4 +221,106 @@ def test_weighted_median_matches_python(spark, facts):
                 med = x
                 break
         want[f] = (med, total, len(pairs))
+    assert out == want
+
+
+# ---------------------------------------------------------------------------
+# agg_linear_trend_per_brand == exact-moment formula on arbitrary data
+# ---------------------------------------------------------------------------
+
+_parts = st.lists(
+    st.tuples(
+        st.sampled_from(["B1", "B2"]),
+        st.integers(min_value=1, max_value=50),     # p_size
+        st.integers(min_value=1, max_value=99999),  # price cents
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(parts=_parts)
+def test_linear_trend_matches_exact_moments(spark, parts):
+    rows = [(b, s, c / 100.0) for b, s, c in parts]
+    tmp = tempfile.mkdtemp(prefix="cdp_ols_prop_")
+    try:
+        df = spark.createDataFrame(
+            rows, "p_brand string, p_size int, p_retailprice double",
+        ) if rows else spark.createDataFrame(
+            [], "p_brand string, p_size int, p_retailprice double")
+        df.write.parquet(f"{tmp}/part.parquet")
+        out = {
+            r.p_brand: (r.n_parts, r.slope_cents, r.intercept_cents)
+            for r in _q("agg_linear_trend_per_brand").fn(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    by_brand: dict[str, list] = {}
+    for b, s, c in parts:
+        by_brand.setdefault(b, []).append((s, c))
+    want = {}
+    for b, pts in by_brand.items():
+        n = len(pts)
+        sx = sum(s for s, _ in pts)
+        sx2 = sum(s * s for s, _ in pts)
+        sy = sum(c for _, c in pts)
+        sxy = sum(s * c for s, c in pts)
+        den = n * sx2 - sx * sx
+        if n < 2 or den == 0:
+            continue  # degenerate groups are filtered by the query
+        # identical IEEE ops on identical exact-integer operands: the
+        # floats must match BIT-FOR-BIT, not approximately
+        slope = float(n * sxy - sx * sy) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        want[b] = (n, slope, intercept)
+    assert out == want
+
+
+# ---------------------------------------------------------------------------
+# events_mad_robust_outliers == Python median/MAD on arbitrary data
+# ---------------------------------------------------------------------------
+
+_vals = st.lists(
+    st.tuples(
+        st.sampled_from(["buy", "view"]),
+        st.integers(min_value=-1000, max_value=1000),  # whole-unit values
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=_vals)
+def test_mad_matches_python_median(spark, vals):
+    import statistics
+
+    t0 = dt.datetime(2026, 3, 1, 12, 0)
+    rows = [(i, t0, i, et, float(v), "{}") for i, (et, v) in enumerate(vals)]
+    tmp = tempfile.mkdtemp(prefix="cdp_mad_prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{tmp}/events.parquet")
+        out = {
+            r.event_type: (r.n_events, r.n_outliers, r.med_mi, r.mad_mi)
+            for r in _q("events_mad_robust_outliers").fn(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    by_type: dict[str, list] = {}
+    for et, v in vals:
+        by_type.setdefault(et, []).append(v * 1_000_000)  # exact micro grid
+    want = {}
+    for et, vs in by_type.items():
+        med = statistics.median(vs)          # midpoint interpolation
+        dev = [abs(float(v) - med) for v in vs]
+        mad = statistics.median(dev)
+        n_out = sum(1 for d in dev if d > 3 * mad)
+        want[et] = (len(vs), n_out, float(med), float(mad))
     assert out == want
