@@ -76,73 +76,71 @@ def register(
 # registration order. Rotate per round: once a family has its green
 # CORRECTNESS row, swap the next unverified family in.
 #
-# Round 10 window (ledger in COVERAGE.md). Evidence state after r9:
-# 50 queries hash-green in r9, 50 in r8, 50 in r7, 39 in r5, and 2
-# never attested (the prefix-filter dedup pair registered after the r9
-# window froze). This round's 50 slots: (a) the 2 never-attested
-# queries FIRST, (b) all 39 r5-green fills — retiring the last pre-r6
-# evidence debt, (c) new-in-r10 queries as they land (displacing the
-# placeholder block from the END), (d) placeholder top-up from the
-# oldest r7-green rows so the window is always exactly 50 deliberate
-# entries.
+# Round 11 window (ledger in COVERAGE.md). Evidence state after r10:
+# 50 queries hash-green in r10, 50 in r9, 49 in r8, 49 in r7, and 1
+# permanently-rows-only KLL entry (re-pointed this round — see
+# plans/sketches.py). This round's 50 slots, per
+# ``tools/evidence_ledger.py --suggest --reserve 1``: (a)
+# sketch_value_quantiles FIRST — re-pointed in r11 to an exact
+# value-domain inverse-CDF formulation with a quantile_disc oracle, so
+# its first-ever hash row retires the last non-green ledger cell; (b)
+# all 49 r7-green rows, establishing the steady-state two-round
+# rotation (r7s attested in r11, r8s queued for r12) so no attestation
+# ages past ~4 rounds. New-in-r11 registrations displace from the END
+# of (b); overflow is queued in COVERAGE.md rather than rolled
+# silently.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- (a) never attested: registered after the r9 window froze --
-    "dedup_jaccard_prefix_filter",
-    "dedup_containment_prefix_filter",
-    # -- (b) r5-green fill queue (complete; retires pre-r6 debt) --
-    "ops_first_wins_dedup",
-    "ops_keyed_merge_two_sources",
-    "ops_snapshot_carry_forward",
-    "ops_clean_anchor_extract",
-    "ops_stable_sort_topk",
-    "rollup_revenue_region_nation",
-    "cube_orders_status_priority",
-    "grouping_sets_lineitem",
-    "setop_repeat_buyers_intersect",
-    "setop_lapsed_buyers_except",
-    "setop_union_priority_buckets",
-    "join_anti_customers_without_orders",
-    "join_semi_suppliers_of_big_items",
-    "join_outer_nation_customer_counts",
-    "sketch_bloom_custkey_probe",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_customers",
-    "tpch_q18_large_volume",
-    "tpch_copurchase_part_pairs",
-    "agg_brand_volume",
-    "agg_order_value_percentiles",
-    "curation_gopher_filters",
-    "curation_c4_filters",
-    "curation_shuffle_order",
-    "curation_weighted_sample",
-    "llm_corpus_prep_v2",
-    "dedup_keep_list",
-    "quality_profile_documents",
-    "quality_token_drift_psi",
-    "window_rolling_7day_user_value",
-    "window_fill_forward_last_purchase",
-    "events_sessionize_30m",
-    "events_sessionize_native_window",
-    "quality_profile_lineitem",
-    "quality_referential_integrity",
-    "window_balance_quartiles_distributed",
-    "window_event_value_delta",
-    # -- (c) new in r10 (prepend here as they land, dropping
-    #    placeholders from the END of block (d)) --
-    "dedup_levenshtein_blocked",
-    "events_max_concurrent",
-    "agg_modern_aggregates",
-    "agg_linear_trend_per_brand",
-    "quality_benford_first_digit",
-    "events_mad_robust_outliers",
-    "agg_weighted_median_distributed",
-    "layout_csv_roundtrip",
-    # -- (d) placeholder top-up: oldest r7-green rows (front of the r7
-    #    window, CORRECTNESS_r07 key order). Fresh attestation is
-    #    harmless if they stay; new r10 queries displace from the END. --
-    "streaming_weighted_reservoir",
+    # -- (a) first-ever hash attestation (re-pointed from rows-only KLL) --
+    "sketch_value_quantiles",
+    # -- (b) r7-green fill queue (CORRECTNESS_r07 key order) --
+    "graph_pagerank_copurchase",
+    "curation_weighted_sample_stratified",
+    "curation_decontam_bloom_prefilter",
+    "curation_contamination_matrix",
+    "dedup_exact_content_hash",
+    "dedup_duplicate_spans",
+    "dedup_containment_pairs",
+    "multimodal_decode_metadata",
+    "multimodal_frame_sample_stats",
+    "multimodal_payload_dedup",
+    "sim_ivf_persisted_query",
+    "sim_ivf_incremental_append",
+    "sim_ivf_centroid_drift",
+    "quality_embedding_outliers",
+    "sim_knn_label_agreement",
+    "sim_label_centroid_stats",
+    "sim_pca_power_iteration",
+    "text_vocab_growth",
+    "incremental_orders_state_merge",
+    "join_bucketed_order_revenue",
+    "layout_zorder_pruning",
+    "quality_classifier_score",
+    "sketch_hll_distinct_users",
+    "sketch_sampled_quantiles",
+    "sketch_cms_heavy_hitters",
+    "sketch_cms_join_size",
+    "sketch_hll_set_ops",
+    "join_bloom_runtime_filter",
+    "streaming_cms_user_counts",
+    "streaming_incremental_dedup",
+    "window_top3_orders_per_customer",
+    "window_running_customer_spend",
+    "window_part_price_rank",
+    "window_order_gap_days",
+    "window_customer_balance_quartiles",
+    "window_ewma_user_value",
+    "streaming_ewma_user_value",
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
+    "tpch_q16_part_supplier_diversity",
+    "tpch_q19_like_disjunctive",
+    "tpch_quantity_discount_correlation",
+    "tpch_top_customer_per_nation",
 )
 
 

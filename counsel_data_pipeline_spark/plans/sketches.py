@@ -11,7 +11,7 @@ bounds are asserted in tests/test_sketches.py against exact answers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from counsel_data_pipeline_spark.catalog import register
@@ -170,19 +170,85 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_value_quantiles",
-    oracle=None,  # percentile_approx sketch is engine-specific; error bound pytest-checked
-    description="approximate p50/p90/p99 of event value per type (single-pass mergeable quantile sketch)",
+    # r11: re-pointed from the rows-only engine KLL (err='no_oracle'
+    # since r2 — the single permanently non-green ledger cell) to the
+    # EXACT ground truth that sketch evaluation needs anyway: type-1
+    # (inverse-CDF) p50/p90/p99 per event type, computed over the
+    # distinct-VALUE domain so it is hash-attestable and scale-sound.
+    # The engine KLL (`sk.approx_quantiles`) is unchanged and keeps its
+    # rank-error pytest pin (tests/test_sketches.py::
+    # test_approx_quantiles_bracket_exact); the approximate estimators
+    # stay beside this as sketch_sampled_quantiles (md5-sample) and
+    # sketch_histogram_quantiles (mergeable registers). The thresholds
+    # use exact integer arithmetic (k*cum >= m*n ⇔ cum >= ceil(p*n) for
+    # p = m/k), and every output value is an ELEMENT of the column —
+    # no cross-engine float arithmetic to drift.
+    oracle="""
+        WITH g AS (
+          SELECT event_type, value AS x, count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT event_type, CAST(sum(c) AS BIGINT) AS n_rows
+          FROM g GROUP BY 1
+        ),
+        c AS (
+          SELECT event_type, x,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY x) AS cum
+          FROM g
+        )
+        SELECT t.event_type, t.n_rows,
+               min(CASE WHEN 2 * cum >= n_rows THEN x END) AS p50,
+               min(CASE WHEN 10 * cum >= 9 * n_rows THEN x END) AS p90,
+               min(CASE WHEN 100 * cum >= 99 * n_rows THEN x END) AS p99
+        FROM c JOIN t USING (event_type)
+        GROUP BY 1, 2
+    """,
+    description=(
+        "exact type-1 (inverse-CDF) p50/p90/p99 of event value per type, "
+        "computed over per-value counts cumulated on the distinct-value "
+        "domain — the hash-attested ground truth the KLL/sample/histogram "
+        "sketches approximate"
+    ),
     tags=("sketch", "events"),
 )
 def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: identical decomposition to
+    agg_weighted_median_distributed — the fact table collapses first to
+    one row per distinct (event_type, value) via a plain hash aggregate
+    (map-side combinable, shuffle bounded by the value DOMAIN, not row
+    count); the cumulative-count window then orders only that domain.
+    Each quantile is the smallest element whose cumulative count reaches
+    ceil(p*n) — pure integer comparisons, and the returned doubles are
+    column elements, so the DuckDB oracle is bit-equal by construction.
+    If the value domain itself were unbounded, the range-partition +
+    offset prefix-sum trick of window_balance_quartiles_distributed
+    applies unchanged."""
     ev = load_table(spark, sf_dir, "events")
-    out = sk.approx_quantiles(ev, ["event_type"], "value", [0.5, 0.9, 0.99])
-    return out.select(
-        "event_type",
-        F.col("approx_quantiles")[0].alias("p50"),
-        F.col("approx_quantiles")[1].alias("p90"),
-        F.col("approx_quantiles")[2].alias("p99"),
-    ).orderBy("event_type")
+    g = ev.groupBy("event_type", F.col("value").alias("x")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    t = g.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("n_rows"))
+    cum_w = Window.partitionBy("event_type").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.withColumn("cum", F.sum("c").over(cum_w))
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "n_rows")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("n_rows"), F.col("x"))
+            ).alias("p50"),
+            F.min(
+                F.when(10 * F.col("cum") >= 9 * F.col("n_rows"), F.col("x"))
+            ).alias("p90"),
+            F.min(
+                F.when(100 * F.col("cum") >= 99 * F.col("n_rows"), F.col("x"))
+            ).alias("p99"),
+        )
+        .select("event_type", "n_rows", "p50", "p90", "p99")
+    )
 
 
 _SQ_SEED, _SQ_RATE = 41, 10  # 10% deterministic sample
