@@ -226,10 +226,25 @@ def main() -> None:
         headline["errors"] = {n: e[:80] for n, e in errors.items()}
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1950:
-        # headroom check: warn while the line still parses, so the next
-        # headline-set growth doesn't silently re-break the artifact
-        print(f"# WARNING: stdout line {len(line)} chars — approaching "
-              "the driver's 2000-char capture tail", file=sys.stderr)
+        # Deterministic degrade: past the budget the driver's 2000-char
+        # capture tail would land mid-line and parsed would silently
+        # regress to null, so drop the per-query map (it lives in
+        # bench_last_detail.json regardless) and emit a line that always
+        # fits — never print an overlong line and hope.
+        print(f"# WARNING: full headline {len(line)} chars exceeds the "
+              "driver's 2000-char capture tail — emitting compact form; "
+              "per-query map is in bench_last_detail.json", file=sys.stderr)
+        compact = {
+            "metric": headline["metric"],
+            "value": total,
+            "unit": "sec",
+            "queries": {},
+            "n_queries": len(per_query),
+            "sf": sf_num,
+        }
+        if errors:
+            compact["n_errors"] = len(errors)
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

@@ -990,7 +990,13 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (types-sized) median tables broadcast back — no window over a whole
     type, no sort of the fact table. Exact median holds group values in
     memory; at 100 TB per-type cardinality, swap approx_percentile(0.5)
-    or the mergeable histogram sketch — the fence logic is unchanged."""
+    or the mergeable histogram sketch — the fence logic is unchanged.
+
+    The final aggregate is localCheckpoint'ed (eager, executor-side) so
+    the persisted deviation frame can be unpersisted before returning —
+    a long-lived driver session sweeping the catalog would otherwise
+    leak one cached DataFrame per invocation (same lifetime-bounding
+    pattern as graph.common_neighbors)."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -1008,14 +1014,20 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med_mi",
         F.abs(F.col("v_mi").cast("double") - F.col("med_mi")).alias("dev"),
     ).persist()
-    mad = dev.groupBy("event_type").agg(F.expr("median(dev)").alias("mad_mi"))
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.expr("count_if(dev > 3 * mad_mi)").alias("n_outliers"),
-            F.min("med_mi").alias("med_mi"),
-            F.min("mad_mi").alias("mad_mi"),
+    try:
+        mad = dev.groupBy("event_type").agg(
+            F.expr("median(dev)").alias("mad_mi")
         )
-    )
+        return (
+            dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.expr("count_if(dev > 3 * mad_mi)").alias("n_outliers"),
+                F.min("med_mi").alias("med_mi"),
+                F.min("mad_mi").alias("mad_mi"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        dev.unpersist()

@@ -436,8 +436,17 @@ def brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The max_by/min_by ordering key: exact-decimal price scaled past the key
 # space, plus the unique orderkey as tiebreak — ties on raw o_totalprice
 # would make arg-extrema nondeterministic (both engines pick arbitrarily),
-# and decimal arithmetic keeps the comparison exact cross-engine.
-_ARGKEY = "CAST(o_totalprice AS DECIMAL(30,6)) * 100000000 + o_orderkey"
+# and decimal arithmetic keeps the comparison exact cross-engine. The
+# price lands on the exact cents grid first, then scales by 1e12: adjacent
+# distinct prices are >= 1e12 apart in key space while o_orderkey tops out
+# at 6e6*SF (6e9 even at sf1000), so the price stays strictly primary and
+# distinct orders can never collide at any supported SF. (The previous
+# 1e8 multiplier let the orderkey outweigh a one-cent difference once
+# orderkeys passed 1e6, i.e. from sf~0.17.)
+_ARGKEY = (
+    "CAST(round(o_totalprice * 100) AS DECIMAL(18,0)) * 1000000000000"
+    " + o_orderkey"
+)
 
 
 @register(

@@ -62,3 +62,39 @@ def test_headline_stdout_line_fits_driver_capture_tail():
         f"{len(line)} chars for {len(names)} benched queries — trim the "
         "headline set or shorten values before the driver runs bench"
     )
+
+
+def test_overlong_headline_degrades_to_parseable_compact_line(
+    spark, monkeypatch
+):
+    """If the headline set ever grows past the 2000-char capture tail,
+    bench must degrade deterministically (drop the per-query map, keep
+    metric/value/sf) rather than print an overlong line the driver would
+    truncate mid-JSON back to parsed:null."""
+    import bench
+
+    def good(sp, sf_dir):
+        return sp.range(2).selectExpr("id")
+
+    fake = {
+        f"padded_query_name_{'x' * 60}_{i:03d}": Query(
+            f"padded_query_name_{'x' * 60}_{i:03d}", good, None, "", (), True
+        )
+        for i in range(30)
+    }
+    monkeypatch.setattr(bench, "all_queries", lambda: dict(fake))
+    monkeypatch.setattr(bench, "get_spark", lambda name: spark)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        bench.main()
+
+    lines = [l for l in out.getvalue().strip().splitlines() if l.strip()]
+    assert len(lines) == 1
+    assert len(lines[0]) <= 1950, "degraded line must fit the capture tail"
+    d = json.loads(lines[0])
+    assert d["metric"] == "bench_total_headline_queries"
+    assert d["queries"] == {}
+    assert d["n_queries"] == 30
+    assert d["value"] >= 0
