@@ -896,6 +896,13 @@ def max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     max. Ends sort before starts at the same instant (delta -1 < +1),
     matching end-exclusive [ts, ts+30m) semantics."""
     events = load_table(spark, sf_dir, "events")
+    return sweepline_peak(events)
+
+
+def sweepline_peak(events: DataFrame) -> DataFrame:
+    """The distributed sweep-line over any (event_type, ts) frame —
+    shared by the registered query and tools/sweepline_scale_race.py so
+    the race exercises the exact production decomposition."""
     pts = events.select(
         "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
     ).unionByName(

@@ -798,6 +798,13 @@ def weighted_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"),
         F.round(F.col("l_quantity")).cast("bigint").alias("q"),
     )
+    return weighted_median_plan(li)
+
+
+def weighted_median_plan(li: DataFrame) -> DataFrame:
+    """Value-domain weighted median over any (l_returnflag, x, q) frame —
+    shared by the registered query and tools/weighted_median_scale_race.py
+    so the race exercises the exact production decomposition."""
     g = li.groupBy("l_returnflag", "x").agg(
         F.sum("q").alias("w"), F.count(F.lit(1)).alias("nr")
     )
