@@ -348,3 +348,63 @@ def test_waterfall_with_mocked_real_adapters(spark):
     # oc.requests can't be asserted here — the resolver executes in a
     # cloudpickled executor copy, not this driver-side object.
     assert r["lat"] == 25.04 and r["source"] == "nominatim"
+
+
+def test_waterfall_reexecution_is_idempotent(spark):
+    """SURVEY §7 hard-parts promise (task-retry safety): a Spark task
+    retry re-executes the mapInPandas waterfall partition on the SAME
+    batch. The partition function must be a pure function of its input
+    (StubResolver is deterministic; the reference's pacing jitter lives
+    in the rate limiter, which shapes timing, never results), so a
+    re-executed partition yields byte-identical rows and write-back
+    entries — and re-applying that write-back through upsert_cache's
+    last-write-wins merge leaves the cache state unchanged."""
+    rows = spark.createDataFrame(
+        [
+            # resolver path (cache miss, address resolvable)
+            {"county": "臺北市", "org_name": "測試診所",
+             "address": "臺北市中山區南京東路2段125號"},
+            {"county": "新北市", "org_name": "板橋診所",
+             "address": "新北市板橋區文化路1段188號"},
+            # county-centroid floor (nothing resolvable, county known)
+            {"county": "花蓮縣", "org_name": "無地址單位", "address": ""},
+            # no-result note (no county, no address)
+            {"county": None, "org_name": "幽靈單位", "address": None},
+        ]
+    )
+    cache = E.empty_cache(spark)
+
+    def run_once():
+        res = E.enrich(rows, cache, E.StubResolver(), min_interval_s=0.0)
+        enriched = sorted(
+            (r.asDict(recursive=True) for r in res.enriched.collect()),
+            key=lambda d: str(d["org_name"]),
+        )
+        entries = sorted(
+            (r.asDict(recursive=True) for r in res.new_cache_entries.collect()),
+            key=lambda d: d["query"],
+        )
+        return enriched, entries, res.new_cache_entries
+
+    enriched_1, entries_1, wb_1 = run_once()
+    enriched_2, entries_2, _ = run_once()
+
+    # identical output rows and identical write-back set on re-execution
+    assert enriched_1 == enriched_2
+    assert entries_1 == entries_2
+    assert len(entries_1) == 2  # the two resolver-path rows wrote back
+
+    # re-applying the same write-back is a no-op on cache state
+    once = E.upsert_cache(cache, wb_1)
+    twice = E.upsert_cache(once, wb_1)
+
+    def snapshot(df):
+        return sorted(
+            (r.asDict(recursive=True) for r in df.collect()),
+            key=lambda d: d["query"],
+        )
+
+    assert snapshot(once) == snapshot(twice)
+    assert {e["query"] for e in snapshot(once)} == {
+        e["query"] for e in entries_1
+    }
