@@ -90,8 +90,10 @@ def register(
 # of (b); overflow is queued in COVERAGE.md rather than rolled
 # silently.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- (a) first-ever hash attestation (re-pointed from rows-only KLL) --
+    # -- (a) first-ever hash attestations: the re-pointed KLL cell and
+    #    the one new-in-r11 registration (fills the reserved slot) --
     "sketch_value_quantiles",
+    "curation_pii_scrub",
     # -- (b) r7-green fill queue (CORRECTNESS_r07 key order) --
     "graph_pagerank_copurchase",
     "curation_weighted_sample_stratified",

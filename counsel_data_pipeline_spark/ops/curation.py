@@ -489,3 +489,29 @@ def es_sample_key(id_col: Column, weight_col: Column, seed: int) -> Column:
     ).cast("bigint")
     u = (h32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
     return F.round((-F.log(u)) / weight_col, 9)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (emails / phone numbers) — map-side redaction
+# ---------------------------------------------------------------------------
+
+# RE2-compatible subset (no lookaround, no backrefs) so the DuckDB oracle
+# evaluates the IDENTICAL pattern: Java (Spark) and RE2 (DuckDB) agree on
+# character classes, bounded repetition, and alternation-free patterns.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+
+def pii_scrub(c: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, redacted): occurrence counts and the text with
+    every email replaced by [EMAIL] and every phone by [PHONE]. Pure
+    map-side expressions — precompiled regexes inside whole-stage codegen,
+    no shuffle, no UDF; the 100 TB cost is one codegen'd projection."""
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return n_emails, n_phones, redacted

@@ -1022,3 +1022,93 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# Deterministic PII injection fixture: the synthetic corpus carries no
+# natural PII, so the query plants a known email on every doc_id % 7 == 0
+# and a known phone on every doc_id % 5 == 0 — the IDENTICAL expression
+# in both engines — and then attests the scrub itself. What the hash
+# proves is the part that matters at 100 TB: the redaction regexes
+# (RE2-compatible subset, see ops/curation.py) find and replace exactly
+# the same spans in Spark's Java regex engine and DuckDB's RE2.
+_PII_INJECT_SQL = """
+        text
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com for details'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' call 02-555-'
+                     || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     || '-1234'
+                ELSE '' END
+"""
+
+
+@register(
+    "curation_pii_scrub",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, source, {_PII_INJECT_SQL} AS raw
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, source,
+                 len(regexp_extract_all(raw, '{cu.PII_EMAIL_RE}')) AS n_emails,
+                 len(regexp_extract_all(raw, '{cu.PII_PHONE_RE}')) AS n_phones,
+                 regexp_replace(
+                   regexp_replace(raw, '{cu.PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{cu.PII_PHONE_RE}', '[PHONE]', 'g') AS red
+          FROM t
+        )
+        SELECT doc_id, source,
+               CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(n_phones AS BIGINT) AS n_phones,
+               md5(red) AS redacted_md5,
+               CAST(length(red) AS BIGINT) AS redacted_len
+        FROM r
+    """,
+    description=(
+        "PII scrub over the corpus (emails -> [EMAIL], phones -> "
+        "[PHONE]): per-doc match counts plus md5+length of the redacted "
+        "text, on a deterministic injected-PII fixture — the hash attests "
+        "byte-exact cross-engine redaction, the property a 100 TB scrub "
+        "run rests on"
+    ),
+    tags=("llm", "curation", "text"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: one codegen'd map-side projection — regexes are
+    precompiled per task, no UDF, no shuffle anywhere (the per-doc
+    output keeps the narrow plan end-to-end). At 100 TB the cost is a
+    single pass over the text column; column pruning keeps the scan to
+    (doc_id, source, text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    inj = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com for details"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 02-555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-1234"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    n_emails, n_phones, redacted = cu.pii_scrub(inj)
+    return docs.select(
+        "doc_id",
+        "source",
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+    )

@@ -861,3 +861,38 @@ def test_containment_catches_subdocument_duplication(spark):
     assert rows[0].containment == 1.0
     jac = td.jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
     assert jac.count() == 0  # the pair jaccard's gate misses
+
+
+def test_pii_scrub_redacts_known_spans(spark):
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.ops import curation as cu
+
+    rows = spark.createDataFrame(
+        [
+            ("write to jane.doe+spam@mail.example.org today", 1, 0,
+             "write to [EMAIL] today"),
+            ("dial 02-555-123-4567 or 886-123-4567-8901 now", 0, 2,
+             "dial [PHONE] or [PHONE] now"),
+            ("a@b.co plus 12-345-678-9012", 1, 1, "[EMAIL] plus [PHONE]"),
+            # non-matches must pass through untouched: bare @, short TLD,
+            # wrong phone grouping
+            ("user@host plus 1-23-45 plus a@b.c", 0, 0,
+             "user@host plus 1-23-45 plus a@b.c"),
+            (None, None, None, None),
+        ],
+        ["text", "want_emails", "want_phones", "want_red"],
+    )
+    n_e, n_p, red = cu.pii_scrub(F.col("text"))
+    got = rows.select(
+        "want_emails", "want_phones", "want_red",
+        n_e.alias("e"), n_p.alias("p"), red.alias("r"),
+    ).collect()
+    for r in got:
+        if r.want_red is None:
+            # null text: size() yields -1/null per Spark semantics — the
+            # catalog query never sees nulls (documents.text is non-null),
+            # but redaction must not fabricate output
+            assert r.r is None
+            continue
+        assert (r.e, r.p, r.r) == (r.want_emails, r.want_phones, r.want_red)
