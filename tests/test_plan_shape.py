@@ -222,6 +222,12 @@ def test_catalog_fleet_plan_audit(spark):
             nn = node.nodeName()
             if "CartesianProduct" in nn:
                 issues.append(nn)
+            if nn == "BatchEvalPython":
+                # row-at-a-time Python UDF: every row round-trips the
+                # JVM<->Python pickle boundary — the catalog's Python
+                # surface is Arrow-only (ArrowEvalPython / MapInPandas /
+                # FlatMapGroupsInPandas / UDTF nodes pass)
+                issues.append("row-wise Python UDF (BatchEvalPython)")
             if "Exchange" in nn and "SinglePartition" in (
                 node.toString().splitlines()[0]
             ):
