@@ -186,7 +186,7 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH g AS (
           SELECT event_type, value AS x, count(*) AS c
-          FROM events GROUP BY 1, 2
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         ),
         t AS (
           SELECT event_type, CAST(sum(c) AS BIGINT) AS n_rows
@@ -223,8 +223,12 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     column elements, so the DuckDB oracle is bit-equal by construction.
     If the value domain itself were unbounded, the range-partition +
     offset prefix-sum trick of window_balance_quartiles_distributed
-    applies unchanged."""
-    ev = load_table(spark, sf_dir, "events")
+    applies unchanged. Null values are excluded on both sides — quantiles
+    are over observed values, and nulls would otherwise sort first in
+    Spark windows but last in DuckDB's."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     g = ev.groupBy("event_type", F.col("value").alias("x")).agg(
         F.count(F.lit(1)).alias("c")
     )
