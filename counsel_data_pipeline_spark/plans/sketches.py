@@ -188,20 +188,18 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT event_type, value AS x, count(*) AS c
           FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         ),
-        t AS (
-          SELECT event_type, CAST(sum(c) AS BIGINT) AS n_rows
-          FROM g GROUP BY 1
-        ),
         c AS (
           SELECT event_type, x,
-                 sum(c) OVER (PARTITION BY event_type ORDER BY x) AS cum
+                 sum(c) OVER (PARTITION BY event_type ORDER BY x) AS cum,
+                 CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_rows
           FROM g
         )
-        SELECT t.event_type, t.n_rows,
+        SELECT event_type, n_rows,
                min(CASE WHEN 2 * cum >= n_rows THEN x END) AS p50,
                min(CASE WHEN 10 * cum >= 9 * n_rows THEN x END) AS p90,
                min(CASE WHEN 100 * cum >= 99 * n_rows THEN x END) AS p99
-        FROM c JOIN t USING (event_type)
+        FROM c
         GROUP BY 1, 2
     """,
     description=(
@@ -218,28 +216,33 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per distinct (event_type, value) via a plain hash aggregate
     (map-side combinable, shuffle bounded by the value DOMAIN, not row
     count); the cumulative-count window then orders only that domain.
-    Each quantile is the smallest element whose cumulative count reaches
-    ceil(p*n) — pure integer comparisons, and the returned doubles are
-    column elements, so the DuckDB oracle is bit-equal by construction.
-    If the value domain itself were unbounded, the range-partition +
-    offset prefix-sum trick of window_balance_quartiles_distributed
-    applies unchanged. Null values are excluded on both sides — quantiles
-    are over observed values, and nulls would otherwise sort first in
-    Spark windows but last in DuckDB's."""
+    The per-group total rides the SAME window exchange as the running
+    sum (an unbounded frame over the identical partitioning), so the
+    whole query is ONE fact scan and two exchanges — no second scan to
+    recompute totals, no join. Each quantile is the smallest element
+    whose cumulative count reaches ceil(p*n) — pure integer comparisons,
+    and the returned doubles are column elements, so the DuckDB oracle
+    is bit-equal by construction. If the value domain itself were
+    unbounded, the range-partition + offset prefix-sum trick of
+    window_balance_quartiles_distributed applies unchanged. Null values
+    are excluded on both sides — quantiles are over observed values, and
+    nulls would otherwise sort first in Spark windows but last in
+    DuckDB's."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
     g = ev.groupBy("event_type", F.col("value").alias("x")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    t = g.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("n_rows"))
     cum_w = Window.partitionBy("event_type").orderBy("x").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    c = g.withColumn("cum", F.sum("c").over(cum_w))
+    tot_w = Window.partitionBy("event_type")
+    c = g.withColumn("cum", F.sum("c").over(cum_w)).withColumn(
+        "n_rows", F.sum("c").over(tot_w).cast("bigint")
+    )
     return (
-        c.join(F.broadcast(t), "event_type")
-        .groupBy("event_type", "n_rows")
+        c.groupBy("event_type", "n_rows")
         .agg(
             F.min(
                 F.when(2 * F.col("cum") >= F.col("n_rows"), F.col("x"))

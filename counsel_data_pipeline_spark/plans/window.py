@@ -759,20 +759,19 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  count(*) AS nr
           FROM lineitem GROUP BY 1, 2
         ),
-        t AS (
-          SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS total_weight,
-                 CAST(sum(nr) AS BIGINT) AS n_rows
-          FROM g GROUP BY 1
-        ),
         c AS (
           SELECT l_returnflag, x, w,
-                 sum(w) OVER (PARTITION BY l_returnflag ORDER BY x) AS cum
+                 sum(w) OVER (PARTITION BY l_returnflag ORDER BY x) AS cum,
+                 CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                   AS total_weight,
+                 CAST(sum(nr) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                   AS n_rows
           FROM g
         )
-        SELECT t.l_returnflag, t.n_rows, t.total_weight,
+        SELECT l_returnflag, n_rows, total_weight,
                CAST(min(CASE WHEN 2 * cum >= total_weight THEN x END)
                     AS BIGINT) AS weighted_median_cents
-        FROM c JOIN t USING (l_returnflag)
+        FROM c
         GROUP BY 1, 2, 3
     """,
     description=(
@@ -804,20 +803,24 @@ def weighted_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def weighted_median_plan(li: DataFrame) -> DataFrame:
     """Value-domain weighted median over any (l_returnflag, x, q) frame —
     shared by the registered query and tools/weighted_median_scale_race.py
-    so the race exercises the exact production decomposition."""
+    so the race exercises the exact production decomposition. The group
+    totals ride the SAME window exchange as the cumulative sum (unbounded
+    frame, identical partitioning), so the whole query is one fact scan
+    and two exchanges — no totals join, no second scan."""
     g = li.groupBy("l_returnflag", "x").agg(
         F.sum("q").alias("w"), F.count(F.lit(1)).alias("nr")
-    )
-    t = g.groupBy("l_returnflag").agg(
-        F.sum("w").alias("total_weight"), F.sum("nr").alias("n_rows")
     )
     cum = Window.partitionBy("l_returnflag").orderBy("x").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    c = g.withColumn("cum", F.sum("w").over(cum))
+    tot = Window.partitionBy("l_returnflag")
+    c = (
+        g.withColumn("cum", F.sum("w").over(cum))
+        .withColumn("total_weight", F.sum("w").over(tot).cast("bigint"))
+        .withColumn("n_rows", F.sum("nr").over(tot).cast("bigint"))
+    )
     return (
-        c.join(F.broadcast(t), "l_returnflag")
-        .groupBy("l_returnflag", "n_rows", "total_weight")
+        c.groupBy("l_returnflag", "n_rows", "total_weight")
         .agg(
             F.min(
                 F.when(2 * F.col("cum") >= F.col("total_weight"), F.col("x"))
