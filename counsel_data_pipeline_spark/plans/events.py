@@ -389,30 +389,53 @@ def range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "funnel"),
 )
 def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    """Scale notes: ONE fact scan and one shuffle. The three stage
+    timestamps chain as conditional minima over the same per-user window
+    partitioning (first view; first click after it; first purchase after
+    that), so Catalyst plans a single sort per user partition and the
+    per-stage join-back of the naive form — which cost six fact scans —
+    disappears. The per-user collapse and the final three counts ride
+    the window's partitioning (no further exchange until the single-row
+    reduce)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
     )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"),
     )
 
 
@@ -902,15 +925,25 @@ def max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sweepline_peak(events: DataFrame) -> DataFrame:
     """The distributed sweep-line over any (event_type, ts) frame —
     shared by the registered query and tools/sweepline_scale_race.py so
-    the race exercises the exact production decomposition."""
+    the race exercises the exact production decomposition.
+
+    Both sweep points of an event (+1 at ts, -1 at ts+30m) come from ONE
+    explode over a 2-element literal array, and the session count is
+    recovered from the +1 points — so the whole query reads the fact
+    exactly once (the union-of-two-selects form planned 3 scans)."""
     pts = events.select(
-        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
-    ).unionByName(
-        events.select(
-            "event_type",
-            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
-            F.lit(-1).alias("delta"),
-        )
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("pt"),
+    ).select(
+        "event_type", F.col("pt.t").alias("t"), F.col("pt.delta").alias("delta")
     ).withColumn("day", F.date_trunc("day", "t"))
 
     in_day = Window.partitionBy("event_type", "day").orderBy("t", "delta").rowsBetween(
@@ -922,6 +955,9 @@ def sweepline_peak(events: DataFrame) -> DataFrame:
         .agg(
             F.max("rs").alias("day_max"),
             F.sum("delta").alias("day_sum"),
+            # each event contributes exactly one +1 point, so the day's
+            # session count falls out of the same aggregate
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("day_n"),
         )
     )
     across = (
@@ -929,7 +965,7 @@ def sweepline_peak(events: DataFrame) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    peaks = (
+    return (
         per_day.withColumn(
             "offset", F.coalesce(F.sum("day_sum").over(across), F.lit(0))
         )
@@ -937,13 +973,10 @@ def sweepline_peak(events: DataFrame) -> DataFrame:
         .agg(
             (F.max(F.col("offset") + F.col("day_max")))
             .cast("bigint")
-            .alias("max_concurrent")
+            .alias("max_concurrent"),
+            F.sum("day_n").cast("bigint").alias("n_sessions"),
         )
     )
-    n_sessions = events.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_sessions")
-    )
-    return peaks.join(n_sessions, "event_type")
 
 
 # ---------------------------------------------------------------------------

@@ -389,16 +389,24 @@ _HH_WIDTH, _HH_FACTOR = 8192, 1.2
     tags=("sketch", "events", "skew"),
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: exactly TWO fact passes — the CMS build and the
+    exact per-key count. The probe set and the total/distinct counts are
+    both derived from the per-key count (materialized once; it is the
+    attestation twin and key-domain-sized by nature — at real scale the
+    sketch runs alone and this side disappears). The naive form
+    re-aggregated the fact four times."""
     ev = load_table(spark, sf_dir, "events")
     sketch = sk.cms_build(ev, "user_id", _CMS_DEPTH, _HH_WIDTH)
-    probes = ev.select("user_id").distinct()
-    est = sk.cms_estimate(sketch, probes, "user_id", _CMS_DEPTH, _HH_WIDTH)
-    true = ev.groupBy(F.col("user_id").alias("key")).agg(
-        F.count(F.lit(1)).alias("true_cnt")
+    true = (
+        ev.groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .localCheckpoint()
     )
-    totals = ev.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.countDistinct("user_id").alias("nk"),
+    probes = true.select(F.col("key").alias("user_id"))
+    est = sk.cms_estimate(sketch, probes, "user_id", _CMS_DEPTH, _HH_WIDTH)
+    totals = true.agg(
+        F.sum("true_cnt").alias("total"),
+        F.count(F.lit(1)).alias("nk"),
     )
     thresh = F.lit(_HH_FACTOR) * F.col("total") / F.col("nk")
     return (
@@ -680,7 +688,12 @@ def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("half"),
         "user_id",
     )
-    regs = sk.hll_md5_registers(halves, ["half"], "user_id", _HLL_P)
+    # localCheckpoint materializes the <=2*2^p register rows ONCE: regs
+    # feeds four consumers (both per-half estimates, the union merge, and
+    # the pivot below), and without it each consumer re-derives the
+    # registers from the fact — the r11 scan audit found 16 fact scans in
+    # this plan. One eager job, one fact scan, sketch-sized storage.
+    regs = sk.hll_md5_registers(halves, ["half"], "user_id", _HLL_P).localCheckpoint()
     per = sk.hll_md5_estimate(regs, ["half"], _HLL_P)
     union_regs = regs.groupBy("idx").agg(F.max("reg").alias("reg"))
     est_u = sk.hll_md5_estimate(union_regs, [], _HLL_P).select(
@@ -701,11 +714,14 @@ def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xb"),
         F.countDistinct("user_id").alias("xu"),
     )
+    # the 1-row stats frame feeds all four union branches below; eager
+    # materialization keeps the exact-distinct pass (ex) at ONE fact scan
+    # instead of one per branch
     n = (
         ea.crossJoin(eb)
         .crossJoin(est_u)
         .crossJoin(F.broadcast(ex))
-    )
+    ).localCheckpoint()
     return (
         n.select(
             F.lit("even_half").alias("set_name"),
