@@ -286,13 +286,20 @@ GOPHER_MIN_ALPHA_RATIO = 0.8
 GOPHER_MIN_STOPS = 2
 
 
-def gopher_flags(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def gopher_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document Gopher quality-rule features + keep verdict.
 
     Pure per-row column algebra — no shuffle, no UDF; scales with the scan
     exactly like the PII/repetition ops above. Words = whitespace tokens of
     the trimmed text; lines = raw text split on newline (bullet/ellipsis
     rules are line-positional, so they must see the un-collapsed text).
+    ``passthrough`` carries extra input columns into the output so a
+    pipeline can chain gate→gate→dedup on one scan without join-backs.
     """
     t = F.trim(F.col(text_col))
     words = tokens(t)
@@ -345,6 +352,7 @@ def gopher_flags(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         alpha_ratio.alias("alpha_word_ratio"),
         n_stops.alias("n_required_stops"),
         keep.alias("keep"),
+        *[F.col(c) for c in passthrough],
     )
 
 
@@ -430,9 +438,15 @@ C4_POLICY_PHRASES = ("terms of use", "privacy policy", "cookie policy", "uses co
 C4_MIN_SENTENCES = 3
 
 
-def c4_flags(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def c4_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document C4 rule features + keep verdict. Pure per-row column
-    algebra — no shuffle, no UDF; same scan-bound scaling as gopher_flags."""
+    algebra — no shuffle, no UDF; same scan-bound scaling as gopher_flags.
+    ``passthrough`` as in gopher_flags."""
     t = F.col(text_col)
     low = F.lower(t)
     lines = F.split(t, "\n")
@@ -464,6 +478,7 @@ def c4_flags(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         has_curly.alias("has_curly_brace"),
         has_policy.alias("has_policy_phrase"),
         keep.alias("keep"),
+        *[F.col(c) for c in passthrough],
     )
 
 

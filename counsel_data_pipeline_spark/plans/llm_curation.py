@@ -595,45 +595,53 @@ def c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composition of gopher_flags, c4_flags, exact_dedup and shuffle_order
-    exactly as a training-data job would chain them; per-shard counts are
-    the shard manifest a loader consumes."""
-    from counsel_data_pipeline_spark.ops import text_dedup as td
+    """Composition of gopher_flags, c4_flags, exact_dedup-by-window and
+    shuffle_order exactly as a training-data job would chain them;
+    per-shard counts are the shard manifest a loader consumes.
+
+    Scale notes: ONE fact scan. Both quality gates are per-row column
+    algebra, so they CHAIN on the scan (text carried via the flag ops'
+    passthrough) instead of materializing doc_id sets and joining back
+    (the r11 scan audit found 6 fact scans in the join-back form). The
+    exact dedup keeps min-id per content hash as a window over the hash
+    shuffle — same survivors as the groupBy+join-back exact_dedup, one
+    pass."""
     from counsel_data_pipeline_spark.ops import text_analysis as ta2
     from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
+    from counsel_data_pipeline_spark.ops.text_dedup import content_md5
 
     # Project to the two consumed columns BEFORE the gates so the parquet
     # ReadSchema stays (doc_id, text) — the other document attributes
     # would otherwise ride through every join of the pipeline.
     docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    g = (
-        cu.gopher_flags(docs)
-        .filter(
-            F.col("n_words").between(cu.GOPHER_MIN_WORDS, cu.GOPHER_MAX_WORDS)
-            & F.col("mean_word_len").between(cu.GOPHER_MIN_MEAN_WL, cu.GOPHER_MAX_MEAN_WL)
-            & (F.col("symbol_ratio") <= cu.GOPHER_MAX_SYMBOL_RATIO)
-            & (F.col("bullet_line_ratio") <= cu.GOPHER_MAX_BULLET_RATIO)
-            & (F.col("ellipsis_line_ratio") <= cu.GOPHER_MAX_ELLIPSIS_RATIO)
-            & (F.col("alpha_word_ratio") >= cu.GOPHER_MIN_ALPHA_RATIO)
-            & (F.col("n_required_stops") >= 1)  # corpus-calibrated (see oracle note)
-        )
-        .select("doc_id")
-    )
-    c = (
-        cu.c4_flags(docs)
-        .filter(  # corpus-calibrated: boilerplate detectors only
-            ~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace") & ~F.col("has_policy_phrase")
-        )
-        .select("doc_id")
-    )
-    kept = docs.join(g, "doc_id").join(c, "doc_id")
-    surv = td.exact_dedup(kept).select(F.col("canonical_id").alias("doc_id"))
+    g = cu.gopher_flags(docs, passthrough=("text",)).filter(
+        F.col("n_words").between(cu.GOPHER_MIN_WORDS, cu.GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(cu.GOPHER_MIN_MEAN_WL, cu.GOPHER_MAX_MEAN_WL)
+        & (F.col("symbol_ratio") <= cu.GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_line_ratio") <= cu.GOPHER_MAX_BULLET_RATIO)
+        & (F.col("ellipsis_line_ratio") <= cu.GOPHER_MAX_ELLIPSIS_RATIO)
+        & (F.col("alpha_word_ratio") >= cu.GOPHER_MIN_ALPHA_RATIO)
+        & (F.col("n_required_stops") >= 1)  # corpus-calibrated (see oracle note)
+    ).select("doc_id", "text")
+    kept = cu.c4_flags(g, passthrough=("text",)).filter(
+        # corpus-calibrated: boilerplate detectors only
+        ~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace") & ~F.col("has_policy_phrase")
+    ).select("doc_id", "text")
+    from pyspark.sql import Window
+
+    by_hash = Window.partitionBy("content_hash").orderBy("doc_id")
     # Persisted for the three consumers below (shuffle_order's bucket-count
     # collect, its ranking pass, and the token-count join); released by LRU
     # eviction / bench clearCache — the same per-invocation cache lifecycle
     # as the dedup-family persists (a lazily returned DataFrame has no
     # sound unpersist point inside the builder).
-    final = kept.join(surv, "doc_id").persist()
+    final = (
+        kept.withColumn("content_hash", content_md5(F.col("text")))
+        .withColumn("__rn", F.row_number().over(by_hash))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text")
+        .persist()
+    )
     ordered = cu.shuffle_order(final)
     toks = final.select(
         "doc_id", F.size(ta2.tokens(F.col("text"))).alias("n_tok")
@@ -850,10 +858,17 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     corpus_sh = shingled(docs.filter(F.col("source") != "src0"), "doc_id")
-    bench_sh = shingled(docs.filter(F.col("source") == "src0"), "bench_id")
-    bloom = sk.bloom_build(
-        bench_sh.select("shingle"), "shingle", _DB_K, _DB_M
+    # The benchmark shingle set is eval-set-sized by definition —
+    # materialize it once (it feeds the Bloom build AND the exact-shared
+    # broadcast; re-deriving it cost two extra fact scans in the r11
+    # audit). The corpus stream below is read exactly once.
+    bench_shingles = (
+        shingled(docs.filter(F.col("source") == "src0"), "bench_id")
+        .select("shingle")
+        .distinct()
+        .localCheckpoint()
     )
+    bloom = sk.bloom_build(bench_shingles, "shingle", _DB_K, _DB_M)
 
     # Three independent broadcast word lookups evaluated map-side on the
     # corpus stream (one renamed copy of the <=m/32-row word table per
@@ -877,16 +892,16 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     may = bit_cols[0] & bit_cols[1] & bit_cols[2]
-    shared = (
-        corpus_sh.join(
-            F.broadcast(bench_sh.select("shingle").distinct()), "shingle"
-        )
-        .select("doc_id", "shingle")
-        .withColumn("__shared", F.lit(True))
+    # exact verdict rides the SAME corpus stream: shared-ness depends
+    # only on the shingle, so one more broadcast join against the
+    # checkpointed benchmark set replaces the old second corpus scan +
+    # (doc_id, shingle) join-back
+    shared_mark = F.broadcast(
+        bench_shingles.withColumn("__shared", F.lit(True))
     )
     return (
         probed.withColumn("__may", may)
-        .join(shared, ["doc_id", "shingle"], "left")
+        .join(shared_mark, "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
