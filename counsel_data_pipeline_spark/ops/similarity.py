@@ -483,7 +483,10 @@ def _nearest_cells(
 def lowest_id_centroids(emb: DataFrame, n_centroids: int) -> DataFrame:
     """Deterministic centroid seeding shared by the IVF paths: the
     ``n_centroids`` lowest-id vectors (reproducible across runs/engines
-    without a stored model)."""
+    without a stored model). Eagerly materialized — the tiny table feeds
+    both the corpus assignment and the query probe ranking, and without
+    it each consumer re-derives the TakeOrdered from a full corpus scan
+    (the r11 scan audit found the doubled scan in every IVF plan)."""
     return (
         emb.orderBy("__id")
         .limit(n_centroids)
@@ -492,6 +495,7 @@ def lowest_id_centroids(emb: DataFrame, n_centroids: int) -> DataFrame:
             F.col("__v").alias("__cv"),
             F.col("__norm").alias("__cn"),
         )
+        .localCheckpoint()
     )
 
 

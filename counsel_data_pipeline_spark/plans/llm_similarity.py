@@ -821,10 +821,15 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", sim.l2_norm(F.col("v")))
         .filter(F.col("nrm") > 0)
     )
-    x = emb.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    # norms ride the exploded stream so the scoring pass needs no join
+    # back to the vector table; the 64-row dim-mean table is materialized
+    # once (it feeds the mean-norm scalar AND the broadcast scoring join —
+    # re-deriving it cost two extra fact scans in the r11 audit). Two
+    # fact passes total: dim-mean build, then score.
+    x = emb.select("vec_id", "nrm", F.posexplode("v").alias("pos", "x"))
     dims = x.groupBy("pos").agg(
         (to_double(F.sum(dec("x")), 6) / F.count("x")).alias("dm")
-    )
+    ).localCheckpoint()
     mn = dims.agg(
         F.sqrt(
             to_double(
@@ -844,12 +849,12 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("x") * F.col("dm"), 9).cast("decimal(30,9)")
                 ),
                 9,
-            ).alias("dotm")
+            ).alias("dotm"),
+            F.max("nrm").alias("nrm"),
         )
     )
     return (
-        emb.join(dots, "vec_id")
-        .crossJoin(F.broadcast(mn))
+        dots.crossJoin(F.broadcast(mn))
         .select(
             "vec_id",
             (F.col("dotm") / (F.col("nrm") * F.col("mnorm"))).alias("center_cos"),

@@ -712,22 +712,31 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(ta.norm_text(F.col("text")), " ").alias("tok")
     )
+    from pyspark.sql import Window
+
+    # unigram model table is vocab-sized — materialized once (it feeds
+    # the vocab-size scalar AND the scoring join; re-deriving it cost two
+    # extra fact scans in the r11 audit)
     uni = (
         toks.select(F.explode("tok").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint()
     )
     v = uni.agg(F.count(F.lit(1)).alias("v"))
     bg = toks.select(
         "doc_id", F.explode(ta.word_shingles_from_tokens(F.col("tok"), 2)).alias("bigram")
     )
-    # Doc side pre-aggregated to (doc, bigram, tf): the equi-join against
-    # the corpus bigram-count table then carries each distinct doc-bigram
-    # once — hot boilerplate bigrams skew the raw stream, not this join.
+    # Doc side pre-aggregated to (doc, bigram, tf): the corpus bigram
+    # count is sum(tf) over the bigram partition — a window riding the
+    # SAME hash distribution, so the corpus-count branch needs no second
+    # pass over the bigram stream. Hot boilerplate bigrams skew the raw
+    # stream, not this aggregate.
     doc_bg = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("tf"))
-    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
     scored = (
-        doc_bg.join(bgc, "bigram")
+        doc_bg.withColumn(
+            "c2", F.sum("tf").over(Window.partitionBy("bigram"))
+        )
         .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
         .join(uni.withColumnRenamed("term", "w1"), "w1")
         .crossJoin(F.broadcast(v))
