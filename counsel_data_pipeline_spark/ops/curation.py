@@ -224,7 +224,15 @@ def temperature_resample(
     # NULL-lang doc, violating the no-drop invariant).
     lang_key = F.coalesce(F.col(lang_col).cast("string"), F.lit("\x00<null>"))
     tagged = docs.withColumn("__lang_key", lang_key)
-    counts = tagged.groupBy("__lang_key").agg(F.count(F.lit(1)).alias("__n"))
+    # one row per language, materialized once — it feeds both the max
+    # aggregate and the factor join; unmaterialized, each re-derives the
+    # per-lang count from its own corpus pass (r11 scan audit). Two fact
+    # passes total: count, then expand.
+    counts = (
+        tagged.groupBy("__lang_key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint()
+    )
     mx = counts.agg(F.max("__n").alias("__mx"))
     fac = (
         counts.crossJoin(F.broadcast(mx))

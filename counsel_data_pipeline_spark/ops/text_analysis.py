@@ -144,20 +144,31 @@ def oov_trigram_ratio_frame(docs, vocab_size: int = 100):
         F.expr("transform(sequence(1, length(nt) - 2), i -> substring(nt, i, 3))"),
     ).otherwise(F.array().cast("array<string>"))
     tri = d.select("doc_id", F.explode(tri_arr).alias("tg"))
+    # vocab-sized, materialized once (it anchors the scoring join below;
+    # unmaterialized, the top-k re-derives from a second corpus pass —
+    # r11 scan audit). Two fact passes total: vocab build, then score.
     top = (
         tri.groupBy("tg")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), "tg")
         .limit(vocab_size)
         .select("tg")
+        .localCheckpoint()
     )
-    m = tri.join(F.broadcast(top), "tg").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_in")
+    # scoring pass: n_tri rides the explode (explode_outer keeps empty
+    # docs as one null-trigram row), the vocab marker is a broadcast left
+    # join, and the per-doc counts fall out of one aggregate — no
+    # join-back against a separate per-doc total
+    ex = d.select(
+        "doc_id",
+        F.greatest(F.length("nt") - 2, F.lit(0)).cast("bigint").alias("n_tri"),
+        F.explode_outer(tri_arr).alias("tg"),
+    ).join(
+        F.broadcast(top.withColumn("__in", F.lit(True))), "tg", "left"
     )
-    tot = d.select(
-        "doc_id", F.greatest(F.length("nt") - 2, F.lit(0)).cast("bigint").alias("n_tri")
+    out = ex.groupBy("doc_id", "n_tri").agg(
+        F.sum(F.when(F.col("__in"), 1).otherwise(0)).alias("n_in")
     )
-    out = tot.join(m, "doc_id", "left")
     n_oov = (F.col("n_tri") - F.coalesce(F.col("n_in"), F.lit(0))).cast("bigint")
     return out.select(
         "doc_id",

@@ -573,10 +573,16 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact dedup: min-id survivor per normalized-content hash. min(struct)
     # orders by the leading field (doc_id), so one aggregate carries the
     # survivor's payload — no join back to the corpus.
+    # Persisted: surv feeds the near-dup pair join, the dropped-count
+    # join, and the per-lang unique counts; unmaterialized, each consumer
+    # re-runs the scan + dedup shuffle (r11 scan audit). Released by LRU
+    # eviction / bench clearCache — the same per-invocation cache
+    # lifecycle as the other dedup-family persists.
     surv = (
         docs.groupBy(content_md5(F.col("text")).alias("__h"))
         .agg(F.min(F.struct("doc_id", "lang", "text")).alias("s"))
         .select("s.doc_id", "s.lang", "s.text")
+        .persist()
     )
     pairs = td.jaccard_pairs(
         surv, n=3, threshold=0.5, max_shingle_df=None

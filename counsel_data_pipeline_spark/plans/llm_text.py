@@ -322,11 +322,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(ta.norm_text(F.col("text")), " ")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf rows are distinct (doc, term), so document frequency is a count
+    # over the term partition of the SAME shuffled stream — no second
+    # tokenize pass (the r11 scan audit found 3 fact scans in the
+    # join-back form). Computed BEFORE the doc_id filter so df still
+    # counts the whole corpus.
+    df_w = Window.partitionBy("term")
+    tf_df = tf.withColumn("df", F.count(F.lit(1)).over(df_w))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.filter(F.col("doc_id") < 100)
-        .join(df, "term")
+        tf_df.filter(F.col("doc_id") < 100)
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id", "term", "tf", "df",
@@ -527,10 +532,13 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = ex.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     ).persist()
+    # 1-row corpus stats, materialized once — consumed by both the idf
+    # derivation and the final scorer; re-deriving it repeated the
+    # full-corpus doc-length pass (r11 scan audit)
     stats = toks.select("doc_id", F.size("tok").alias("dl")).agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
+    ).localCheckpoint()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_.crossJoin(F.broadcast(stats.select("n"))).select(
         "term",

@@ -74,8 +74,14 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of one job; the sketch side's shuffle is bounded at depth x width.
     ev = load_table(spark, sf_dir, "events")
     sketch = sk.cms_build(ev, "user_id", _CMS_DEPTH, _CMS_WIDTH)
-    true = ev.groupBy(F.col("user_id").alias("key")).agg(
-        F.count(F.lit(1)).alias("true_cnt")
+    # materialized once: the true-count twin feeds both the probe set and
+    # the final join, and the hoped-for Exchange reuse between them did
+    # not survive planning (r11 scan audit: 3 fact scans) — the
+    # checkpoint pins it at 2 passes (sketch build + exact twin)
+    true = (
+        ev.groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .localCheckpoint()
     )
     est = sk.cms_estimate(
         sketch,

@@ -244,6 +244,64 @@ def test_catalog_fleet_plan_audit(spark):
     assert not bad, f"scale anti-patterns: {bad}"
 
 
+def test_catalog_fact_scan_budget(spark):
+    """Fleet-wide I/O budget: no query's FINAL plan may scan the same
+    FACT table more than twice (self-joins and sketch-vs-exact twins are
+    two passes; anything above that is a consumer re-deriving a shared
+    intermediate from the scan — the disease the r11 audit cured in ten
+    plans). Eagerly materialized passes (localCheckpoint) don't appear
+    in the final plan, but this still pins the lazy re-derivation class
+    of regression. Known exceptions carry their adjudications below."""
+    import re
+    from collections import Counter
+
+    fact_tables = {
+        "lineitem.parquet", "orders.parquet", "events.parquet",
+        "documents.parquet", "embeddings.parquet", "customer.parquet",
+    }
+    allow = {
+        # per-column single-column scans by design: beats countDistinct's
+        # Expand (see ops/profile._exact_profile docstring)
+        ("quality_profile_lineitem", "lineitem.parquet"),
+        ("quality_profile_documents", "documents.parquet"),
+        # one keys-only scan pair per FK edge audited
+        ("quality_referential_integrity", "lineitem.parquet"),
+        ("quality_referential_integrity", "orders.parquet"),
+        ("quality_referential_integrity", "customer.parquet"),
+        # reference-parity fixtures: clean/prev halves + carried/need_geo
+        # split then union — the reference's own dataflow, dim-sized input
+        ("ops_snapshot_carry_forward", "customer.parquet"),
+        ("ops_keyed_merge_two_sources", "orders.parquet"),
+        # block-key self-join + block-count guard + banded verify
+        ("dedup_levenshtein_blocked", "documents.parquet"),
+        # one full-vector corpus stream + narrow pruned label/query reads
+        ("sim_knn_label_agreement", "embeddings.parquet"),
+    }
+    bad = {}
+    for name, q in all_queries().items():
+        if name.startswith(("streaming", "layout", "incremental",
+                            "ops_enrich", "multimodal")):
+            continue  # write-path / stateful surfaces audited elsewhere
+        df = q.fn(spark, SF)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        tables, cur = [], False
+        for line in plan.splitlines():
+            if re.match(r"^\(\d+\) Scan parquet", line):
+                cur = True
+            elif cur and "Location:" in line:
+                m = re.search(r"\[(.*?)\]", line)
+                if m:
+                    tables.append(m.group(1).split("/")[-1])
+                cur = False
+        for t, n in Counter(tables).items():
+            if t in fact_tables and n > 2 and (name, t) not in allow:
+                bad[(name, t)] = n
+    assert not bad, f"fact tables scanned >2x in one plan: {bad}"
+
+
 def test_bm25_narrow_scan_and_broadcast_stats(spark):
     """BM25: the documents scans read only (doc_id, text); idf/avgdl are
     broadcast (never shuffled against the postings); top-k is TakeOrdered,
