@@ -123,3 +123,63 @@ def test_exact_value_quantiles_match_python(spark, events):
             py_type1(xs, 0.99),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# funnel chained-window rewrite == naive per-stage Python model
+# ---------------------------------------------------------------------------
+
+# Tight timestamp domain so equal-timestamp collisions (the strict-'after'
+# boundary the windows must respect) occur constantly.
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),                  # user
+        st.sampled_from(["view", "click", "purchase", "other"]),
+        st.integers(min_value=0, max_value=6),                  # minute
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def py_funnel(rows):
+    users = {u for u, _, _ in rows}
+    n_v = n_c = n_p = 0
+    for u in users:
+        mine = [(t, ty) for uu, ty, t in rows if uu == u]
+        views = [t for t, ty in mine if ty == "view"]
+        if not views:
+            continue
+        n_v += 1
+        t_view = min(views)
+        clicks = [t for t, ty in mine if ty == "click" and t > t_view]
+        if not clicks:
+            continue
+        n_c += 1
+        t_click = min(clicks)
+        if any(ty == "purchase" and t > t_click for t, ty in mine):
+            n_p += 1
+    return n_v, n_c, n_p
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_funnel_events)
+def test_funnel_chained_windows_match_python(spark, events):
+    import datetime as dt
+
+    base = dt.datetime(2026, 4, 1)
+    rows = [
+        (u, ty, base + dt.timedelta(minutes=m)) for u, ty, m in events
+    ]
+    tmp = tempfile.mkdtemp(prefix="cdp_funnel_prop_")
+    try:
+        spark.createDataFrame(
+            rows, "user_id bigint, event_type string, ts timestamp"
+        ).write.parquet(f"{tmp}/events.parquet")
+        [r] = _q("events_funnel_view_click_purchase").fn(spark, tmp).collect()
+        got = (r.n_view, r.n_view_click, r.n_view_click_purchase)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    want = py_funnel([(u, ty, m) for u, ty, m in events])
+    assert got == want
