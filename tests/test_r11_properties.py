@@ -183,3 +183,46 @@ def test_funnel_chained_windows_match_python(spark, events):
         shutil.rmtree(tmp, ignore_errors=True)
     want = py_funnel([(u, ty, m) for u, ty, m in events])
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# window-dedup (corpus_prep_v2's fused form) == exact_dedup survivors
+# ---------------------------------------------------------------------------
+
+_dup_texts = st.lists(
+    # tiny alphabet + whitespace variants so normalized collisions are
+    # constant (normalization equivalence is part of the contract)
+    st.text(alphabet="ab \t", min_size=0, max_size=10),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_dup_texts)
+def test_window_dedup_matches_exact_dedup_survivors(spark, texts):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.ops.text_dedup import (
+        content_md5,
+        exact_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    by_hash = Window.partitionBy("content_hash").orderBy("doc_id")
+    windowed = {
+        r.doc_id
+        for r in df.withColumn("content_hash", content_md5(F.col("text")))
+        .withColumn("__rn", F.row_number().over(by_hash))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id")
+        .collect()
+    }
+    canonical = {
+        r.canonical_id for r in exact_dedup(df).select("canonical_id").collect()
+    }
+    assert windowed == canonical
