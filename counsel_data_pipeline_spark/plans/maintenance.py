@@ -727,29 +727,49 @@ def incremental_cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = cust.filter(F.col("k") % 10 != 0)
 
-    def entry(pred, seq: int, op: str, seg, cents):
-        return cust.filter(pred).select(
-            "k",
+    def entry(seq: int, op: str, seg, cents):
+        return F.struct(
             F.lit(seq).alias("seq"),
             F.lit(op).alias("op"),
-            seg.alias("n_seg"),
+            seg.cast("string").alias("n_seg"),
             cents.cast("bigint").alias("n_cents"),
         )
 
-    chlog = (
-        entry(F.col("k") % 10 == 0, 1, "I", F.col("seg"), F.col("cents"))
-        .unionByName(
-            entry(F.col("k") % 7 == 0, 2, "U", F.col("seg"),
-                  F.col("cents") + 5000)
-        )
-        .unionByName(
-            entry(F.col("k") % 21 == 0, 3, "U", F.col("seg"),
-                  F.col("cents") + 9999)
-        )
-        .unionByName(
-            entry(F.col("k") % 13 == 0, 4, "D",
-                  F.lit(None).cast("string"), F.lit(None))
-        )
+    # the four-entry changelog FIXTURE comes from one scan: conditional
+    # struct per entry kind, nulls filtered, exploded (the
+    # union-of-filters form re-scanned the table once per entry kind)
+    chlog = cust.select(
+        "k",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(
+                        F.col("k") % 10 == 0,
+                        entry(1, "I", F.col("seg"), F.col("cents")),
+                    ),
+                    F.when(
+                        F.col("k") % 7 == 0,
+                        entry(2, "U", F.col("seg"), F.col("cents") + 5000),
+                    ),
+                    F.when(
+                        F.col("k") % 21 == 0,
+                        entry(3, "U", F.col("seg"), F.col("cents") + 9999),
+                    ),
+                    F.when(
+                        F.col("k") % 13 == 0,
+                        entry(4, "D", F.lit(None).cast("string"),
+                              F.lit(None).cast("bigint")),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("e"),
+    ).select(
+        "k",
+        F.col("e.seq").alias("seq"),
+        F.col("e.op").alias("op"),
+        F.col("e.n_seg").alias("n_seg"),
+        F.col("e.n_cents").alias("n_cents"),
     )
     latest = chlog.groupBy("k").agg(
         F.max_by(F.struct("op", "n_seg", "n_cents"), "seq").alias("img")
