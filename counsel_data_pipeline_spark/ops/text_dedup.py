@@ -475,11 +475,17 @@ def levenshtein_blocked_pairs(
         F.substring("nt", 1, prefix_len).alias("bk"),
         F.length("nt").cast("bigint").alias("ln"),
     )
+    # the block-count guard is keys-only (12-char prefixes of surviving
+    # blocks) and broadcast into BOTH sides of the self-join below —
+    # materialized once so each side doesn't rebuild it from its own
+    # fact scan (r11 scan audit: 4 scans; the self-join's two sides are
+    # this shape's floor at 3)
     small = (
         k.groupBy("bk")
         .agg(F.count(F.lit(1)).alias("n_blk"))
         .filter(F.col("n_blk") <= max_block)
         .select("bk")
+        .localCheckpoint()
     )
     k = k.join(F.broadcast(small), "bk")
     a = k.select(F.col("id").alias("id_a"), F.col("nt").alias("ta"),

@@ -272,8 +272,6 @@ def test_catalog_fact_scan_budget(spark):
         # split then union — the reference's own dataflow, dim-sized input
         ("ops_snapshot_carry_forward", "customer.parquet"),
         ("ops_keyed_merge_two_sources", "orders.parquet"),
-        # block-key self-join + block-count guard + banded verify
-        ("dedup_levenshtein_blocked", "documents.parquet"),
         # one full-vector corpus stream + narrow pruned label/query reads
         ("sim_knn_label_agreement", "embeddings.parquet"),
         # tf pass + df pass + count-only n pass: the window-over-tf
