@@ -76,73 +76,70 @@ def register(
 # registration order. Rotate per round: once a family has its green
 # CORRECTNESS row, swap the next unverified family in.
 #
-# Round 11 window (ledger in COVERAGE.md). Evidence state after r10:
-# 50 queries hash-green in r10, 50 in r9, 49 in r8, 49 in r7, and 1
-# permanently-rows-only KLL entry (re-pointed this round — see
-# plans/sketches.py). This round's 50 slots, per
-# ``tools/evidence_ledger.py --suggest --reserve 1``: (a)
-# sketch_value_quantiles FIRST — re-pointed in r11 to an exact
-# value-domain inverse-CDF formulation with a quantile_disc oracle, so
-# its first-ever hash row retires the last non-green ledger cell; (b)
-# all 49 r7-green rows, establishing the steady-state two-round
-# rotation (r7s attested in r11, r8s queued for r12) so no attestation
-# ages past ~4 rounds. New-in-r11 registrations displace from the END
-# of (b); overflow is queued in COVERAGE.md rather than rolled
-# silently.
+# Round 12 window (ledger in COVERAGE.md). Evidence state after r11:
+# 50 queries hash-green in r11, 50 in r10, 50 in r9, 49 in r8, 1 in r7,
+# zero never-attested and zero rows-only cells. This round's 50 slots,
+# per ``tools/evidence_ledger.py --suggest --reserve 0``: (a)
+# tpch_order_value_histogram FIRST — the one r7-green row that r11's 48
+# fill slots couldn't hold (explicitly queued in COVERAGE.md last
+# round); (b) all 49 r8-green rows. This completes the steady-state
+# two-round rotation the r11 verdict prescribed (r7s refreshed in r11,
+# r8s in r12) so no attestation ages past ~4 rounds. Registration
+# budget this round is 0–1: any new query must displace from the END of
+# (b) and the displaced name be queued in COVERAGE.md.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- (a) first-ever hash attestations: the re-pointed KLL cell and
-    #    the one new-in-r11 registration (fills the reserved slot) --
-    "sketch_value_quantiles",
-    "curation_pii_scrub",
-    # -- (b) r7-green fill queue (CORRECTNESS_r07 key order) --
-    "graph_pagerank_copurchase",
-    "curation_weighted_sample_stratified",
-    "curation_decontam_bloom_prefilter",
-    "curation_contamination_matrix",
-    "dedup_exact_content_hash",
-    "dedup_duplicate_spans",
-    "dedup_containment_pairs",
-    "multimodal_decode_metadata",
-    "multimodal_frame_sample_stats",
-    "multimodal_payload_dedup",
-    "sim_ivf_persisted_query",
-    "sim_ivf_incremental_append",
-    "sim_ivf_centroid_drift",
-    "quality_embedding_outliers",
-    "sim_knn_label_agreement",
-    "sim_label_centroid_stats",
-    "sim_pca_power_iteration",
-    "text_vocab_growth",
-    "incremental_orders_state_merge",
-    "join_bucketed_order_revenue",
-    "layout_zorder_pruning",
-    "quality_classifier_score",
-    "sketch_hll_distinct_users",
-    "sketch_sampled_quantiles",
-    "sketch_cms_heavy_hitters",
-    "sketch_cms_join_size",
-    "sketch_hll_set_ops",
-    "join_bloom_runtime_filter",
-    "streaming_cms_user_counts",
-    "streaming_incremental_dedup",
-    "window_top3_orders_per_customer",
-    "window_running_customer_spend",
-    "window_part_price_rank",
-    "window_order_gap_days",
-    "window_customer_balance_quartiles",
-    "window_ewma_user_value",
-    "streaming_ewma_user_value",
-    "tpch_q1_pricing_summary",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity",
-    "tpch_q16_part_supplier_diversity",
-    "tpch_q19_like_disjunctive",
-    "tpch_quantity_discount_correlation",
-    "tpch_top_customer_per_nation",
+    # -- (a) the r7 leftover explicitly queued by r11 --
+    "tpch_order_value_histogram",
+    # -- (b) r8-green fill queue (ledger-suggested order) --
+    "events_tumbling_hourly",
+    "events_sliding_6h_daily",
+    "events_json_prop_buckets",
+    "events_top20_users_by_value",
+    "events_distinct_users_salted",
+    "events_asof_last_click_before_purchase",
+    "events_range_join_error_windows",
+    "events_funnel_view_click_purchase",
+    "events_weekly_cohort_retention",
+    "events_zscore_anomalies",
+    "events_daily_type_pivot",
+    "events_pivot_roundtrip_unpivot",
+    "graph_hits_bipartite",
+    "curation_hash_split",
+    "curation_repetition_scores",
+    "curation_decontam_overlap",
+    "curation_numeric_scrub_props",
+    "curation_stratified_sample",
+    "curation_pack_sequences",
+    "curation_source_cap",
+    "curation_temperature_resample",
+    "curation_chunk_dedup_stats",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_connected_clusters",
+    "dedup_embedding_cosine_topn",
+    "dedup_fuzzy_fingerprint_block",
+    "llm_dedup_pipeline",
+    "dedup_incremental_batch",
+    "dedup_store_bucketed_ingest",
+    "multimodal_binary_stats",
+    "sim_cosine_topk_bruteforce",
+    "sim_lsh_bucketed_topk",
+    "sim_ivf_topk",
+    "sim_neighbor_doc_quality",
+    "dedup_semantic_blocked_pairs",
+    "sim_ivf_kmeans_topk",
+    "text_phrase_search",
+    "layout_zorder_write_prune",
+    "layout_time_partition_prune",
+    "ops_enrich_waterfall",
+    "sketch_hll_sliding_distinct",
+    "window_scd2_intervals",
+    "window_scd2_point_in_time",
+    "streaming_scd2_intervals",
+    "streaming_kmeans_cell_stats",
+    "streaming_sessionize_user_stats",
+    "tpch_q22_sales_opportunity",
 )
 
 

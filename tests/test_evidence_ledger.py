@@ -40,17 +40,19 @@ def test_classify_matrix():
 
 def test_ledger_agrees_with_committed_artifacts():
     latest_green, nongreen, names = el.ledger()
-    # Every catalog query either has a green driver row or is one of the
-    # known never-attested entries (new-in-round queries awaiting their
-    # first driver run + the by-design rows-only KLL).
+    # Every catalog query either has a green driver row or is a
+    # never-attested entry (new-in-round queries awaiting their first
+    # driver run). Since r11 re-pointed sketch_value_quantiles from the
+    # rows-only KLL to the exact inverse-CDF (hash-green in
+    # CORRECTNESS_r11.json), there is no by-design rows-only exception:
+    # anything never-attested must be windowed for the next driver run —
+    # otherwise it's silent evidence debt.
     never = [n for n in names if n not in latest_green]
-    assert "sketch_value_quantiles" in never  # KLL: rows-only by design
     for n in never:
-        if n != "sketch_value_quantiles":
-            # anything else never-attested must be windowed for the next
-            # driver run — otherwise it's silent evidence debt
-            from counsel_data_pipeline_spark.catalog import DRIVER_WINDOW
+        from counsel_data_pipeline_spark.catalog import DRIVER_WINDOW
 
-            assert n in DRIVER_WINDOW, f"never-attested {n} not windowed"
-    # The KLL's newest row is its r8 rows-only record, not an error.
-    assert nongreen.get("sketch_value_quantiles", (None, None))[1] == "rows-only"
+        assert n in DRIVER_WINDOW, f"never-attested {n} not windowed"
+    # The quantiles query graduated in r11: its latest driver row must be
+    # green (it must not have slipped back into the non-green map).
+    assert "sketch_value_quantiles" in latest_green
+    assert "sketch_value_quantiles" not in nongreen
