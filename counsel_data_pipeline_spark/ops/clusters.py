@@ -16,9 +16,10 @@ Scale design:
   - Each round is one shuffle (join on node id + min-aggregate); rounds
     needed = graph diameter, and near-dup graphs are shallow (clusters of
     copies, diameter ≲ 5-6), so the loop is short.
-  - localCheckpoint() every round truncates the lineage — without it the
-    plan doubles per iteration and the driver, not the data, becomes the
-    bottleneck.
+  - pin(loop=True) every round truncates the lineage (localCheckpoint
+    by default; reliable checkpoint under spark.counsel.pin.mode, see
+    ops/materialize) — without it the plan doubles per iteration and the
+    driver, not the data, becomes the bottleneck.
   - Convergence is detected with a count of changed labels (one cheap
     action per round); max_rounds bounds the worst case.
 """
@@ -27,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from counsel_data_pipeline_spark.ops.materialize import pin
 
 
 def connected_components(
@@ -46,17 +49,17 @@ def connected_components(
     case raises instead. Raise ``max_rounds`` for graphs whose diameter
     can exceed it — near-dup clusters are almost always shallow.
     """
-    sym = (
+    sym = pin(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        loop=True,
     )
-    labels = (
+    labels = pin(
         sym.select(F.col("u").alias("id"))
         .distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint()
+        .withColumn("comp", F.col("id")),
+        loop=True,
     )
     changed = -1
     for _ in range(max_rounds):
@@ -65,14 +68,15 @@ def connected_components(
             .groupBy(F.col("u").alias("id"))
             .agg(F.min("comp").alias("nmin"))
         )
-        new_labels = (
+        new_labels = pin(
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
                 (F.col("nmin") < F.col("comp")).alias("changed"),
-            )
-        ).localCheckpoint()
+            ),
+            loop=True,
+        )
         changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.select("id", "comp")
         if changed == 0:

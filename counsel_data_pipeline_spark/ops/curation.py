@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from counsel_data_pipeline_spark.ops.materialize import pin
 from counsel_data_pipeline_spark.ops.sketches import md5_bucket
 from counsel_data_pipeline_spark.ops.text_analysis import (
     norm_text,
@@ -228,10 +229,10 @@ def temperature_resample(
     # aggregate and the factor join; unmaterialized, each re-derives the
     # per-lang count from its own corpus pass (r11 scan audit). Two fact
     # passes total: count, then expand.
-    counts = (
+    counts = pin(
         tagged.groupBy("__lang_key")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .localCheckpoint()
+        .agg(F.count(F.lit(1)).alias("__n")),
+        eager=False,
     )
     mx = counts.agg(F.max("__n").alias("__mx"))
     fac = (

@@ -1,0 +1,128 @@
+"""Materialization policy for pinned intermediates (``pin``).
+
+Many plans pin a small derived frame — sketch registers, vocab/centroid
+tables, 1-row stats, per-iteration graph states — so that multiple
+consumers (or the next loop iteration) don't re-derive it from its own
+fact scan. The r11 scan audit measured the win (worst case: 16 fact
+scans collapsed to 2), but the mechanism was a hard-coded
+``localCheckpoint()`` at every site, which has two documented problems
+at the 100 TB tier:
+
+* **Fault tolerance.** ``localCheckpoint`` truncates lineage and stores
+  blocks *unreplicated* on executors. Losing any executor (or a
+  dynamic-allocation decommission) after the checkpoint fails the job
+  unrecoverably — Spark's own docs call this out. Acceptable on a
+  single-box ``local[*]`` run or a static-allocation cluster; wrong
+  under dynamic allocation or spot instances.
+* **Eager building.** An eager checkpoint inside a plan *builder* runs
+  Spark jobs even for consumers that only wanted the plan (``explain``,
+  plan-shape audits).
+
+``pin`` centralizes the policy. The mode comes from the Spark conf
+``spark.counsel.pin.mode`` (falling back to the ``SPARK_GRAFT_PIN_MODE``
+environment variable, default ``local``):
+
+``local``
+    ``DataFrame.localCheckpoint`` — fastest, zero extra I/O, the right
+    choice for single-node and static-allocation clusters (and for
+    correctness/bench runs here). Default.
+``reliable``
+    ``DataFrame.checkpoint`` to the directory named by
+    ``spark.counsel.pin.checkpointDir`` / ``SPARK_GRAFT_CHECKPOINT_DIR``
+    (default: a ``counsel-ckpt`` tempdir). Blocks live in reliable
+    storage (HDFS/S3 on a cluster), so executor loss recomputes nothing
+    — use under dynamic allocation.
+``persist``
+    Replicated cache (``MEMORY_AND_DISK_2``) — survives a *single*
+    executor loss without any checkpoint I/O, but does NOT truncate
+    lineage, so call sites that loop (``loop=True``: iterative graph /
+    k-means states, whose logical plans would otherwise nest per
+    iteration) are upgraded to ``reliable`` checkpoints automatically.
+
+Eagerness is per call site, not per mode:
+
+* ``loop=True`` sites materialize eagerly — bounded per-iteration work
+  is the measured design of every iterative plan here, and lineage
+  truncation is mandatory (the per-iteration plan would nest otherwise).
+* builder sites pass ``eager=False`` and get a **lazy replicated-less
+  persist** in every mode: zero Spark jobs at plan-build time (measured:
+  even ``localCheckpoint(eager=False)`` materializes all AQE shuffle
+  stages when the plan's RDD is created), lineage kept intact — so a
+  lost block simply recomputes, which is *more* fault tolerant than any
+  checkpoint — and the multi-consumer scan sharing is unchanged (the
+  cached subtree executes once inside the consuming job).
+* eager non-loop sites (``eager=True``) pin before an upstream
+  ``unpersist()`` or a driver ``collect`` that must observe the
+  materialized frame.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+
+_MODES = ("local", "reliable", "persist")
+
+
+def _mode(df: DataFrame) -> str:
+    spark = df.sparkSession
+    mode = spark.conf.get(
+        "spark.counsel.pin.mode",
+        os.environ.get("SPARK_GRAFT_PIN_MODE", "local"),
+    )
+    if mode not in _MODES:
+        raise ValueError(
+            f"spark.counsel.pin.mode={mode!r}: expected one of {_MODES}"
+        )
+    return mode
+
+
+def _ensure_checkpoint_dir(df: DataFrame) -> None:
+    sc = df.sparkSession.sparkContext
+    # py4j: SparkContext.getCheckpointDir() is scala Option[String]
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return
+    target = df.sparkSession.conf.get(
+        "spark.counsel.pin.checkpointDir",
+        os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", ""),
+    ) or os.path.join(tempfile.gettempdir(), "counsel-ckpt")
+    sc.setCheckpointDir(target)
+
+
+def pin(df: DataFrame, *, eager: bool = True, loop: bool = False) -> DataFrame:
+    """Materialize-and-truncate a small derived frame per the session's
+    pin policy (see module docstring).
+
+    ``loop=True`` marks per-iteration states: lineage truncation is
+    mandatory (a replicated persist can't provide it) and
+    materialization is always eager so per-iteration work stays bounded.
+    """
+    from pyspark import StorageLevel
+
+    mode = _mode(df)
+    if loop:
+        # truncation mandatory + eager: localCheckpoint unless the
+        # session asked for executor-loss safety, then reliable checkpoint
+        if mode == "local":
+            return df.localCheckpoint(eager=True)
+        _ensure_checkpoint_dir(df)
+        return df.checkpoint(eager=True)
+    if not eager:
+        # lazy builder pin: no job until the first real action; lineage
+        # intact so every mode is loss-safe by recomputation
+        level = (
+            StorageLevel.MEMORY_AND_DISK_2
+            if mode == "persist"
+            else StorageLevel.MEMORY_AND_DISK
+        )
+        return df.persist(level)
+    if mode == "persist":
+        out = df.persist(StorageLevel.MEMORY_AND_DISK_2)
+        out.count()
+        return out
+    if mode == "reliable":
+        _ensure_checkpoint_dir(df)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

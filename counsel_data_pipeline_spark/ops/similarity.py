@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from counsel_data_pipeline_spark.ops.materialize import pin
+
 
 def as_double_array(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
@@ -333,7 +335,7 @@ def kmeans_centroids(
     Each iteration: assign every vector to its max-cosine centroid (one
     broadcast of the tiny centroid table — the corpus never shuffles),
     then recompute each cell's mean vector (one hash aggregate with dim
-    partial-avg columns, map-side combined). localCheckpoint() truncates
+    partial-avg columns, map-side combined). pin(loop=True) truncates
     the per-iteration lineage, same discipline as ops/clusters.py. Cells
     that lose all members drop out (n_centroids is an upper bound).
 
@@ -346,15 +348,15 @@ def kmeans_centroids(
         F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
     ).withColumn("__norm", l2_norm(F.col("__v")))
 
-    cents = (
+    cents = pin(
         emb.orderBy("__id")
         .limit(n_centroids)
         .select(
             F.col("__id").alias("__cid"),
             F.col("__v").alias("__cv"),
             F.col("__norm").alias("__cn"),
-        )
-        .localCheckpoint()
+        ),
+        loop=True,
     )
     for _ in range(n_iters):
         sim = emb.crossJoin(F.broadcast(cents)).select(
@@ -371,11 +373,11 @@ def kmeans_centroids(
         best = sim.groupBy("__id").agg(F.max("s").alias("s"))
         assigned = best.select(F.col("s.cid").alias("__cid"), F.col("s.v").alias("__v"))
         new_cv = F.array(*[F.avg(F.col("__v")[d]) for d in range(dim)])
-        cents = (
+        cents = pin(
             assigned.groupBy("__cid")
             .agg(new_cv.alias("__cv"))
-            .withColumn("__cn", l2_norm(F.col("__cv")))
-            .localCheckpoint()
+            .withColumn("__cn", l2_norm(F.col("__cv"))),
+            loop=True,
         )
     return cents
 
@@ -421,11 +423,11 @@ def kmeans_centroids_exact(
             f"x -> CAST(round(x * {scale}, 0) AS BIGINT))"
         ).alias("__v6"),
     ).persist()
-    cents = (
+    cents = pin(
         emb6.orderBy("__id")
         .limit(n_centroids)
-        .select(F.col("__id").alias("__cid"), F.col("__v6").alias("__c6"))
-        .localCheckpoint()
+        .select(F.col("__id").alias("__cid"), F.col("__v6").alias("__c6")),
+        loop=True,
     )
     sqdist = F.expr(
         "aggregate(zip_with(__v6, __c6, (a, b) -> (a - b) * (a - b)), "
@@ -447,8 +449,8 @@ def kmeans_centroids_exact(
         new_c6 = F.array(
             *[F.expr(f"div(sum(__v6[{d_}]), count(*))") for d_ in range(dim)]
         )
-        cents = (
-            assigned.groupBy("__cid").agg(new_c6.alias("__c6")).localCheckpoint()
+        cents = pin(
+            assigned.groupBy("__cid").agg(new_c6.alias("__c6")), loop=True
         )
     if return_grid:
         return cents
@@ -483,19 +485,20 @@ def _nearest_cells(
 def lowest_id_centroids(emb: DataFrame, n_centroids: int) -> DataFrame:
     """Deterministic centroid seeding shared by the IVF paths: the
     ``n_centroids`` lowest-id vectors (reproducible across runs/engines
-    without a stored model). Eagerly materialized — the tiny table feeds
-    both the corpus assignment and the query probe ranking, and without
-    it each consumer re-derives the TakeOrdered from a full corpus scan
-    (the r11 scan audit found the doubled scan in every IVF plan)."""
-    return (
+    without a stored model). Pinned lazily — the tiny table feeds both
+    the corpus assignment and the query probe ranking, and without the
+    pin each consumer re-derives the TakeOrdered from a full corpus scan
+    (the r11 scan audit found the doubled scan in every IVF plan); lazy
+    so building the plan runs no job for explain-only consumers."""
+    return pin(
         emb.orderBy("__id")
         .limit(n_centroids)
         .select(
             F.col("__id").alias("__cid"),
             F.col("__v").alias("__cv"),
             F.col("__norm").alias("__cn"),
-        )
-        .localCheckpoint()
+        ),
+        eager=False,
     )
 
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from counsel_data_pipeline_spark.ops.materialize import pin
+
 # Small closed-class English function-word list used by both the quality
 # score and the language heuristic.
 STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
@@ -147,13 +149,13 @@ def oov_trigram_ratio_frame(docs, vocab_size: int = 100):
     # vocab-sized, materialized once (it anchors the scoring join below;
     # unmaterialized, the top-k re-derives from a second corpus pass —
     # r11 scan audit). Two fact passes total: vocab build, then score.
-    top = (
+    top = pin(
         tri.groupBy("tg")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), "tg")
         .limit(vocab_size)
-        .select("tg")
-        .localCheckpoint()
+        .select("tg"),
+        eager=False,
     )
     # scoring pass: n_tri rides the explode (explode_outer keeps empty
     # docs as one null-trigram row), the vocab marker is a broadcast left

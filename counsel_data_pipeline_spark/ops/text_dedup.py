@@ -24,6 +24,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from counsel_data_pipeline_spark.ops.materialize import pin
 from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
 from counsel_data_pipeline_spark.ops.text_analysis import (
     content_md5,
@@ -480,12 +481,12 @@ def levenshtein_blocked_pairs(
     # materialized once so each side doesn't rebuild it from its own
     # fact scan (r11 scan audit: 4 scans; the self-join's two sides are
     # this shape's floor at 3)
-    small = (
+    small = pin(
         k.groupBy("bk")
         .agg(F.count(F.lit(1)).alias("n_blk"))
         .filter(F.col("n_blk") <= max_block)
-        .select("bk")
-        .localCheckpoint()
+        .select("bk"),
+        eager=False,
     )
     k = k.join(F.broadcast(small), "bk")
     a = k.select(F.col("id").alias("id_a"), F.col("nt").alias("ta"),

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from counsel_data_pipeline_spark.catalog import register
 from counsel_data_pipeline_spark.io.sources import load_table
+from counsel_data_pipeline_spark.ops.materialize import pin
 from counsel_data_pipeline_spark.plans._parity import dec, dsum, sql_dsum, to_double
 
 
@@ -400,6 +401,13 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
+    return funnel_plan(ev)
+
+
+def funnel_plan(ev: DataFrame) -> DataFrame:
+    """The chained-window funnel body over a (user_id, event_type, ts)
+    frame — shared by the registered query and tools/funnel_scale_race.py
+    so the race measures the shipped plan, never a drifted copy."""
     w = Window.partitionBy("user_id")
     staged = (
         ev.withColumn(
@@ -1058,7 +1066,8 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         mad = dev.groupBy("event_type").agg(
             F.expr("median(dev)").alias("mad_mi")
         )
-        return (
+        # eager: must materialize before the finally releases dev
+        return pin(
             dev.join(F.broadcast(mad), "event_type")
             .groupBy("event_type")
             .agg(
@@ -1067,7 +1076,6 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("med_mi").alias("med_mi"),
                 F.min("mad_mi").alias("mad_mi"),
             )
-            .localCheckpoint()
         )
     finally:
         dev.unpersist()

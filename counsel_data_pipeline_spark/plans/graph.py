@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from counsel_data_pipeline_spark.catalog import register
 from counsel_data_pipeline_spark.io.sources import load_table
+from counsel_data_pipeline_spark.ops.materialize import pin
 
 _PR_SCALE = 10**12
 _PR_ITERS = 3
@@ -200,7 +201,7 @@ def pagerank_copurchase_plan(
         )
         # without broadcasts the per-iteration plan would nest join trees
         # _PR_ITERS deep — truncate lineage so iteration cost stays flat
-        pr = new_pr if broadcast_ranks else new_pr.localCheckpoint()
+        pr = new_pr if broadcast_ranks else pin(new_pr, loop=True)
     return (
         pr.orderBy(F.col("pr").desc(), "node")
         .limit(_TOPK)
@@ -324,13 +325,13 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("part")
             .agg(F.sum("h").alias("raw"))
         )
-        a = renorm(a_raw, "part", "a").localCheckpoint()
+        a = pin(renorm(a_raw, "part", "a"), loop=True)
         h_raw = (
             edges.join(F.broadcast(a), "part")
             .groupBy("cust")
             .agg(F.sum("a").alias("raw"))
         )
-        h = renorm(h_raw, "cust", "h").localCheckpoint()
+        h = pin(renorm(h_raw, "cust", "h"), loop=True)
     return (
         a.orderBy(F.col("a").desc(), "part")
         .limit(100)
@@ -405,8 +406,8 @@ def bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
                 .join(visited.select("part"), "part", "left_anti")
                 .withColumn("hops", F.lit(hop).cast("bigint"))
-                .localCheckpoint()
             )
+            nxt = pin(nxt, loop=True)
             visited = visited.unionByName(nxt)
             frontier = nxt
         # every level is localCheckpoint'ed (materialized), so the union
@@ -597,7 +598,7 @@ def common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-tripping the driver."""
     e = _copurchase_edge_list(spark, sf_dir).persist()
     try:
-        return common_neighbors_plan(e).localCheckpoint()
+        return pin(common_neighbors_plan(e))
     finally:
         e.unpersist()
 

@@ -17,6 +17,7 @@ from counsel_data_pipeline_spark.io.sources import load_table
 from counsel_data_pipeline_spark.ops import curation as cu
 from counsel_data_pipeline_spark.ops import text_analysis as ta
 
+from counsel_data_pipeline_spark.ops.materialize import pin
 from counsel_data_pipeline_spark.ops.sketches import md5_bucket_sql
 
 _SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
@@ -606,14 +607,23 @@ def corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup keeps min-id per content hash as a window over the hash
     shuffle — same survivors as the groupBy+join-back exact_dedup, one
     pass."""
-    from counsel_data_pipeline_spark.ops import text_analysis as ta2
     from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
-    from counsel_data_pipeline_spark.ops.text_dedup import content_md5
 
     # Project to the two consumed columns BEFORE the gates so the parquet
     # ReadSchema stays (doc_id, text) — the other document attributes
     # would otherwise ride through every join of the pipeline.
     docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return corpus_prep_v2_plan(docs)
+
+
+def corpus_prep_v2_plan(docs: DataFrame) -> DataFrame:
+    """The chained-gates single-scan pipeline body over a
+    (doc_id, text) frame — shared by the registered query and
+    tools/corpus_prep_scale_race.py so the race measures the shipped
+    plan, never a drifted copy."""
+    from counsel_data_pipeline_spark.ops import text_analysis as ta2
+    from counsel_data_pipeline_spark.ops.text_dedup import content_md5
+
     g = cu.gopher_flags(docs, passthrough=("text",)).filter(
         F.col("n_words").between(cu.GOPHER_MIN_WORDS, cu.GOPHER_MAX_WORDS)
         & F.col("mean_word_len").between(cu.GOPHER_MIN_MEAN_WL, cu.GOPHER_MAX_MEAN_WL)
@@ -840,10 +850,17 @@ _DB_BUCKET = (
     tags=("llm", "curation", "dedup", "sketch"),
 )
 def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decontam_bloom_plan(docs)
+
+
+def decontam_bloom_plan(docs: DataFrame) -> DataFrame:
+    """The one-corpus-pass Bloom-prefilter body over a
+    (doc_id, source, text) frame — shared by the registered query and
+    tools/decontam_scale_race.py so the race measures the shipped plan,
+    never a drifted copy."""
     from counsel_data_pipeline_spark.ops import sketches as sk
     from counsel_data_pipeline_spark.ops.text_dedup import norm_text, word_shingles
-
-    docs = load_table(spark, sf_dir, "documents")
 
     def shingled(df: DataFrame, out_id: str) -> DataFrame:
         return (
@@ -862,11 +879,11 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize it once (it feeds the Bloom build AND the exact-shared
     # broadcast; re-deriving it cost two extra fact scans in the r11
     # audit). The corpus stream below is read exactly once.
-    bench_shingles = (
+    bench_shingles = pin(
         shingled(docs.filter(F.col("source") == "src0"), "bench_id")
         .select("shingle")
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        eager=False,
     )
     bloom = sk.bloom_build(bench_shingles, "shingle", _DB_K, _DB_M)
 

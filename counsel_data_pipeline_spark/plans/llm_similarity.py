@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from counsel_data_pipeline_spark.catalog import register
 from counsel_data_pipeline_spark.io.sources import load_table
 from counsel_data_pipeline_spark.ops import similarity as sim
+from counsel_data_pipeline_spark.ops.materialize import pin
 
 QUERY_IDS = list(range(8))
 K = 10
@@ -827,9 +828,9 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-deriving it cost two extra fact scans in the r11 audit). Two
     # fact passes total: dim-mean build, then score.
     x = emb.select("vec_id", "nrm", F.posexplode("v").alias("pos", "x"))
-    dims = x.groupBy("pos").agg(
+    dims = pin(x.groupBy("pos").agg(
         (to_double(F.sum(dec("x")), 6) / F.count("x")).alias("dm")
-    ).localCheckpoint()
+    ), eager=False)
     mn = dims.agg(
         F.sqrt(
             to_double(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from counsel_data_pipeline_spark.catalog import register
 from counsel_data_pipeline_spark.io.sources import load_table
 from counsel_data_pipeline_spark.ops import text_analysis as ta
+from counsel_data_pipeline_spark.ops.materialize import pin
 
 _SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
 _SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
@@ -729,11 +730,11 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unigram model table is vocab-sized — materialized once (it feeds
     # the vocab-size scalar AND the scoring join; re-deriving it cost two
     # extra fact scans in the r11 audit)
-    uni = (
+    uni = pin(
         toks.select(F.explode("tok").alias("term"))
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c1"))
-        .localCheckpoint()
+        .agg(F.count(F.lit(1)).alias("c1")),
+        eager=False,
     )
     v = uni.agg(F.count(F.lit(1)).alias("v"))
     bg = toks.select(

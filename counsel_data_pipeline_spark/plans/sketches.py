@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from counsel_data_pipeline_spark.catalog import register
 from counsel_data_pipeline_spark.io.sources import load_table
 from counsel_data_pipeline_spark.ops import sketches as sk
+from counsel_data_pipeline_spark.ops.materialize import pin
 
 _CMS_DEPTH, _CMS_WIDTH = 4, 64
 _BLOOM_K, _BLOOM_M = 3, 4096
@@ -78,10 +79,10 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final join, and the hoped-for Exchange reuse between them did
     # not survive planning (r11 scan audit: 3 fact scans) — the
     # checkpoint pins it at 2 passes (sketch build + exact twin)
-    true = (
+    true = pin(
         ev.groupBy(F.col("user_id").alias("key"))
-        .agg(F.count(F.lit(1)).alias("true_cnt"))
-        .localCheckpoint()
+        .agg(F.count(F.lit(1)).alias("true_cnt")),
+        eager=False,
     )
     est = sk.cms_estimate(
         sketch,
@@ -403,10 +404,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregated the fact four times."""
     ev = load_table(spark, sf_dir, "events")
     sketch = sk.cms_build(ev, "user_id", _CMS_DEPTH, _HH_WIDTH)
-    true = (
+    true = pin(
         ev.groupBy(F.col("user_id").alias("key"))
-        .agg(F.count(F.lit(1)).alias("true_cnt"))
-        .localCheckpoint()
+        .agg(F.count(F.lit(1)).alias("true_cnt")),
+        eager=False,
     )
     probes = true.select(F.col("key").alias("user_id"))
     est = sk.cms_estimate(sketch, probes, "user_id", _CMS_DEPTH, _HH_WIDTH)
@@ -699,7 +700,7 @@ def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pivot below), and without it each consumer re-derives the
     # registers from the fact — the r11 scan audit found 16 fact scans in
     # this plan. One eager job, one fact scan, sketch-sized storage.
-    regs = sk.hll_md5_registers(halves, ["half"], "user_id", _HLL_P).localCheckpoint()
+    regs = pin(sk.hll_md5_registers(halves, ["half"], "user_id", _HLL_P), eager=False)
     per = sk.hll_md5_estimate(regs, ["half"], _HLL_P)
     union_regs = regs.groupBy("idx").agg(F.max("reg").alias("reg"))
     est_u = sk.hll_md5_estimate(union_regs, [], _HLL_P).select(
@@ -723,11 +724,12 @@ def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 1-row stats frame feeds all four union branches below; eager
     # materialization keeps the exact-distinct pass (ex) at ONE fact scan
     # instead of one per branch
-    n = (
+    n = pin(
         ea.crossJoin(eb)
         .crossJoin(est_u)
-        .crossJoin(F.broadcast(ex))
-    ).localCheckpoint()
+        .crossJoin(F.broadcast(ex)),
+        eager=False,
+    )
     return (
         n.select(
             F.lit("even_half").alias("set_name"),

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from counsel_data_pipeline_spark.catalog import register
 from counsel_data_pipeline_spark.io.sources import load_table
+from counsel_data_pipeline_spark.ops.materialize import pin
 from counsel_data_pipeline_spark.plans._parity import dec, dsum, to_double
 
 
@@ -213,10 +214,12 @@ def balance_quartiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
 
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     n_parts = max(2, spark.sparkContext.defaultParallelism // 4)
-    dfp = (
+    # eager: the collect below must observe the SAME materialized
+    # partition assignment the final plan reads (range sampling is
+    # per-job without the pin)
+    dfp = pin(
         customer.repartitionByRange(n_parts, "c_acctbal", "c_custkey")
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
     )
     counts = sorted(
         (r["__pid"], r["cnt"])

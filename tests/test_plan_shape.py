@@ -249,9 +249,11 @@ def test_catalog_fact_scan_budget(spark):
     FACT table more than twice (self-joins and sketch-vs-exact twins are
     two passes; anything above that is a consumer re-deriving a shared
     intermediate from the scan — the disease the r11 audit cured in ten
-    plans). Eagerly materialized passes (localCheckpoint) don't appear
-    in the final plan, but this still pins the lazy re-derivation class
-    of regression. Known exceptions carry their adjudications below."""
+    plans). Loop-pinned passes (eager checkpoint) don't appear in the
+    final plan; lazily-pinned builder intermediates (ops/materialize.pin
+    eager=False) appear exactly once as a cached subtree that executes
+    once. This pins the lazy re-derivation class of regression. Known
+    exceptions carry their adjudications below."""
     import re
     from collections import Counter
 
@@ -278,6 +280,14 @@ def test_catalog_fact_scan_budget(spark):
         # one-scan form sorts the full (doc, term) stream — measured 86%
         # slower at sf0.1 (see plans/llm_text.tfidf_top_terms)
         ("text_tfidf_top_terms", "documents.parquet"),
+        # r12 lazy-pin honesty: these intermediates are now lazy persists
+        # (ops/materialize.pin), so their execute-once cached subtree is
+        # VISIBLE in the final plan where the r11 eager localCheckpoint
+        # hid it. Runtime passes unchanged and at each shape's floor:
+        # centroid seed + corpus assignment + query probe scoring,
+        ("sim_ivf_topk", "embeddings.parquet"),
+        # block-count guard + the self-join's two sides.
+        ("dedup_levenshtein_blocked", "documents.parquet"),
     }
     bad = {}
     for name, q in all_queries().items():
