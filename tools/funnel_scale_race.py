@@ -81,48 +81,12 @@ def run(spark, ev: DataFrame, sf_dir: str, label: str, replicated: bool) -> None
 
     t0 = time.time()
     if replicated:
-        # at base scale the registered fn runs verbatim; on the
-        # replicated frame, inline the identical chained-window
-        # expression (the registered fn reads from sf_dir)
-        from pyspark.sql import Window
+        # on the replicated frame, run the SHARED production body
+        # (plans/events.funnel_plan) — the race measures the shipped
+        # plan, never a hand-copied twin that could drift
+        from counsel_data_pipeline_spark.plans.events import funnel_plan
 
-        w = Window.partitionBy("user_id")
-        staged = (
-            ev.withColumn(
-                "t_view",
-                F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
-            )
-            .withColumn(
-                "t_click",
-                F.min(
-                    F.when(
-                        (F.col("event_type") == "click")
-                        & (F.col("ts") > F.col("t_view")),
-                        F.col("ts"),
-                    )
-                ).over(w),
-            )
-            .withColumn(
-                "t_purchase",
-                F.min(
-                    F.when(
-                        (F.col("event_type") == "purchase")
-                        & (F.col("ts") > F.col("t_click")),
-                        F.col("ts"),
-                    )
-                ).over(w),
-            )
-        )
-        per_user = staged.groupBy("user_id").agg(
-            F.max("t_view").alias("t_view"),
-            F.max("t_click").alias("t_click"),
-            F.max("t_purchase").alias("t_purchase"),
-        )
-        wr_df = per_user.agg(
-            F.count("t_view").alias("n_view"),
-            F.count("t_click").alias("n_view_click"),
-            F.count("t_purchase").alias("n_view_click_purchase"),
-        )
+        wr_df = funnel_plan(ev)
     else:
         wr_df = windowed_fn(spark, sf_dir)
     [wr] = wr_df.collect()
