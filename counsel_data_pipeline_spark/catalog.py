@@ -85,10 +85,15 @@ def register(
 # round); (b) all 49 r8-green rows. This completes the steady-state
 # two-round rotation the r11 verdict prescribed (r7s refreshed in r11,
 # r8s in r12) so no attestation ages past ~4 rounds. Registration
-# budget this round is 0–1: any new query must displace from the END of
-# (b) and the displaced name be queued in COVERAGE.md.
+# budget this round is 0–1: the one new r12 registration
+# (text_bpe_merge_candidates, never attested — must be windowed per
+# tests/test_evidence_ledger.py) displaces tpch_q22_sales_opportunity
+# from the END of (b); the displaced name is queued in COVERAGE.md for
+# r13.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- (a) the r7 leftover explicitly queued by r11 --
+    # -- (a) new in r12 (first-ever attestation) + the r7 leftover
+    #    explicitly queued by r11 --
+    "text_bpe_merge_candidates",
     "tpch_order_value_histogram",
     # -- (b) r8-green fill queue (ledger-suggested order) --
     "events_tumbling_hourly",
@@ -139,7 +144,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_scd2_intervals",
     "streaming_kmeans_cell_stats",
     "streaming_sessionize_user_stats",
-    "tpch_q22_sales_opportunity",
 )
 
 

@@ -196,6 +196,42 @@ HASH_CLS_SEED_BUCKET = 101
 HASH_CLS_SEED_WEIGHT = 202
 
 
+def bpe_pair_counts(words) -> "DataFrame":
+    """Corpus-weighted adjacent-symbol-pair counts over a ``word`` column
+    — iteration one of BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909 §3.2): the pair with the highest occurrence count
+    is the first merge a learned vocabulary would make.
+
+    Scale design: aggregate the VOCABULARY first (word → count, a
+    map-side-combined hash aggregate whose output is vocab-sized), then
+    explode character pairs over the vocab weighted by the word count.
+    Exploding pairs over raw corpus tokens would shuffle one row per
+    character of the corpus; this form shuffles one row per character of
+    the *vocabulary* — orders of magnitude less at corpus scale, exact
+    same counts by distributivity of the sum. Overlapping pairs inside a
+    word count once per position per occurrence, the BPE definition
+    ("aaa" contributes "aa" twice per occurrence).
+
+    Returns (pair, n_occurrences, n_words): total weighted occurrences
+    and the number of distinct vocabulary words containing the pair.
+    """
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("wcount"))
+    pairs = vocab.filter(F.length("word") >= 2).select(
+        "word",
+        "wcount",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum("wcount").cast("bigint").alias("n_occurrences"),
+        F.countDistinct("word").cast("bigint").alias("n_words"),
+    )
+
+
 def hashed_linear_score(tokens: Column) -> Column:
     """fastText-style hashing-trick linear classifier score (×1000, exact).
 

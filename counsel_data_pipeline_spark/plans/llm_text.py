@@ -1093,3 +1093,68 @@ def arrow_group_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="source STRING, lang STRING, n_docs BIGINT, p25_chars BIGINT, "
         "median_chars BIGINT, p75_chars BIGINT, sum_chars BIGINT",
     )
+
+
+_BPE_TOPK = 30
+
+
+@register(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+        -- BPE tokenizer training, iteration one: corpus-weighted
+        -- adjacent character-pair counts; the arg-max pair is the first
+        -- merge a learned vocabulary would make. Counted over the
+        -- aggregated vocabulary (pair occurrences x word frequency) so
+        -- the expensive explode is vocab-sized, not corpus-sized;
+        -- overlapping pairs count once per position ('aaa' -> 'aa' twice
+        -- per occurrence), per the BPE definition. (n_occurrences, pair)
+        -- is unique, so the top-{_BPE_TOPK} set is deterministic.
+        WITH tok AS (
+          SELECT unnest(string_split_regex({{_SQL_NORM}}, ' ')) AS word
+          FROM documents
+        ),
+        vocab AS (
+          SELECT word, count(*) AS wcount FROM tok GROUP BY 1
+        ),
+        pairs AS (
+          SELECT word, wcount,
+                 unnest(list_transform(range(1, length(word)),
+                        i -> substr(word, i, 2))) AS pair
+          FROM vocab WHERE length(word) >= 2
+        )
+        SELECT pair,
+               CAST(sum(wcount) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT word) AS BIGINT) AS n_words
+        FROM pairs
+        GROUP BY pair
+        ORDER BY n_occurrences DESC, pair
+        LIMIT {_BPE_TOPK}
+    """.format(_SQL_NORM=_SQL_NORM),
+    description="BPE first-merge candidates: corpus-weighted adjacent "
+    "character-pair counts aggregated vocab-first (pair explode is "
+    f"vocabulary-sized, never corpus-sized), top {_BPE_TOPK} by weighted "
+    "occurrences with the pair string as the deterministic tiebreak",
+    tags=("llm", "text", "tokenizer"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: two map-side-combined hash aggregates and ONE fact
+    scan. The vocabulary aggregate collapses the corpus to distinct
+    words before any pair explodes, so shuffle volume is
+    O(vocab chars), not O(corpus chars) — the same counts by
+    distributivity of the weighted sum. Top-k is TakeOrderedAndProject
+    over the unique (n desc, pair) key — no global sort materializes.
+    A full BPE trainer iterates this plan with a merge-table broadcast
+    per round; iteration one is the oracle-able unit (the merge
+    arg-max), same one-iteration attestation pattern as the k-means and
+    PageRank families."""
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(F.split(ta.norm_text(F.col("text")), " ")).alias("word")
+    )
+    return (
+        ta.bpe_pair_counts(words)
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(_BPE_TOPK)
+    )

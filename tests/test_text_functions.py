@@ -199,3 +199,38 @@ def test_oov_trigram_ratio_flags_gibberish(spark):
     }
     corpus_avg = sum(v for k, v in rows.items() if k != 900001) / (len(rows) - 1)
     assert rows[900001] > corpus_avg + 0.3, (rows[900001], corpus_avg)
+
+
+def test_bpe_pair_counts_planted(spark):
+    """BPE iteration-one counts on a planted vocabulary: weighted by word
+    frequency, overlapping pairs counted per position ('aaa' -> 'aa'
+    twice per occurrence), 1-char words contribute nothing."""
+    from pyspark.sql import functions as F
+
+    from counsel_data_pipeline_spark.ops.text_analysis import bpe_pair_counts
+
+    words = spark.createDataFrame(
+        # "low" x3, "lower" x1, "aaa" x2, "x" x5 (no pairs)
+        [("low",)] * 3 + [("lower",)] + [("aaa",)] * 2 + [("x",)] * 5,
+        "word string",
+    )
+    got = {
+        r["pair"]: (r["n_occurrences"], r["n_words"])
+        for r in bpe_pair_counts(words).collect()
+    }
+    assert got == {
+        # lo: 3x in "low" + 1x in "lower"; two distinct words
+        "lo": (4, 2),
+        "ow": (4, 2),
+        "we": (1, 1),
+        "er": (1, 1),
+        # aa twice PER OCCURRENCE of "aaa", 2 occurrences -> 4
+        "aa": (4, 1),
+    }
+    # the arg-max under (n desc, pair asc) is the first BPE merge
+    top = (
+        bpe_pair_counts(words)
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .first()
+    )
+    assert top["pair"] == "aa"
