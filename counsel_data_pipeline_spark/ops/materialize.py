@@ -31,7 +31,10 @@ environment variable, default ``local``):
     ``spark.counsel.pin.checkpointDir`` / ``SPARK_GRAFT_CHECKPOINT_DIR``
     (default: a ``counsel-ckpt`` tempdir). Blocks live in reliable
     storage (HDFS/S3 on a cluster), so executor loss recomputes nothing
-    — use under dynamic allocation.
+    — use under dynamic allocation. Reliable checkpoint files outlive
+    the job by default; long-running sessions should also set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so
+    checkpoints of garbage-collected frames are removed.
 ``persist``
     Replicated cache (``MEMORY_AND_DISK_2``) — survives a *single*
     executor loss without any checkpoint I/O, but does NOT truncate
