@@ -205,10 +205,12 @@ def bpe_pair_counts(words) -> "DataFrame":
     Scale design: aggregate the VOCABULARY first (word → count, a
     map-side-combined hash aggregate whose output is vocab-sized), then
     explode character pairs over the vocab weighted by the word count.
-    Exploding pairs over raw corpus tokens would shuffle one row per
-    character of the corpus; this form shuffles one row per character of
-    the *vocabulary* — orders of magnitude less at corpus scale, exact
-    same counts by distributivity of the sum. Overlapping pairs inside a
+    Exploding pairs over raw corpus tokens generates and combine-hashes
+    one row per character of the CORPUS; this form one per character of
+    the *vocabulary* — exact same counts by distributivity of the sum,
+    measured ~2-3x faster at 10x replicated occurrences
+    (tools/bpe_scale_race.py; both forms' post-combine shuffles are
+    pair-domain-bounded, the win is the explode+hash work). Overlapping pairs inside a
     word count once per position per occurrence, the BPE definition
     ("aaa" contributes "aa" twice per occurrence).
 
