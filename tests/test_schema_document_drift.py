@@ -17,13 +17,23 @@ must not be negative".
 """
 
 import json
+import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from counsel_data_pipeline_spark.ops.validate import clinic_violations
 from counsel_data_pipeline_spark.schemas import CLINIC, GEO_COLUMNS
 
 SCHEMA_PATH = "/root/reference/schema.clinic.json"
+
+# Drift tests compare against the reference's literal schema document;
+# the engine itself is standalone, so absence of the reference checkout
+# skips (not fails) this module.
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SCHEMA_PATH),
+    reason="reference schema document not present in this checkout",
+)
 
 
 def _load():
