@@ -76,74 +76,69 @@ def register(
 # registration order. Rotate per round: once a family has its green
 # CORRECTNESS row, swap the next unverified family in.
 #
-# Round 12 window (ledger in COVERAGE.md). Evidence state after r11:
-# 50 queries hash-green in r11, 50 in r10, 50 in r9, 49 in r8, 1 in r7,
-# zero never-attested and zero rows-only cells. This round's 50 slots,
-# per ``tools/evidence_ledger.py --suggest --reserve 0``: (a)
-# tpch_order_value_histogram FIRST — the one r7-green row that r11's 48
-# fill slots couldn't hold (explicitly queued in COVERAGE.md last
-# round); (b) all 49 r8-green rows. This completes the steady-state
-# two-round rotation the r11 verdict prescribed (r7s refreshed in r11,
-# r8s in r12) so no attestation ages past ~4 rounds. Registration
-# budget this round is 0–1: the one new r12 registration
-# (text_bpe_merge_candidates, never attested — must be windowed per
-# tests/test_evidence_ledger.py) displaces tpch_q22_sales_opportunity
-# from the END of (b); the displaced name is queued in COVERAGE.md for
-# r13.
+# Round 13 window (ledger in COVERAGE.md). Evidence state after r12:
+# 50 queries hash-green in r12, 50 in r11, 50 in r10, 50 in r9, 1 in r8
+# (tpch_q22_sales_opportunity, displaced from r12's window by the BPE
+# registration and explicitly queued in COVERAGE.md), zero
+# never-attested and zero rows-only cells. This round's slots, per
+# ``tools/evidence_ledger.py --suggest --reserve 1``: (a) the queued r8
+# leftover FIRST; (b) 48 of the 49 r9-green rows in ledger order. ONE
+# slot is reserved for this round's single new registration (budget
+# <=1/round), which must be appended to this window in its own
+# registration commit per tests/test_evidence_ledger.py; the displaced
+# 49th r9 row (tpch_q21_blocking_supplier) is queued in COVERAGE.md for
+# r14. This continues the steady-state rotation (r7s refreshed in r11,
+# r8s in r12, r9s now) so no attestation ages past ~4 rounds.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- (a) new in r12 (first-ever attestation) + the r7 leftover
-    #    explicitly queued by r11 --
-    "text_bpe_merge_candidates",
-    "tpch_order_value_histogram",
-    # -- (b) r8-green fill queue (ledger-suggested order) --
-    "events_tumbling_hourly",
-    "events_sliding_6h_daily",
-    "events_json_prop_buckets",
-    "events_top20_users_by_value",
-    "events_distinct_users_salted",
-    "events_asof_last_click_before_purchase",
-    "events_range_join_error_windows",
-    "events_funnel_view_click_purchase",
-    "events_weekly_cohort_retention",
-    "events_zscore_anomalies",
-    "events_daily_type_pivot",
-    "events_pivot_roundtrip_unpivot",
-    "graph_hits_bipartite",
-    "curation_hash_split",
-    "curation_repetition_scores",
-    "curation_decontam_overlap",
-    "curation_numeric_scrub_props",
-    "curation_stratified_sample",
-    "curation_pack_sequences",
-    "curation_source_cap",
-    "curation_temperature_resample",
-    "curation_chunk_dedup_stats",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "dedup_connected_clusters",
-    "dedup_embedding_cosine_topn",
-    "dedup_fuzzy_fingerprint_block",
-    "llm_dedup_pipeline",
-    "dedup_incremental_batch",
-    "dedup_store_bucketed_ingest",
-    "multimodal_binary_stats",
-    "sim_cosine_topk_bruteforce",
-    "sim_lsh_bucketed_topk",
-    "sim_ivf_topk",
-    "sim_neighbor_doc_quality",
-    "dedup_semantic_blocked_pairs",
-    "sim_ivf_kmeans_topk",
-    "text_phrase_search",
-    "layout_zorder_write_prune",
-    "layout_time_partition_prune",
-    "ops_enrich_waterfall",
-    "sketch_hll_sliding_distinct",
-    "window_scd2_intervals",
-    "window_scd2_point_in_time",
-    "streaming_scd2_intervals",
-    "streaming_kmeans_cell_stats",
-    "streaming_sessionize_user_stats",
+    "tpch_q22_sales_opportunity",
+    "join_salted_hot_users",
+    "events_variant_props_extract",
+    "events_sequence_detect",
+    "graph_bfs_copurchase_hops",
+    "graph_triangle_count",
+    "graph_common_neighbors",
+    "graph_bfs_recursive_sql",
+    "dedup_ngram_jaccard_capped",
+    "multimodal_feature_topk",
+    "sim_quantized_topk",
+    "sim_embedding_dim_profile",
+    "text_token_stats_by_lang",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprints",
+    "llm_corpus_prep",
+    "text_bpe_token_counts",
+    "text_top_ngrams_per_lang",
+    "text_tfidf_top_terms",
+    "text_boilerplate_ngrams",
+    "text_oov_trigram_ratio",
+    "text_bm25_search",
+    "text_source_entropy",
+    "text_bigram_lm_score",
+    "text_udtf_token_chunks",
+    "text_arrow_group_profile",
+    "layout_schema_evolution_read",
+    "incremental_join_view_merge",
+    "incremental_cdc_upsert_apply",
+    "layout_compact_small_files",
+    "layout_python_sink_roundtrip",
+    "quality_observe_scan_metrics",
+    "sketch_cms_user_counts",
+    "sketch_histogram_quantiles",
+    "window_gap_fill_interpolate",
+    "streaming_watermark_late_drop",
+    "streaming_static_join_daily",
+    "streaming_stream_stream_join",
+    "streaming_stream_stream_outer_join",
+    "streaming_python_source_agg",
+    "streaming_dropdup_within_watermark",
+    "streaming_checkpoint_restart",
+    "tpch_q15_top_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_ship_latency_priority",
+    "tpch_q20_dominant_suppliers",
 )
 
 
