@@ -90,6 +90,9 @@ def register(
 # r14. This continues the steady-state rotation (r7s refreshed in r11,
 # r8s in r12, r9s now) so no attestation ages past ~4 rounds.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # -- the reserved slot: new in r13 (first-ever attestation) --
+    "text_bpe_train_iter2",
+    # -- fill queue: the r8 leftover, then 48 r9-green rows --
     "tpch_q22_sales_opportunity",
     "join_salted_hot_users",
     "events_variant_props_extract",

@@ -217,8 +217,19 @@ def bpe_pair_counts(words) -> "DataFrame":
     Returns (pair, n_occurrences, n_words): total weighted occurrences
     and the number of distinct vocabulary words containing the pair.
     """
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("wcount"))
-    pairs = vocab.filter(F.length("word") >= 2).select(
+    return bpe_pair_counts_over_vocab(bpe_vocab(words))
+
+
+def bpe_vocab(words) -> "DataFrame":
+    """Corpus → vocabulary: (word, wcount). The one corpus-sized
+    aggregate in BPE training; everything downstream is vocab-sized."""
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("wcount"))
+
+
+def _vocab_adjacent_pairs(vocab) -> "DataFrame":
+    """Explode each vocabulary word into its adjacent character pairs,
+    one row per position, carrying the word's corpus count."""
+    return vocab.filter(F.length("word") >= 2).select(
         "word",
         "wcount",
         F.explode(
@@ -228,7 +239,90 @@ def bpe_pair_counts(words) -> "DataFrame":
             )
         ).alias("pair"),
     )
-    return pairs.groupBy("pair").agg(
+
+
+def bpe_pair_counts_over_vocab(vocab) -> "DataFrame":
+    """Pair counts from an already-aggregated (word, wcount) vocabulary
+    — see bpe_pair_counts for the scale argument."""
+    return _vocab_adjacent_pairs(vocab).groupBy("pair").agg(
+        F.sum("wcount").cast("bigint").alias("n_occurrences"),
+        F.countDistinct("word").cast("bigint").alias("n_words"),
+    )
+
+
+#: Placeholder symbol standing for the learned merge inside a re-paired
+#: word. Inputs are scrubbed of it upstream (both engines), so a marker
+#: char in a re-paired word can ONLY mean "the merged symbol" — which is
+#: what makes the plain-string representation unambiguous for one merge.
+BPE_MARKER = "\x01"
+
+
+def bpe_second_merge_pair_counts(vocab) -> "DataFrame":
+    """Iteration TWO of BPE tokenizer training: learn the arg-max merge
+    from the iteration-one pair counts, apply it greedily to every
+    vocabulary word, and re-count adjacent SYMBOL pairs over the merged
+    sequences (Sennrich et al. 2016, arXiv:1508.07909 §3.2 — the loop
+    body a full trainer repeats to a target vocab size).
+
+    The merge application is pure string algebra: greedy left-to-right
+    non-overlapping replacement of the winning pair is exactly the
+    semantics of the built-in ``replace`` ("aaa" under merge "aa" →
+    ["aa","a"]), with the merged symbol written as BPE_MARKER so the
+    re-paired word stays one char per symbol. Pair identity is kept as
+    TWO columns (left_sym, right_sym) — concatenation would collide,
+    e.g. ("a","aa") and ("aa","a") both read "aaa".
+
+    Scale design: everything after bpe_vocab is vocab-sized. The
+    iteration-one winner is a 1-row aggregate (min over the
+    (-n, pair) struct = max count with the lexicographic tiebreak — no
+    global sort, no SinglePartition funnel) broadcast onto the
+    vocabulary; re-pairing explodes vocab chars exactly like iteration
+    one. A production trainer to vocab size V repeats this with a
+    V-row merge-table broadcast; per-iteration cost stays
+    O(vocab chars), never O(corpus).
+
+    Returns (merge_pair, left_sym, right_sym, n_occurrences, n_words);
+    (left_sym, right_sym) is unique, so (count desc, left, right) is a
+    deterministic total order for top-k.
+    """
+    cnt1 = _vocab_adjacent_pairs(vocab).groupBy("pair").agg(
+        F.sum("wcount").cast("bigint").alias("n_occurrences")
+    )
+    merge1 = cnt1.agg(
+        F.min(
+            F.struct(
+                (-F.col("n_occurrences")).alias("neg"),
+                F.col("pair").alias("p"),
+            )
+        ).alias("m")
+    ).select(F.col("m.p").alias("merge_pair"))
+    merged = vocab.crossJoin(F.broadcast(merge1)).select(
+        "word",
+        "wcount",
+        "merge_pair",
+        F.replace(
+            F.col("word"), F.col("merge_pair"), F.lit(BPE_MARKER)
+        ).alias("rword"),
+    )
+
+    def sym(c: Column) -> Column:
+        return F.when(c == BPE_MARKER, F.col("merge_pair")).otherwise(c)
+
+    positions = merged.filter(F.length("rword") >= 2).select(
+        "word",
+        "wcount",
+        "merge_pair",
+        "rword",
+        F.explode(F.expr("sequence(1, length(rword) - 1)")).alias("i"),
+    )
+    repaired = positions.select(
+        "word",
+        "wcount",
+        "merge_pair",
+        sym(F.expr("substring(rword, i, 1)")).alias("left_sym"),
+        sym(F.expr("substring(rword, i + 1, 1)")).alias("right_sym"),
+    )
+    return repaired.groupBy("merge_pair", "left_sym", "right_sym").agg(
         F.sum("wcount").cast("bigint").alias("n_occurrences"),
         F.countDistinct("word").cast("bigint").alias("n_words"),
     )

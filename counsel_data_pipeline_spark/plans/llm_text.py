@@ -1159,3 +1159,109 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(_BPE_TOPK)
     )
+
+
+@register(
+    "text_bpe_train_iter2",
+    oracle=f"""
+        -- BPE tokenizer training, iteration TWO: learn the arg-max merge
+        -- from iteration one, apply it greedily to every vocabulary word
+        -- (greedy left-to-right non-overlapping replacement IS the
+        -- built-in replace(): 'aaa' under merge 'aa' -> ['aa','a']), and
+        -- re-count adjacent SYMBOL pairs over the merged sequences. The
+        -- merged symbol is written as chr(1) inside the re-paired word
+        -- (inputs are scrubbed of chr(1) first, so the marker is
+        -- unambiguous) and mapped back on output. Pair identity is TWO
+        -- columns: concatenation would collide, e.g. ('a','aa') and
+        -- ('aa','a') both read 'aaa'. (left_sym, right_sym) is unique,
+        -- so the top-{_BPE_TOPK} set is deterministic.
+        WITH tok AS (
+          SELECT unnest(string_split_regex(
+                   replace({_SQL_NORM}, chr(1), ''), ' ')) AS word
+          FROM documents
+        ),
+        vocab AS (
+          SELECT word, count(*) AS wcount FROM tok GROUP BY 1
+        ),
+        pairs1 AS (
+          SELECT word, wcount,
+                 unnest(list_transform(range(1, length(word)),
+                        i -> substr(word, i, 2))) AS pair
+          FROM vocab WHERE length(word) >= 2
+        ),
+        cnt1 AS (
+          SELECT pair, sum(wcount) AS n FROM pairs1 GROUP BY pair
+        ),
+        merge1 AS (
+          SELECT pair AS merge_pair FROM cnt1
+          ORDER BY n DESC, pair LIMIT 1
+        ),
+        merged AS (
+          SELECT word, wcount, merge_pair,
+                 replace(word, merge_pair, chr(1)) AS rword
+          FROM vocab, merge1
+        ),
+        pos AS (
+          SELECT word, wcount, merge_pair, rword,
+                 unnest(range(1, length(rword))) AS i
+          FROM merged WHERE length(rword) >= 2
+        ),
+        pairs2 AS (
+          SELECT word, wcount, merge_pair,
+                 CASE WHEN substr(rword, i, 1) = chr(1)
+                      THEN merge_pair ELSE substr(rword, i, 1)
+                 END AS left_sym,
+                 CASE WHEN substr(rword, i + 1, 1) = chr(1)
+                      THEN merge_pair ELSE substr(rword, i + 1, 1)
+                 END AS right_sym
+          FROM pos
+        )
+        SELECT merge_pair, left_sym, right_sym,
+               CAST(sum(wcount) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT word) AS BIGINT) AS n_words
+        FROM pairs2
+        GROUP BY merge_pair, left_sym, right_sym
+        ORDER BY n_occurrences DESC, left_sym, right_sym
+        LIMIT {_BPE_TOPK}
+    """,
+    description="BPE trainer iteration two: apply the learned arg-max "
+    "merge to the vocabulary (greedy replace, marker-encoded symbol) and "
+    f"re-count adjacent symbol pairs; top {_BPE_TOPK} second-merge "
+    "candidates with (left_sym, right_sym) as the deterministic tiebreak",
+    tags=("llm", "text", "tokenizer"),
+)
+def bpe_train_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: ONE fact scan into the corpus-sized vocab aggregate,
+    lazily pinned (ops/materialize.pin eager=False) because two
+    consumers need it — the iteration-one arg-max subtree and the
+    re-pair explode; the cached subtree executes once inside the first
+    consuming job. The iteration-one winner folds to a 1-row aggregate
+    (min over the (-n, pair) struct — no global sort, no SinglePartition
+    funnel) broadcast onto the vocabulary, the same per-iteration
+    broadcast shape the k-means and PageRank loop families use. All
+    re-pair work is vocab-sized string algebra (see
+    ops/text_analysis.bpe_second_merge_pair_counts); a production
+    trainer to vocab size V repeats this body with a V-row merge-table
+    broadcast, O(vocab chars) per iteration, never O(corpus). Top-k is
+    TakeOrderedAndProject over the unique (n desc, left, right) key."""
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(
+            F.split(
+                F.replace(
+                    ta.norm_text(F.col("text")),
+                    F.lit(ta.BPE_MARKER),
+                    F.lit(""),
+                ),
+                " ",
+            )
+        ).alias("word")
+    )
+    vocab = pin(ta.bpe_vocab(words), eager=False)
+    return (
+        ta.bpe_second_merge_pair_counts(vocab)
+        .orderBy(F.col("n_occurrences").desc(), "left_sym", "right_sym")
+        .limit(_BPE_TOPK)
+    )

@@ -234,3 +234,35 @@ def test_bpe_pair_counts_planted(spark):
         .first()
     )
     assert top["pair"] == "aa"
+
+
+def test_bpe_second_merge_planted(spark):
+    """BPE iteration two on a planted vocabulary: the learned merge is
+    the (count desc, pair asc) arg-max of iteration one; application is
+    greedy left-to-right ('aaa' under 'aa' -> [aa, a], NOT [a, aa]); and
+    pair identity survives the ('aa','a') vs ('a','aa') concatenation
+    collision because left/right are separate columns."""
+    from counsel_data_pipeline_spark.ops.text_analysis import (
+        bpe_second_merge_pair_counts,
+        bpe_vocab,
+    )
+
+    words = spark.createDataFrame(
+        # iter1: "aa" 2x3+1x2=8, "ba" 2, "ab" 1 -> merge = "aa"
+        [("aaa",)] * 3 + [("baa",)] * 2 + [("ab",)],
+        "word string",
+    )
+    rows = bpe_second_merge_pair_counts(bpe_vocab(words)).collect()
+    assert {r["merge_pair"] for r in rows} == {"aa"}
+    got = {
+        (r["left_sym"], r["right_sym"]): (r["n_occurrences"], r["n_words"])
+        for r in rows
+    }
+    assert got == {
+        # "aaa" -> [aa, a] x3 (greedy): the merged symbol on the LEFT
+        ("aa", "a"): (3, 1),
+        # "baa" -> [b, aa] x2: merged symbol on the RIGHT
+        ("b", "aa"): (2, 1),
+        # "ab" -> [a, b]: untouched by the merge
+        ("a", "b"): (1, 1),
+    }
