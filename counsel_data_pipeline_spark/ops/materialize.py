@@ -84,14 +84,35 @@ def _mode(df: DataFrame) -> str:
 
 def _ensure_checkpoint_dir(df: DataFrame) -> None:
     sc = df.sparkSession.sparkContext
-    # py4j: SparkContext.getCheckpointDir() is scala Option[String]
-    if sc._jsc.sc().getCheckpointDir().isDefined():
-        return
-    target = df.sparkSession.conf.get(
+    explicit = df.sparkSession.conf.get(
         "spark.counsel.pin.checkpointDir",
         os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", ""),
-    ) or os.path.join(tempfile.gettempdir(), "counsel-ckpt")
-    sc.setCheckpointDir(target)
+    )
+    # Precedence: the explicit pin conf/env wins over a checkpoint dir a
+    # session may have set for other purposes (streaming, graph algos) —
+    # otherwise the documented conf would be silently ignored.
+    if explicit:
+        current = sc._jsc.sc().getCheckpointDir()  # scala Option[String]
+        if not (current.isDefined() and current.get() == explicit):
+            sc.setCheckpointDir(explicit)
+        return
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return
+    # No directory configured anywhere. A driver-local tempdir is NOT
+    # shared storage: on a multi-node cluster — the exact deployment
+    # 'reliable' mode exists for — executors would write checkpoint
+    # blocks to their own local disks and executor loss would still
+    # lose them, silently voiding the mode's fault-tolerance guarantee.
+    # Only default to a tempdir for local masters.
+    if not sc.master.startswith("local"):
+        raise ValueError(
+            "spark.counsel.pin.mode=reliable on a non-local master "
+            f"({sc.master!r}) requires a SHARED checkpoint directory: "
+            "set spark.counsel.pin.checkpointDir (or "
+            "SPARK_GRAFT_CHECKPOINT_DIR) to an HDFS/S3/NFS path, or "
+            "call SparkContext.setCheckpointDir yourself"
+        )
+    sc.setCheckpointDir(os.path.join(tempfile.gettempdir(), "counsel-ckpt"))
 
 
 def pin(df: DataFrame, *, eager: bool = True, loop: bool = False) -> DataFrame:
@@ -101,6 +122,21 @@ def pin(df: DataFrame, *, eager: bool = True, loop: bool = False) -> DataFrame:
     ``loop=True`` marks per-iteration states: lineage truncation is
     mandatory (a replicated persist can't provide it) and
     materialization is always eager so per-iteration work stays bounded.
+
+    Cache lifecycle of ``eager=False`` pins: the library never calls
+    ``unpersist()`` — the consuming plan is still lazy here, so there is
+    no safe point to release at. Each lazy pin registers an entry in
+    Spark's CacheManager that lives until the session ends, the storage
+    LRU evicts its blocks (eviction is safe: lineage is intact, blocks
+    recompute), or the caller releases it. Per-query sessions (bench,
+    the correctness driver) tear the session down between queries;
+    long-lived interactive sessions that build many plans should
+    release explicitly — ``returned_df.unpersist()`` once the frame is
+    consumed, or ``spark.catalog.clearCache()`` to drop all cached
+    subtrees wholesale. (The old hard-coded ``localCheckpoint`` RDDs
+    were ContextCleaner-released when the frame was GC'd; persisted
+    frames hold a named CacheManager entry instead, hence the explicit
+    release path.)
     """
     from pyspark import StorageLevel
 

@@ -410,8 +410,10 @@ def bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt = pin(nxt, loop=True)
             visited = visited.unionByName(nxt)
             frontier = nxt
-        # every level is localCheckpoint'ed (materialized), so the union
-        # no longer reads the edge cache — safe to free it, no collect
+        # every level is eagerly pinned (loop=True: localCheckpoint or
+        # reliable checkpoint per the pin mode — materialized either
+        # way), so the union no longer reads the edge cache — safe to
+        # free it, no collect
         return visited
     finally:
         edges.unpersist()

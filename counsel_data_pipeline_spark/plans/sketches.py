@@ -695,11 +695,13 @@ def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("half"),
         "user_id",
     )
-    # localCheckpoint materializes the <=2*2^p register rows ONCE: regs
-    # feeds four consumers (both per-half estimates, the union merge, and
-    # the pivot below), and without it each consumer re-derives the
-    # registers from the fact — the r11 scan audit found 16 fact scans in
-    # this plan. One eager job, one fact scan, sketch-sized storage.
+    # lazy pin: the <=2*2^p register rows execute ONCE inside the first
+    # consuming job (block-level getOrElseUpdate locking in the cached
+    # subtree), and regs feeds four consumers (both per-half estimates,
+    # the union merge, and the pivot below) — without it each consumer
+    # re-derives the registers from the fact; the r11 scan audit found
+    # 16 fact scans in this plan. Zero jobs at plan-build, one fact
+    # scan at execution, sketch-sized storage.
     regs = pin(sk.hll_md5_registers(halves, ["half"], "user_id", _HLL_P), eager=False)
     per = sk.hll_md5_estimate(regs, ["half"], _HLL_P)
     union_regs = regs.groupBy("idx").agg(F.max("reg").alias("reg"))
@@ -721,9 +723,10 @@ def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xb"),
         F.countDistinct("user_id").alias("xu"),
     )
-    # the 1-row stats frame feeds all four union branches below; eager
-    # materialization keeps the exact-distinct pass (ex) at ONE fact scan
-    # instead of one per branch
+    # the 1-row stats frame feeds all four union branches below; the
+    # lazy pin's cached subtree executes once within the consuming job,
+    # keeping the exact-distinct pass (ex) at ONE fact scan instead of
+    # one per branch
     n = pin(
         ea.crossJoin(eb)
         .crossJoin(est_u)

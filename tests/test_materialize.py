@@ -151,3 +151,62 @@ def test_connected_components_agree_across_modes(spark, pin_mode, tmp_path):
     finally:
         spark.conf.unset("spark.counsel.pin.checkpointDir")
     assert expect[:3] == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_explicit_pin_checkpoint_dir_wins_over_preexisting(spark, pin_mode, tmp_path):
+    """The documented spark.counsel.pin.checkpointDir conf must take
+    precedence over a checkpoint dir the session already set for other
+    purposes (r12 advice: it was silently ignored)."""
+    from counsel_data_pipeline_spark.ops.materialize import _ensure_checkpoint_dir
+
+    sc = spark.sparkContext
+    other = str(tmp_path / "other")
+    explicit = str(tmp_path / "pin")
+    sc.setCheckpointDir(other)
+    spark.conf.set("spark.counsel.pin.checkpointDir", explicit)
+    try:
+        _ensure_checkpoint_dir(_df(spark))
+        current = sc._jsc.sc().getCheckpointDir().get()
+        assert explicit.lstrip("/") in current, current
+        assert "other" not in current, current
+    finally:
+        spark.conf.unset("spark.counsel.pin.checkpointDir")
+
+
+def test_reliable_tempdir_fallback_refused_on_nonlocal_master(spark, tmp_path, monkeypatch):
+    """With no checkpoint dir configured anywhere, 'reliable' mode must
+    refuse a driver-local tempdir default on a non-local master: a
+    tempdir is not shared storage, so executor loss would still lose
+    checkpoint blocks and the mode's guarantee would silently not hold
+    (r12 advice, medium)."""
+    from counsel_data_pipeline_spark.ops import materialize as mat
+
+    df = _df(spark)
+    sc = spark.sparkContext
+    # simulate an unset checkpoint dir + a cluster master without
+    # touching the live session: stub the two lookups the guard reads
+    class _NoneOpt:
+        def isDefined(self):
+            return False
+
+    class _FakeScalaSc:
+        def getCheckpointDir(self):
+            return _NoneOpt()
+
+    class _FakeJsc:
+        def sc(self):
+            return _FakeScalaSc()
+
+    monkeypatch.setattr(sc, "_jsc", _FakeJsc(), raising=False)
+    monkeypatch.setattr(sc, "master", "spark://host:7077", raising=False)
+    with pytest.raises(ValueError, match="SHARED checkpoint directory"):
+        mat._ensure_checkpoint_dir(df)
+    # ...and an explicit conf satisfies the guard even on a cluster
+    calls = []
+    monkeypatch.setattr(sc, "setCheckpointDir", lambda d: calls.append(d))
+    spark.conf.set("spark.counsel.pin.checkpointDir", str(tmp_path / "shared"))
+    try:
+        mat._ensure_checkpoint_dir(df)
+        assert calls == [str(tmp_path / "shared")]
+    finally:
+        spark.conf.unset("spark.counsel.pin.checkpointDir")
