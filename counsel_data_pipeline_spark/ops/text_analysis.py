@@ -367,3 +367,148 @@ def hashed_linear_score(tokens: Column) -> Column:
     return F.aggregate(
         F.transform(tokens, weight), F.lit(0).cast("bigint"), lambda a, x: a + x
     )
+
+
+#: First code point of the marker alphabet bpe_train assigns to merged
+#: symbols — the Unicode private-use area, scrubbed from inputs first so
+#: marker k can ONLY mean "the symbol merge k produced".
+BPE_TRAIN_MARKER_BASE = 0xE000
+
+
+def _bpe_marker(i: int) -> str:
+    return chr(BPE_TRAIN_MARKER_BASE + i)
+
+
+def bpe_train(words, n_merges: int = 8) -> list[dict]:
+    """Full BPE tokenizer training to ``n_merges`` merges (Sennrich et
+    al. 2016, arXiv:1508.07909 §3.2) — the production trainer whose
+    per-iteration body `plans/llm_text.text_bpe_train_iter2` attests
+    against a DuckDB oracle (iterations one and two are the oracle-able
+    units; this loop is their N-fold composition).
+
+    Per iteration: (1) adjacent-pair counts over the marker-ENCODED
+    vocabulary — vocab-sized explode, exactly the attested iteration-one
+    aggregate; (2) the (count desc, pair asc) arg-max collapses to ONE
+    row, collected to the driver (the merge table IS the model artifact
+    — n_merges rows total, the same bounded-collect class as the PCA
+    moment pull); (3) the vocabulary re-encodes by a single literal
+    ``replace`` (greedy left-to-right, the BPE application order),
+    writing marker char i for the new symbol, so every symbol stays ONE
+    char and later iterations keep using plain string algebra. The
+    re-encoded vocab is pinned per iteration (loop=True — eager
+    truncation, same discipline as the k-means/PageRank loops).
+
+    Scale: the corpus is touched ONCE (the initial vocab aggregate);
+    all n_merges iterations run over the vocabulary. Driver traffic is
+    n_merges single-row results. Training to a realistic 32k-merge
+    vocabulary is 32k vocab-sized jobs — the batching a production run
+    would add (count many merges per pass, invalidate lazily) changes
+    the constant, not the corpus-touched-once property.
+
+    Returns the learned merge table, in merge order: dicts with
+    ``merge_idx``, ``left``/``right`` (decoded symbol strings),
+    ``merged`` (their concatenation), ``n_occurrences`` (the weighted
+    pair count the merge won with). Stops early when no pair remains.
+    """
+    from counsel_data_pipeline_spark.ops.materialize import pin
+
+    # scrub the marker alphabet from inputs (both engines of any twin
+    # would do the same): PUA chars in raw text would forge merges
+    scrub = "[\ue000-\uf8ff]"  # the whole private-use area
+    enc = (
+        words.select(F.regexp_replace(F.col("word"), scrub, "").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .select(F.col("word").alias("__enc"), "wcount")
+    )
+    enc = pin(enc, loop=True)
+    decode = {}  # marker char -> decoded symbol string
+    table: list[dict] = []
+    for i in range(n_merges):
+        pairs = enc.filter(F.length("__enc") >= 2).select(
+            "wcount",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(__enc) - 1), "
+                    "i -> substring(__enc, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        win_rows = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wcount").cast("bigint").alias("n"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("neg"), F.col("pair").alias("p")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("m.p").alias("pair"), (-F.col("m.neg")).alias("n"))
+            .collect()
+        )
+        if not win_rows or win_rows[0]["pair"] is None:
+            break  # vocabulary fully merged — nothing adjacent remains
+        pair_enc, n_occ = win_rows[0]["pair"], int(win_rows[0]["n"])
+        marker = _bpe_marker(i)
+        left, right = (decode.get(ch, ch) for ch in pair_enc)
+        decode[marker] = left + right
+        table.append(
+            {
+                "merge_idx": i,
+                "left": left,
+                "right": right,
+                "merged": left + right,
+                "n_occurrences": n_occ,
+            }
+        )
+        enc = pin(
+            enc.select(
+                F.replace(
+                    F.col("__enc"), F.lit(pair_enc), F.lit(marker)
+                ).alias("__enc"),
+                "wcount",
+            ),
+            loop=True,
+        )
+    return table
+
+
+def bpe_segment(c: Column, table: list[dict]) -> Column:
+    """Apply a trained merge table to a word column — the TOKENIZER
+    step: returns the ``array<string>`` symbol sequence of each word
+    under the learned vocabulary. Pure literal string algebra (one
+    ``replace`` per merge + one char-level decode map), whole-stage
+    codegen, zero shuffles — at 100 TB this fuses into whatever scan
+    precedes it, which is the property that makes the trainer's output
+    usable for corpus-wide token counting.
+
+    Merges apply in LEARNED ORDER, each greedy left-to-right — the
+    canonical BPE segmentation procedure, matched by the Python model in
+    tests/test_r13_properties.py.
+    """
+    scrub = "[\ue000-\uf8ff]"  # the whole private-use area
+    enc = F.regexp_replace(c, scrub, "")
+    decode = {}
+    for m in table:
+        i = m["merge_idx"]
+        left_enc = next(
+            (k for k, v in decode.items() if v == m["left"]), m["left"]
+        )
+        right_enc = next(
+            (k for k, v in decode.items() if v == m["right"]), m["right"]
+        )
+        marker = _bpe_marker(i)
+        decode[marker] = m["merged"]
+        enc = F.replace(enc, F.lit(left_enc + right_enc), F.lit(marker))
+    if decode:
+        dec_map = F.create_map(
+            *[F.lit(x) for kv in decode.items() for x in kv]
+        )
+        decode_ch = lambda ch: F.coalesce(  # noqa: E731
+            F.element_at(dec_map, ch), ch
+        )
+    else:
+        decode_ch = lambda ch: ch  # noqa: E731
+    chars = F.filter(F.split(enc, ""), lambda ch: ch != "")
+    return F.transform(chars, decode_ch)

@@ -5,6 +5,8 @@ counts weighted by word frequency, distinct-word counts per pair."""
 
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -65,3 +67,106 @@ def test_bpe_iter2_matches_python(spark, words):
     assert got == expect
     if expect:
         assert {r["merge_pair"] for r in rows} == {merge}
+
+
+# ---------------------------------------------------------------------------
+# Full trainer (ops/text_analysis.bpe_train) + tokenizer apply (bpe_segment)
+# ---------------------------------------------------------------------------
+
+_MARKER_BASE = 0xE000
+_SCRUB = __import__("re").compile("[\ue000-\uf8ff]")
+
+
+def _py_bpe_train(words, n_merges):
+    """Definitional model mirroring the engine's marker encoding, so the
+    (count desc, encoded-pair asc) tiebreak compares identically."""
+    vocab = Counter(_SCRUB.sub("", w) for w in words)
+    enc = {w: w for w in vocab}
+    decode = {}
+    table = []
+    for i in range(n_merges):
+        occ = Counter()
+        for w, c in vocab.items():
+            e = enc[w]
+            for j in range(len(e) - 1):
+                occ[e[j : j + 2]] += c
+        if not occ:
+            break
+        pair = min(occ.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        marker = chr(_MARKER_BASE + i)
+        left = decode.get(pair[0], pair[0])
+        right = decode.get(pair[1], pair[1])
+        decode[marker] = left + right
+        table.append(
+            {
+                "merge_idx": i,
+                "left": left,
+                "right": right,
+                "merged": left + right,
+                "n_occurrences": occ[pair],
+            }
+        )
+        enc = {w: e.replace(pair, marker) for w, e in enc.items()}
+    return table, decode
+
+
+def _py_bpe_segment(word, table):
+    e = _SCRUB.sub("", word)
+    decode = {}
+    for m in table:
+        le = next((k for k, v in decode.items() if v == m["left"]), m["left"])
+        re_ = next((k for k, v in decode.items() if v == m["right"]), m["right"])
+        marker = chr(_MARKER_BASE + m["merge_idx"])
+        decode[marker] = m["merged"]
+        e = e.replace(le + re_, marker)
+    return [decode.get(ch, ch) for ch in e]
+
+
+def test_bpe_train_planted_sennrich(spark):
+    """The classic low/lower/newest/widest corpus: merges are
+    ('e','s') at 9 (tiebreak vs 'st'), then ('es','t') at 9, then
+    ('l','o') at 7 (tiebreak vs 'ow'); segmenting the UNSEEN word
+    'lowest' under that table yields [lo, w, est]."""
+    from counsel_data_pipeline_spark.ops.text_analysis import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    words = spark.createDataFrame([(w,) for w in corpus], "word string")
+    table = bpe_train(words, n_merges=3)
+    assert [(m["left"], m["right"], m["n_occurrences"]) for m in table] == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("l", "o", 7),
+    ]
+    seg = spark.createDataFrame([("lowest",), ("low",)], "word string").select(
+        F.col("word"), bpe_segment(F.col("word"), table).alias("syms")
+    )
+    got = {r["word"]: r["syms"] for r in seg.collect()}
+    assert got["lowest"] == ["lo", "w", "est"]
+    assert got["low"] == ["lo", "w"]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(
+    # include a PUA char to pin the scrub and 'é' to pin char indexing
+    st.text(alphabet="ab1\u00e9\ue005", min_size=0, max_size=6),
+    min_size=1, max_size=40,
+))
+def test_bpe_train_and_segment_match_python(spark, words):
+    from counsel_data_pipeline_spark.ops.text_analysis import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    expect_table, _ = _py_bpe_train(words, 4)
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    table = bpe_train(df, n_merges=4)
+    assert table == expect_table
+    if not table:
+        return
+    seg = df.select("word", bpe_segment(F.col("word"), table).alias("syms"))
+    for r in seg.collect():
+        assert r["syms"] == _py_bpe_segment(r["word"], table), r["word"]
