@@ -42,6 +42,14 @@ environment variable, default ``local``):
     k-means states, whose logical plans would otherwise nest per
     iteration) are upgraded to ``reliable`` checkpoints automatically.
 
+Measured mode cost (``tools/pin_mode_scale_race.py``, the pin-heaviest
+query — PageRank's three loop-pinned iterations — at sf0.1 and on a 10×
+disjoint-copy graph, results asserted identical across modes): reliable
+0.98× and persist 0.94× of local at 10×. On one box the choice is free
+— pinned frames are node-sized summaries, never the fact stream; on a
+real cluster ``reliable`` additionally pays one shared-storage
+round-trip per pinned frame on exactly that small volume.
+
 Eagerness is per call site, not per mode:
 
 * ``loop=True`` sites materialize eagerly — bounded per-iteration work
