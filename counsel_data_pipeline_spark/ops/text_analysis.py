@@ -459,6 +459,12 @@ def bpe_train(words, n_merges: int = 8) -> list[dict]:
                 "left": left,
                 "right": right,
                 "merged": left + right,
+                # the 2-char marker-encoded pair: bpe_segment replays
+                # merges from THIS, never by decoded-value lookup — two
+                # merges can produce the same decoded string (('a','ab')
+                # and ('aa','b') both read 'aab'), so decoded strings
+                # don't identify symbols; encodings do
+                "pair_enc": pair_enc,
                 "n_occurrences": n_occ,
             }
         )
@@ -491,16 +497,9 @@ def bpe_segment(c: Column, table: list[dict]) -> Column:
     enc = F.regexp_replace(c, scrub, "")
     decode = {}
     for m in table:
-        i = m["merge_idx"]
-        left_enc = next(
-            (k for k, v in decode.items() if v == m["left"]), m["left"]
-        )
-        right_enc = next(
-            (k for k, v in decode.items() if v == m["right"]), m["right"]
-        )
-        marker = _bpe_marker(i)
+        marker = _bpe_marker(m["merge_idx"])
         decode[marker] = m["merged"]
-        enc = F.replace(enc, F.lit(left_enc + right_enc), F.lit(marker))
+        enc = F.replace(enc, F.lit(m["pair_enc"]), F.lit(marker))
     if decode:
         dec_map = F.create_map(
             *[F.lit(x) for kv in decode.items() for x in kv]

@@ -103,6 +103,7 @@ def _py_bpe_train(words, n_merges):
                 "left": left,
                 "right": right,
                 "merged": left + right,
+                "pair_enc": pair,
                 "n_occurrences": occ[pair],
             }
         )
@@ -114,11 +115,9 @@ def _py_bpe_segment(word, table):
     e = _SCRUB.sub("", word)
     decode = {}
     for m in table:
-        le = next((k for k, v in decode.items() if v == m["left"]), m["left"])
-        re_ = next((k for k, v in decode.items() if v == m["right"]), m["right"])
         marker = chr(_MARKER_BASE + m["merge_idx"])
         decode[marker] = m["merged"]
-        e = e.replace(le + re_, marker)
+        e = e.replace(m["pair_enc"], marker)
     return [decode.get(ch, ch) for ch in e]
 
 
