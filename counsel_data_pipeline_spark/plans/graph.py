@@ -595,9 +595,9 @@ def common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global sort materializes. Hub middles are pruned BEFORE the
     self-join, at the scan side of the adjacency build.
 
-    The result is localCheckpoint'ed (eager, executor-side) so the
-    persisted edge list can be released without the top-k ever
-    round-tripping the driver."""
+    The result is pinned eagerly (per the session's pin policy —
+    localCheckpoint by default) so the persisted edge list can be
+    released without the top-k ever round-tripping the driver."""
     e = _copurchase_edge_list(spark, sf_dir).persist()
     try:
         return pin(common_neighbors_plan(e))
