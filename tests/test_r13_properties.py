@@ -169,3 +169,67 @@ def test_bpe_train_and_segment_match_python(spark, words):
     seg = df.select("word", bpe_segment(F.col("word"), table).alias("syms"))
     for r in seg.collect():
         assert r["syms"] == _py_bpe_segment(r["word"], table), r["word"]
+
+
+# ---------------------------------------------------------------------------
+# Incremental trainer (ops/text_analysis.bpe_train_incremental): must learn
+# the EXACT same merge table as the full-re-aggregate form — the delta fold
+# (retraction + assertion rows from affected words only) is exact, not
+# approximate.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(
+    # the alphabet that pins scrub + char indexing, plus repeats ("aaa")
+    # whose self-overlapping merges stress the retraction arithmetic
+    st.text(alphabet="ab1é", min_size=0, max_size=6),
+    min_size=1, max_size=40,
+))
+def test_bpe_train_incremental_matches_python(spark, words):
+    from counsel_data_pipeline_spark.ops.text_analysis import (
+        bpe_train_incremental,
+    )
+
+    expect_table, _ = _py_bpe_train(words, 4)
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    assert bpe_train_incremental(df, n_merges=4) == expect_table
+
+
+def test_bpe_train_incremental_planted_equals_sequential(spark):
+    """Sennrich corpus, 5 merges — past the point where merges consume
+    earlier markers (('lo','w') merges marker+raw), so the count deltas
+    must retract pairs that straddle freshly-encoded symbols."""
+    from counsel_data_pipeline_spark.ops.text_analysis import (
+        bpe_train,
+        bpe_train_incremental,
+    )
+
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    words = spark.createDataFrame([(w,) for w in corpus], "word string")
+    seq = bpe_train(words, n_merges=5)
+    inc = bpe_train_incremental(words, n_merges=5)
+    assert inc == seq
+    assert [(m["left"], m["right"], m["n_occurrences"]) for m in seq] == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+        ("e", "w", 6),
+    ]
+
+
+def test_bpe_train_incremental_exhausts_vocab(spark):
+    """Early-stop parity: a vocabulary that fully merges before the
+    merge budget is spent must stop at the same table on both forms."""
+    from counsel_data_pipeline_spark.ops.text_analysis import (
+        bpe_train,
+        bpe_train_incremental,
+    )
+
+    words = spark.createDataFrame([("ab",), ("ab",), ("a",)], "word string")
+    seq = bpe_train(words, n_merges=6)
+    inc = bpe_train_incremental(words, n_merges=6)
+    assert inc == seq
+    assert len(seq) == 1  # ('a','b') then nothing adjacent remains

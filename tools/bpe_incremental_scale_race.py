@@ -1,0 +1,158 @@
+"""Scale race for BPE training: full per-merge re-aggregation
+(`ops/text_analysis.bpe_train`) vs incrementally maintained pair counts
+(`bpe_train_incremental`). The trainers must learn the EXACT same merge
+table — asserted at every scale — so the race measures pure cost.
+
+What separates them: per merge, the sequential form explodes and
+combine-hashes EVERY adjacent pair of the whole vocabulary
+(O(vocab chars) rows per merge); the incremental form explodes only the
+words that CONTAIN the winning pair (retraction + assertion halves of a
+count delta) plus a shuffle-free `contains` scan, and folds the delta
+into a maintained (pair, n) state. The axis that drives trainer cost is
+therefore VOCABULARY size x merge count — corpus replication (the
+bpe_scale_race axis) grows neither form's per-merge work, and the
+repo's synthetic documents corpus has only ~31 distinct words, far too
+small to exercise a trainer. So the race builds a controlled synthetic
+vocabulary: N distinct md5-hex words, 8-15 chars (16-char alphabet —
+every 2-gram is common early, merges rarefy later ones, the shape a
+real corpus tail has), unit weights.
+
+Reported per scale: wall-clock for each trainer (warmed A/B), the
+computed explode volume each form feeds its per-merge aggregate
+(sequential = vocab pair rows x merges; incremental = affected-word
+pair rows only, retraction + assertion), and the affected-word fraction
+per merge. The table-equality assert runs at BOTH scales.
+
+  python tools/bpe_incremental_scale_race.py [n_base] [growth] [m]
+  # defaults: n_base=30000, growth=10, m=10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from counsel_data_pipeline_spark.ops import text_analysis as ta
+from counsel_data_pipeline_spark.session import get_spark
+
+
+def synth_vocab(spark, n: int) -> DataFrame:
+    """N distinct hex words, 8-15 chars: md5 of the row id, truncated by
+    a deterministic per-row length — distinctness comes from md5's
+    injectivity over this range (collisions would only shrink the vocab,
+    not bias the race)."""
+    return spark.range(n).select(
+        F.substring(
+            F.md5(F.col("id").cast("string")), 1, (F.col("id") % 8 + 8).cast("int")
+        ).alias("word")
+    )
+
+
+def _py_train_metrics(vocab_rows: list, m: int) -> list[dict]:
+    """Replay the merge sequence driver-side over the collected (word,
+    wcount) vocabulary to compute, per merge, the explode volume each
+    form feeds its aggregate. Pure measurement — the tool's timed runs
+    call the shipped trainers, not this."""
+    enc = {w: c for w, c in vocab_rows}
+    out = []
+    for i in range(m):
+        occ: dict = {}
+        seq_rows = 0
+        for w, c in enc.items():
+            seq_rows += max(len(w) - 1, 0)
+            for j in range(len(w) - 1):
+                p = w[j : j + 2]
+                occ[p] = occ.get(p, 0) + c
+        if not occ:
+            break
+        pair = min(occ.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        marker = chr(ta.BPE_TRAIN_MARKER_BASE + i)
+        affected = [w for w in enc if pair in w]
+        inc_rows = sum(
+            max(len(w) - 1, 0) + max(len(w.replace(pair, marker)) - 1, 0)
+            for w in affected
+        )
+        out.append(
+            {
+                "merge": i,
+                "seq_explode_rows": seq_rows,
+                "inc_explode_rows": inc_rows,
+                "affected_frac": len(affected) / max(len(enc), 1),
+            }
+        )
+        enc = {
+            (w.replace(pair, marker) if pair in w else w): c
+            for w, c in enc.items()
+        }
+    return out
+
+
+def run(spark, n: int, m: int, label: str) -> None:
+    words = synth_vocab(spark, n).persist()
+    words.count()
+
+    # warm both trainers untimed at a small merge budget (JIT/codegen)
+    ta.bpe_train(words, n_merges=2)
+    ta.bpe_train_incremental(words, n_merges=2)
+
+    t0 = time.time()
+    seq = ta.bpe_train(words, n_merges=m)
+    t_seq = time.time() - t0
+
+    t0 = time.time()
+    inc = ta.bpe_train_incremental(words, n_merges=m)
+    t_inc = time.time() - t0
+
+    assert inc == seq, (
+        f"trainers diverged at {label}: {seq[:2]} vs {inc[:2]}"
+    )
+
+    metrics = _py_train_metrics(
+        [(r["__enc"], r["wcount"]) for r in ta._bpe_encoded_vocab(words).collect()],
+        m,
+    )
+    seq_rows = sum(x["seq_explode_rows"] for x in metrics)
+    inc_rows = sum(x["inc_explode_rows"] for x in metrics)
+    fracs = ", ".join(f"{x['affected_frac']:.3f}" for x in metrics)
+    print(
+        f"{label}: vocab {n}, {m} merges — sequential {t_seq:.2f}s "
+        f"({seq_rows} pair rows aggregated), incremental {t_inc:.2f}s "
+        f"({inc_rows} pair rows, {inc_rows / max(seq_rows, 1):.1%} of "
+        f"sequential); affected fraction per merge: [{fracs}]; "
+        f"tables equal ({len(seq)} merges learned)"
+    )
+    words.unpersist()
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 30000
+    growth = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    m = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark("bpe-incremental-race")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    run(spark, n, m, "base vocabulary")
+    run(spark, n * growth, m, f"{growth}x vocabulary")
+
+    print(
+        "# the separation is the aggregate's input volume: the sequential "
+        "trainer re-explodes the whole vocabulary every merge, the "
+        "incremental one only the affected words (both shuffles are "
+        "partial-aggregation-bounded). Measured at a 300k-word vocabulary: "
+        "aggregate input 8.2% of sequential, wall within noise on one box "
+        "— each merge's enc re-pin (a full-vocab localCheckpoint write, "
+        "paid by BOTH forms) dominates single-node wall, and the "
+        "incremental form pays one extra pin/merge for the counts state. "
+        "The volume ratio is what compounds at a 10M-word vocabulary x "
+        "32k merges, where the explode+combine is the cost the pin write "
+        "amortizes away under."
+    )
+
+
+if __name__ == "__main__":
+    main()
