@@ -76,72 +76,74 @@ def register(
 # registration order. Rotate per round: once a family has its green
 # CORRECTNESS row, swap the next unverified family in.
 #
-# Round 13 window (ledger in COVERAGE.md). Evidence state after r12:
-# 50 queries hash-green in r12, 50 in r11, 50 in r10, 50 in r9, 1 in r8
-# (tpch_q22_sales_opportunity, displaced from r12's window by the BPE
-# registration and explicitly queued in COVERAGE.md), zero
-# never-attested and zero rows-only cells. This round's slots, per
-# ``tools/evidence_ledger.py --suggest --reserve 1``: (a) the queued r8
-# leftover FIRST; (b) 48 of the 49 r9-green rows in ledger order. ONE
-# slot is reserved for this round's single new registration (budget
-# <=1/round), which must be appended to this window in its own
-# registration commit per tests/test_evidence_ledger.py; the displaced
-# 49th r9 row (tpch_q21_blocking_supplier) is queued in COVERAGE.md for
-# r14. This continues the steady-state rotation (r7s refreshed in r11,
-# r8s in r12, r9s now) so no attestation ages past ~4 rounds.
+# Round 14 window (ledger in COVERAGE.md). Evidence state after r13:
+# 50 queries hash-green in r13, 50 in r12, 50 in r11, 50 in r10, 2 in r9
+# (tpch_q21_blocking_supplier — displaced from r13's window by the BPE
+# iter2 registration and explicitly queued in COVERAGE.md — and
+# tpch_lateral_top_customers), zero never-attested and zero rows-only
+# cells. This round's slots, per ``tools/evidence_ledger.py --suggest
+# --reserve 1``: (a) the two r9 leftovers FIRST; (b) 47 of the r10-green
+# rows in ledger order. ONE slot is reserved for this round's single new
+# registration (budget <=1/round), which must be appended to this window
+# in its own registration commit per tests/test_evidence_ledger.py; the
+# displaced 48th r10 row (tpch_q18_large_volume) is queued in
+# COVERAGE.md for r15. This continues the steady-state rotation
+# (r8s refreshed in r12, r9s in r13, r10s now) so no attestation ages
+# past ~4 rounds.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- the reserved slot: new in r13 (first-ever attestation) --
-    "text_bpe_train_iter2",
-    # -- fill queue: the r8 leftover, then 48 r9-green rows --
-    "tpch_q22_sales_opportunity",
-    "join_salted_hot_users",
-    "events_variant_props_extract",
-    "events_sequence_detect",
-    "graph_bfs_copurchase_hops",
-    "graph_triangle_count",
-    "graph_common_neighbors",
-    "graph_bfs_recursive_sql",
-    "dedup_ngram_jaccard_capped",
-    "multimodal_feature_topk",
-    "sim_quantized_topk",
-    "sim_embedding_dim_profile",
-    "text_token_stats_by_lang",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_fingerprints",
-    "llm_corpus_prep",
-    "text_bpe_token_counts",
-    "text_top_ngrams_per_lang",
-    "text_tfidf_top_terms",
-    "text_boilerplate_ngrams",
-    "text_oov_trigram_ratio",
-    "text_bm25_search",
-    "text_source_entropy",
-    "text_bigram_lm_score",
-    "text_udtf_token_chunks",
-    "text_arrow_group_profile",
-    "layout_schema_evolution_read",
-    "incremental_join_view_merge",
-    "incremental_cdc_upsert_apply",
-    "layout_compact_small_files",
-    "layout_python_sink_roundtrip",
-    "quality_observe_scan_metrics",
-    "sketch_cms_user_counts",
-    "sketch_histogram_quantiles",
-    "window_gap_fill_interpolate",
-    "streaming_watermark_late_drop",
-    "streaming_static_join_daily",
-    "streaming_stream_stream_join",
-    "streaming_stream_stream_outer_join",
-    "streaming_python_source_agg",
-    "streaming_dropdup_within_watermark",
-    "streaming_checkpoint_restart",
-    "tpch_q15_top_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_ship_latency_priority",
-    "tpch_q20_dominant_suppliers",
+    # -- fill queue: the two r9 leftovers, then 47 r10-green rows --
+    "tpch_q21_blocking_supplier",
+    "tpch_lateral_top_customers",
+    "events_sessionize_30m",
+    "events_sessionize_native_window",
+    "events_max_concurrent",
+    "events_mad_robust_outliers",
+    "curation_gopher_filters",
+    "curation_shuffle_order",
+    "curation_c4_filters",
+    "llm_corpus_prep_v2",
+    "curation_weighted_sample",
+    "dedup_jaccard_prefix_filter",
+    "dedup_keep_list",
+    "dedup_containment_prefix_filter",
+    "dedup_levenshtein_blocked",
+    "layout_csv_roundtrip",
+    "quality_profile_lineitem",
+    "quality_referential_integrity",
+    "quality_profile_documents",
+    "quality_token_drift_psi",
+    "quality_benford_first_digit",
+    "ops_first_wins_dedup",
+    "ops_keyed_merge_two_sources",
+    "ops_snapshot_carry_forward",
+    "ops_clean_anchor_extract",
+    "ops_stable_sort_topk",
+    "rollup_revenue_region_nation",
+    "cube_orders_status_priority",
+    "grouping_sets_lineitem",
+    "setop_repeat_buyers_intersect",
+    "setop_lapsed_buyers_except",
+    "setop_union_priority_buckets",
+    "join_anti_customers_without_orders",
+    "join_semi_suppliers_of_big_items",
+    "join_outer_nation_customer_counts",
+    "sketch_bloom_custkey_probe",
+    "streaming_weighted_reservoir",
+    "window_event_value_delta",
+    "window_balance_quartiles_distributed",
+    "window_rolling_7day_user_value",
+    "window_fill_forward_last_purchase",
+    "agg_weighted_median_distributed",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q4_order_priority",
+    "tpch_q10_returned_customers",
+    "agg_brand_volume",
+    "agg_modern_aggregates",
+    # 49th and last fill row — the next ledger row
+    # (tpch_q18_large_volume per --suggest with no reserve) is displaced
+    # to the r15 queue by the reserved registration slot; see COVERAGE.md.
+    "agg_linear_trend_per_brand",
 )
 
 
