@@ -17,6 +17,18 @@ drops to ``--quiet-median`` (integer percent of the committed floors,
 default 120). The chosen attempt becomes the artifact; every attempt's
 (median, total) is recorded in bench_last_detail.json so a loaded run
 is distinguishable from a genuinely slower build.
+
+Auto-quiet (DEFAULT path, no flags): the driver invokes this script with
+no arguments, so the r13 official artifact recorded a contended host
+(median floor_pct 174) even though ``--until-quiet`` existed and a
+hand-run hunt the same session measured 113.6. The default path now
+engages the same hunt AUTOMATICALLY when the first pass looks loaded:
+if its median floor_pct exceeds ``--auto-engage-median`` (default 135),
+re-run up to ``--auto-max-attempts`` total passes (default 4), stop
+early once an attempt's median drops to ``--quiet-median``, and emit the
+best attempt — identical artifact/stdout contract either way. A quiet
+first pass (median <= 135) keeps the historical single-pass behavior and
+wall time. ``--no-auto-quiet`` restores the unconditional single pass.
 """
 
 from __future__ import annotations
@@ -51,6 +63,16 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--quiet-median", type=float, default=120.0,
                    help="stop early when the median floor_pct drops to "
                         "this integer percent (default 120)")
+    p.add_argument("--no-auto-quiet", action="store_true",
+                   help="disable the default-path auto hunt: always a "
+                        "single headline pass")
+    p.add_argument("--auto-engage-median", type=float, default=135.0,
+                   help="default path: engage the quiet hunt when the "
+                        "first pass's median floor_pct exceeds this "
+                        "(default 135)")
+    p.add_argument("--auto-max-attempts", type=int, default=4,
+                   help="attempt budget once the auto hunt engages "
+                        "(default 4, counting the first pass)")
     return p.parse_args(argv)
 
 
@@ -188,9 +210,21 @@ def main(argv: list[str] | None = None) -> None:
         wall = round(time.time() - t_all, 3)
         return per_query, first_run, errors, wall
 
-    # --until-quiet: hunt for a quiet host window (see module docstring);
-    # default is a single pass, identical to the historical behavior.
-    n_attempts = max(1, args.max_attempts) if args.until_quiet else 1
+    # Quiet-window hunt (see module docstring). Three regimes:
+    #   --until-quiet      unconditional hunt, --max-attempts budget
+    #   default            single pass; AUTO-engages the same hunt when
+    #                      that pass's median floor_pct > --auto-engage-
+    #                      median (the driver passes no flags, so this is
+    #                      the only way the official artifact rides out a
+    #                      load wave)
+    #   --no-auto-quiet    unconditional single pass (historical)
+    auto = not args.until_quiet and not args.no_auto_quiet
+    if args.until_quiet:
+        n_attempts = max(1, args.max_attempts)
+    elif auto:
+        n_attempts = max(1, args.auto_max_attempts)
+    else:
+        n_attempts = 1
     best = None  # (median_or_inf, total, per_query, first_run, errors, wall)
     attempts_log: list[dict] = []
     for attempt in range(1, n_attempts + 1):
@@ -212,12 +246,21 @@ def main(argv: list[str] | None = None) -> None:
         key = (med if med is not None else float("inf"), total)
         if best is None or key < (best[0], best[1]):
             best = (key[0], total, per_query, first_run, errors, wall)
-        if not args.until_quiet:
+        if n_attempts == 1:
             break
         if med is None:
-            print("# --until-quiet: no committed floors for this query set "
+            print("# quiet hunt: no committed floors for this query set "
                   "— single attempt only", file=sys.stderr)
             break
+        if auto and attempt == 1:
+            if med <= args.auto_engage_median:
+                # Quiet first pass — historical single-pass behavior.
+                break
+            print(f"# auto-quiet: median {round(med, 1)} > "
+                  f"{args.auto_engage_median} looks like host load — "
+                  f"hunting a quiet window (up to {n_attempts} attempts)",
+                  file=sys.stderr)
+            continue
         if med <= args.quiet_median:
             print(f"# quiet window found (median {round(med, 1)} <= "
                   f"{args.quiet_median}) — stopping", file=sys.stderr)

@@ -111,6 +111,69 @@ def test_headline_carries_aligned_floor_ratios(spark, monkeypatch, tmp_path):
     assert set(detail["floor_ratio"]) == {"a_query", "b_query"}
 
 
+def _run_fake_bench(spark, monkeypatch, tmp_path, floors, argv=None):
+    """Run bench.main with one trivial fake query and the given floors
+    map; return (headline dict, detail dict)."""
+    import bench
+
+    def good(sp, sf_dir):
+        return sp.range(3).selectExpr("id")
+
+    fake = {"a_query": Query("a_query", good, None, "", (), True)}
+    (tmp_path / "bench_floors.json").write_text(json.dumps(floors))
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setattr(bench, "all_queries", lambda: dict(fake))
+    monkeypatch.setattr(bench, "get_spark", lambda name: spark)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        bench.main(argv if argv is not None else [])
+    headline = json.loads(out.getvalue().strip().splitlines()[-1])
+    detail = json.loads((tmp_path / "bench_last_detail.json").read_text())
+    return headline, detail
+
+
+def test_auto_quiet_engages_on_loaded_first_pass(spark, monkeypatch, tmp_path):
+    """The driver invokes bench.py with NO flags, so the default path must
+    ride out host-load waves itself: a first pass whose median floor_pct
+    exceeds the engage threshold re-runs (up to --auto-max-attempts) and
+    the attempt trail is auditable in bench_last_detail.json."""
+    # Absurdly tiny floor -> median floor_pct far above 135 every attempt
+    # -> the hunt engages and exhausts its budget without finding quiet.
+    headline, detail = _run_fake_bench(
+        spark, monkeypatch, tmp_path, {"a_query": 1e-9},
+        argv=["--auto-max-attempts", "3"],
+    )
+    assert [a["attempt"] for a in detail["attempts"]] == [1, 2, 3]
+    assert all(a["median_floor_pct"] > 135 for a in detail["attempts"])
+    # Contract unchanged: one parseable headline, floor_pct attached.
+    assert headline["queries"].keys() == {"a_query"}
+    assert headline["floor_pct"] == [999]
+
+
+def test_auto_quiet_single_pass_when_first_attempt_quiet(
+    spark, monkeypatch, tmp_path
+):
+    """A quiet first pass (median <= engage threshold) keeps the
+    historical single-pass wall time — no extra attempts."""
+    headline, detail = _run_fake_bench(
+        spark, monkeypatch, tmp_path, {"a_query": 1000.0}
+    )
+    assert [a["attempt"] for a in detail["attempts"]] == [1]
+    assert detail["attempts"][0]["median_floor_pct"] <= 135
+
+
+def test_no_auto_quiet_flag_restores_unconditional_single_pass(
+    spark, monkeypatch, tmp_path
+):
+    headline, detail = _run_fake_bench(
+        spark, monkeypatch, tmp_path, {"a_query": 1e-9},
+        argv=["--no-auto-quiet"],
+    )
+    assert [a["attempt"] for a in detail["attempts"]] == [1]
+
+
 def test_overlong_headline_degrades_to_parseable_compact_line(
     spark, monkeypatch
 ):
