@@ -384,7 +384,10 @@ def _bpe_encoded_vocab(words) -> "DataFrame":
     scrubbed of the whole private-use area first so marker k can ONLY
     mean "the symbol merge k produced" — PUA chars in raw text would
     forge merges."""
-    scrub = "[-]"
+    # Escape form on purpose: literal PUA bytes in source are invisible
+    # and editor/encoding-fragile; a corrupted range would let raw PUA
+    # input forge merges.
+    scrub = "[\ue000-\uf8ff]"
     return (
         words.select(F.regexp_replace(F.col("word"), scrub, "").alias("word"))
         .groupBy("word")
@@ -461,6 +464,10 @@ def bpe_train(words, n_merges: int = 8, pin_every: int = 4) -> list[dict]:
     """
     from counsel_data_pipeline_spark.ops.materialize import pin
 
+    if pin_every < 1:
+        # Silent coercion would invert a caller's intent: 0 plausibly
+        # reads as "never pin", which unbounds plan depth.
+        raise ValueError(f"pin_every must be >= 1, got {pin_every}")
     enc = pin(_bpe_encoded_vocab(words), loop=True)
     decode = {}  # marker char -> decoded symbol string
     table: list[dict] = []
@@ -500,8 +507,12 @@ def bpe_train(words, n_merges: int = 8, pin_every: int = 4) -> list[dict]:
             ),
             "wcount",
         )
-        if (i + 1) % max(pin_every, 1) == 0:
+        if (i + 1) % pin_every == 0:
             enc = pin(enc, loop=True)
+    # When n_merges isn't a multiple of pin_every, enc ends as an
+    # unpinned lazy replace chain — intentional: it is discarded here
+    # (the merge table is the artifact). Pin before use if a refactor
+    # ever returns or reuses it.
     return table
 
 
@@ -547,6 +558,9 @@ def bpe_train_incremental(
     """
     from counsel_data_pipeline_spark.ops.materialize import pin
 
+    if pin_every < 1:
+        # see bpe_train: 0 plausibly reads as "never pin" — reject it
+        raise ValueError(f"pin_every must be >= 1, got {pin_every}")
     enc = pin(_bpe_encoded_vocab(words), loop=True)
     counts = pin(
         _bpe_enc_pair_counts(enc)
@@ -609,8 +623,10 @@ def bpe_train_incremental(
             ),
             "wcount",
         )
-        if (i + 1) % max(pin_every, 1) == 0:
+        if (i + 1) % pin_every == 0:
             enc = pin(enc, loop=True)
+    # As in bpe_train: a trailing unpinned enc chain is intentional —
+    # enc is discarded once the merge table is complete.
     return table
 
 

@@ -233,3 +233,21 @@ def test_bpe_train_incremental_exhausts_vocab(spark):
     inc = bpe_train_incremental(words, n_merges=6)
     assert inc == seq
     assert len(seq) == 1  # ('a','b') then nothing adjacent remains
+
+
+def test_bpe_train_rejects_nonpositive_pin_every(spark):
+    """pin_every=0 plausibly reads as 'never pin'; silently coercing it
+    to pin-EVERY-merge would invert the caller's intent, so both
+    trainers reject it (r13 ADVICE)."""
+    import pytest
+
+    from counsel_data_pipeline_spark.ops.text_analysis import (
+        bpe_train,
+        bpe_train_incremental,
+    )
+
+    words = spark.createDataFrame([("ab",)], "word string")
+    with pytest.raises(ValueError, match="pin_every"):
+        bpe_train(words, n_merges=2, pin_every=0)
+    with pytest.raises(ValueError, match="pin_every"):
+        bpe_train_incremental(words, n_merges=2, pin_every=-1)
