@@ -1265,3 +1265,173 @@ def bpe_train_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "left_sym", "right_sym")
         .limit(_BPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Full BPE train -> segment round trip (r14 registration): learn
+# _BPE_SEG_MERGES merges with the production trainer
+# (ops/text_analysis.bpe_train — the r13 family whose per-iteration body
+# text_bpe_train_iter2 already attests), segment the vocabulary under the
+# learned table (ops/text_analysis.bpe_segment), and return corpus-weighted
+# symbol counts. The DuckDB oracle replays every argmax+replace round as
+# chained CTEs built by _bpe_oracle_rounds below, then decodes and counts
+# symbols the same way — so a divergence in ANY round's argmax, tiebreak,
+# greedy replace, or the segmenter's decode shows up as a hash mismatch.
+_BPE_SEG_MERGES = 4
+#: Marker code points mirror ops/text_analysis.BPE_TRAIN_MARKER_BASE
+#: (U+E000 + merge_idx): using the SAME markers in both engines makes the
+#: argmax tiebreak (binary UTF-8 order over encoded pairs) identical by
+#: construction.
+_BPE_SEG_MARKER0 = 0xE000
+
+
+def _bpe_oracle_rounds(k: int) -> str:
+    """Chained CTEs replaying k BPE training rounds over the ``vocab``
+    CTE (columns orig, word, wcount): per round r, pair counts cnt{r}
+    over encoded words, the (count desc, encoded-pair asc) argmax m{r},
+    the re-encoded vocabulary v{r} (greedy left-to-right replace, marker
+    chr(base+r-1)), and the DECODED merged-symbol string d{r} (earlier
+    markers inside the winning pair expand through d1..d{r-1})."""
+    base = _BPE_SEG_MARKER0
+    parts = []
+    for r in range(1, k + 1):
+        prev = "vocab" if r == 1 else f"v{r - 1}"
+        decode_branches = "".join(
+            f" WHEN chr({base + j - 1}) THEN (SELECT merged FROM d{j})"
+            for j in range(1, r)
+        )
+
+        def dec(expr: str) -> str:
+            if not decode_branches:
+                return expr
+            return f"CASE {expr}{decode_branches} ELSE {expr} END"
+
+        parts.append(f"""
+        cnt{r} AS (
+          SELECT pair, sum(wcount) AS n
+          FROM (SELECT wcount,
+                       unnest(list_transform(range(1, length(word)),
+                              i -> substr(word, i, 2))) AS pair
+                FROM {prev} WHERE length(word) >= 2)
+          GROUP BY pair
+        ),
+        m{r} AS (SELECT pair FROM cnt{r} ORDER BY n DESC, pair LIMIT 1),
+        d{r} AS (
+          SELECT concat({dec("substr(pair, 1, 1)")},
+                        {dec("substr(pair, 2, 1)")}) AS merged
+          FROM m{r}
+        ),
+        v{r} AS (
+          SELECT orig, wcount,
+                 replace(word, (SELECT pair FROM m{r}),
+                         chr({base + r - 1})) AS word
+          FROM {prev}
+        )""")
+    return ",".join(parts)
+
+
+def _bpe_seg_decode_case(k: int) -> str:
+    """symbol decode for the final segmentation: marker i -> d{i}.merged,
+    any other char stands for itself."""
+    base = _BPE_SEG_MARKER0
+    branches = "".join(
+        f" WHEN chr({base + j - 1}) THEN (SELECT merged FROM d{j})"
+        for j in range(1, k + 1)
+    )
+    return f"CASE substr(word, i, 1){branches} ELSE substr(word, i, 1) END"
+
+
+@register(
+    "text_bpe_train_segment",
+    oracle=f"""
+        -- Full BPE train->segment round trip: {_BPE_SEG_MERGES} training
+        -- rounds (pair count -> (n desc, pair asc) argmax -> greedy
+        -- replace with a PUA marker, the same markers the Spark trainer
+        -- assigns so the encoded-pair tiebreak is byte-identical), then
+        -- segment the final encoded vocabulary into symbols, decode the
+        -- markers back through the learned table, and count
+        -- corpus-weighted symbol occurrences. Inputs are scrubbed of
+        -- the whole PUA range first, exactly like the trainer, so
+        -- marker k can only mean "the symbol merge k produced".
+        -- (n_occurrences, symbol) is unique -> deterministic top-{_BPE_TOPK}.
+        WITH tok AS (
+          SELECT unnest(string_split_regex(
+                   regexp_replace({_SQL_NORM},
+                     '[' || chr(57344) || '-' || chr(63743) || ']',
+                     '', 'g'), ' ')) AS word
+          FROM documents
+        ),
+        vocab AS (
+          SELECT word AS orig, word, count(*) AS wcount
+          FROM tok GROUP BY 1, 2
+        ),
+        {_bpe_oracle_rounds(_BPE_SEG_MERGES)},
+        seg AS (
+          SELECT orig, wcount, word,
+                 unnest(range(1, length(word) + 1)) AS i
+          FROM v{_BPE_SEG_MERGES}
+        ),
+        sym AS (
+          SELECT orig, wcount,
+                 {_bpe_seg_decode_case(_BPE_SEG_MERGES)} AS symbol
+          FROM seg
+        )
+        SELECT symbol,
+               CAST(sum(wcount) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT orig) AS BIGINT) AS n_words
+        FROM sym
+        GROUP BY symbol
+        ORDER BY n_occurrences DESC, symbol
+        LIMIT {_BPE_TOPK}
+    """,
+    description=f"full BPE round trip: train {_BPE_SEG_MERGES} merges with "
+    "the production trainer (vocab-first aggregation, 1-row argmax per "
+    "round), segment the vocabulary with the learned table (pure codegen "
+    f"replace chain), top {_BPE_TOPK} corpus-weighted symbols with the "
+    "symbol string as the deterministic tiebreak",
+    tags=("llm", "text", "tokenizer"),
+)
+def bpe_train_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the corpus is scanned twice, each time straight into
+    a map-side-combined hash aggregate (the trainer's initial vocab
+    build, then the segmentation-side vocab — both O(vocab) after the
+    combine). All 4 training rounds run over the vocabulary with a
+    1-row argmax collect per round (the merge table IS the model
+    artifact, same bounded-collect class as the PCA moment pull); the
+    segmenter is a literal replace chain + char-level decode map, pure
+    whole-stage codegen, zero shuffles — it fuses into the vocab scan.
+    Nothing here is corpus-sized except the two initial aggregates, so
+    the plan survives a 100x corpus scale-up with the vocabulary (not
+    the corpus) as the iteration working set; at a 10M-word vocabulary
+    the incremental twin (ops/text_analysis.bpe_train_incremental)
+    learns the identical table with per-merge deltas. Reference parity:
+    the reference repo has no tokenizer trainer — this is part of the
+    LLM-pipeline surface beyond it (SURVEY.md addendum)."""
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    scrub = "[\\ue000-\\uf8ff]"
+    words = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(ta.norm_text(F.col("text")), scrub, ""),
+                " ",
+            )
+        ).alias("word")
+    )
+    table = ta.bpe_train(words, n_merges=_BPE_SEG_MERGES)
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("wcount"))
+    seg = vocab.select(
+        "word",
+        "wcount",
+        F.explode(ta.bpe_segment(F.col("word"), table)).alias("symbol"),
+    )
+    return (
+        seg.groupBy("symbol")
+        .agg(
+            F.sum("wcount").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "symbol")
+        .limit(_BPE_TOPK)
+    )

@@ -251,3 +251,56 @@ def test_bpe_train_rejects_nonpositive_pin_every(spark):
         bpe_train(words, n_merges=2, pin_every=0)
     with pytest.raises(ValueError, match="pin_every"):
         bpe_train_incremental(words, n_merges=2, pin_every=-1)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(
+    st.text(alphabet="ab1é", min_size=0, max_size=6),
+    min_size=1, max_size=40,
+))
+def test_bpe_train_segment_counts_match_python(spark, words):
+    """The registered round-trip composition (plans/llm_text.
+    text_bpe_train_segment): train 4 merges, segment the vocabulary,
+    corpus-weighted symbol counts — against the definitional model. A
+    symbol occurring twice in one word counts once per POSITION toward
+    n_occurrences but once toward that word's n_words membership."""
+    from collections import Counter as C
+
+    from counsel_data_pipeline_spark.ops.text_analysis import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    table_expect, _ = _py_bpe_train(words, 4)
+    vocab = C(_SCRUB.sub("", w) for w in words)
+    occ, members = C(), {}
+    for w, c in vocab.items():
+        syms = _py_bpe_segment(w, table_expect)
+        for s in syms:
+            occ[s] += c
+        for s in set(syms):
+            members.setdefault(s, set()).add(w)
+    expect = {s: (n, len(members[s])) for s, n in occ.items()}
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    scrubbed = df.select(
+        F.regexp_replace("word", "[\\ue000-\\uf8ff]", "").alias("word")
+    )
+    table = bpe_train(scrubbed, n_merges=4)
+    assert table == table_expect
+    seg = (
+        scrubbed.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .select(
+            "word", "wcount",
+            F.explode(bpe_segment(F.col("word"), table)).alias("symbol"),
+        )
+    )
+    got = {
+        r["symbol"]: (r["n"], r["nw"])
+        for r in seg.groupBy("symbol")
+        .agg(F.sum("wcount").alias("n"), F.countDistinct("word").alias("nw"))
+        .collect()
+    }
+    assert got == expect
