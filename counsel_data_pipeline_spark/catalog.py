@@ -91,6 +91,8 @@ def register(
 # (r8s refreshed in r12, r9s in r13, r10s now) so no attestation ages
 # past ~4 rounds.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # -- the reserved slot: new in r14 (first-ever attestation) --
+    "text_bpe_train_segment",
     # -- fill queue: the two r9 leftovers, then 47 r10-green rows --
     "tpch_q21_blocking_supplier",
     "tpch_lateral_top_customers",
