@@ -550,7 +550,14 @@ def bpe_train_incremental(
     Measured at 300k words x 10 merges: 11.3 s (pin_every=1) → 8.5 s
     (4) → 7.3 s (10), vs the sequential form's 10.3/9.1/9.5 s — the
     amortization helps this form most because its remaining per-merge
-    work (the affected-only aggregate) is small. The volume ratio is
+    work (the affected-only aggregate) is small. At a longer training
+    the volume advantage is a measured WALL win, not just rows: 32
+    merges / pin_every 8 at 300k words runs 16.8 s here vs 24.4 s
+    sequential (r14 race). The honest crossover: at 30k words the
+    sequential form wins (19.0 vs 34.8 s) because this form pins its
+    (pair, n) counts state every merge and that fixed write dominates
+    when the per-merge aggregate it saves is small — prefer
+    ``bpe_train`` below ~100k distinct words. The volume ratio is
     what compounds at a 10M-word vocabulary x 32k merges. Driver
     traffic is unchanged (one arg-max row per merge); counts state is
     pinned every merge (it is pair-vocabulary-sized — the arg-max

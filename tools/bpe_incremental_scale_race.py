@@ -92,7 +92,7 @@ def _py_train_metrics(vocab_rows: list, m: int) -> list[dict]:
     return out
 
 
-def run(spark, n: int, m: int, label: str) -> None:
+def run(spark, n: int, m: int, label: str, pin_every: int = 4) -> None:
     words = synth_vocab(spark, n).persist()
     words.count()
 
@@ -101,11 +101,11 @@ def run(spark, n: int, m: int, label: str) -> None:
     ta.bpe_train_incremental(words, n_merges=2)
 
     t0 = time.time()
-    seq = ta.bpe_train(words, n_merges=m)
+    seq = ta.bpe_train(words, n_merges=m, pin_every=pin_every)
     t_seq = time.time() - t0
 
     t0 = time.time()
-    inc = ta.bpe_train_incremental(words, n_merges=m)
+    inc = ta.bpe_train_incremental(words, n_merges=m, pin_every=pin_every)
     t_inc = time.time() - t0
 
     assert inc == seq, (
@@ -133,11 +133,12 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30000
     growth = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     m = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    pin_every = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     spark = get_spark("bpe-incremental-race")
     spark.sparkContext.setLogLevel("ERROR")
 
-    run(spark, n, m, "base vocabulary")
-    run(spark, n * growth, m, f"{growth}x vocabulary")
+    run(spark, n, m, "base vocabulary", pin_every)
+    run(spark, n * growth, m, f"{growth}x vocabulary", pin_every)
 
     print(
         "# the separation is the aggregate's input volume: the sequential "
@@ -150,8 +151,15 @@ def main() -> None:
         "amortization (lazy replace chains between pins) breaks the tie "
         "in the incremental form's favor — 11.3 -> 8.5 -> 7.3 s at "
         "pin_every 1/4/10 vs sequential 10.3/9.1/9.5 s, tables equal at "
-        "every setting. The volume ratio is what compounds at a 10M-word "
-        "vocabulary x 32k merges."
+        "every setting. At a longer training (32 merges, pin_every 8, "
+        "r14) the volume advantage surfaces as WALL, not just rows: "
+        "incremental 16.8 s vs sequential 24.4 s at 300k words (8.3% "
+        "aggregate input). The crossover is vocabulary size: at 30k "
+        "words sequential wins (19.0 vs 34.8 s) because the incremental "
+        "form pins its (pair, n) counts state EVERY merge and that "
+        "fixed per-merge write dominates when the per-merge aggregate "
+        "saved is small. The volume ratio is what compounds at a "
+        "10M-word vocabulary x 32k merges."
     )
 
 
