@@ -73,6 +73,13 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--auto-max-attempts", type=int, default=4,
                    help="attempt budget once the auto hunt engages "
                         "(default 4, counting the first pass)")
+    p.add_argument("--auto-budget-sec", type=float, default=780.0,
+                   help="wall-clock budget for the auto hunt: another "
+                        "attempt starts only if elapsed + the longest "
+                        "attempt so far fits (default 780 s — the "
+                        "longest driver-tolerated bench on record, the "
+                        "r5 358s-headline run, took ~13 min; an absent "
+                        "artifact is worse than a noisy one)")
     return p.parse_args(argv)
 
 
@@ -227,8 +234,11 @@ def main(argv: list[str] | None = None) -> None:
         n_attempts = 1
     best = None  # (median_or_inf, total, per_query, first_run, errors, wall)
     attempts_log: list[dict] = []
+    hunt_t0 = time.time()
+    max_attempt_wall = 0.0
     for attempt in range(1, n_attempts + 1):
         per_query, first_run, errors, wall = _headline_pass()
+        max_attempt_wall = max(max_attempt_wall, wall)
         total = round(sum(per_query.values()), 3)
         med = _median([
             100.0 * t / floors[n]
@@ -252,19 +262,30 @@ def main(argv: list[str] | None = None) -> None:
             print("# quiet hunt: no committed floors for this query set "
                   "— single attempt only", file=sys.stderr)
             break
-        if auto and attempt == 1:
-            if med <= args.auto_engage_median:
-                # Quiet first pass — historical single-pass behavior.
-                break
-            print(f"# auto-quiet: median {round(med, 1)} > "
-                  f"{args.auto_engage_median} looks like host load — "
-                  f"hunting a quiet window (up to {n_attempts} attempts)",
-                  file=sys.stderr)
-            continue
-        if med <= args.quiet_median:
+        if auto and attempt == 1 and med <= args.auto_engage_median:
+            # Quiet first pass — historical single-pass behavior.
+            break
+        if (args.until_quiet or attempt > 1) and med <= args.quiet_median:
             print(f"# quiet window found (median {round(med, 1)} <= "
                   f"{args.quiet_median}) — stopping", file=sys.stderr)
             break
+        if auto:
+            # Predictive wall budget: the driver-invoked path must never
+            # outlast whatever timeout the driver enforces — a missing
+            # artifact is worse than a loaded one. Start another attempt
+            # only if the worst attempt so far would still fit.
+            elapsed = time.time() - hunt_t0
+            if elapsed + max_attempt_wall > args.auto_budget_sec:
+                print(f"# auto-quiet: wall budget reached "
+                      f"({round(elapsed)}s elapsed + {round(max_attempt_wall)}s "
+                      f"next-attempt estimate > {args.auto_budget_sec}s) — "
+                      "emitting best attempt", file=sys.stderr)
+                break
+            if attempt == 1:
+                print(f"# auto-quiet: median {round(med, 1)} > "
+                      f"{args.auto_engage_median} looks like host load — "
+                      f"hunting a quiet window (up to {n_attempts} "
+                      "attempts)", file=sys.stderr)
     _, total, per_query, first_run, errors, wall = best
     errors = dict(errors)
 

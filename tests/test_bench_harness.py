@@ -164,6 +164,18 @@ def test_auto_quiet_single_pass_when_first_attempt_quiet(
     assert detail["attempts"][0]["median_floor_pct"] <= 135
 
 
+def test_auto_quiet_respects_wall_budget(spark, monkeypatch, tmp_path):
+    """The driver-invoked path must never outlast the driver's patience:
+    with a zero wall budget the hunt emits the first attempt even on a
+    'loaded' (tiny-floor) run instead of re-running."""
+    headline, detail = _run_fake_bench(
+        spark, monkeypatch, tmp_path, {"a_query": 1e-9},
+        argv=["--auto-budget-sec", "0"],
+    )
+    assert [a["attempt"] for a in detail["attempts"]] == [1]
+    assert headline["floor_pct"] == [999]
+
+
 def test_no_auto_quiet_flag_restores_unconditional_single_pass(
     spark, monkeypatch, tmp_path
 ):
