@@ -164,6 +164,13 @@ def main(argv: list[str] | None = None) -> None:
         first_run: dict[str, float] = {}
         errors: dict[str, str] = {}
         t_all = time.time()
+        # Pass-wide stall-retry budget: the 3x-floor retry exists for
+        # ISOLATED single-query stalls. Under uniform hypervisor steal
+        # every query looks "stalled" and unbounded retries tripled a
+        # hunt attempt's wall (measured r14: a single-run attempt cost
+        # 389s vs ~200s). If many queries trip the retry it's weather,
+        # not a stall — stop burning wall on it.
+        retry_budget = 10
         for name, q in queries.items():
             # Best-of-2 per query: the r5 official artifact recorded a 358s
             # total that an identical-code quiet-machine rerun measured at
@@ -189,6 +196,9 @@ def main(argv: list[str] | None = None) -> None:
                         1.0, 3.0 * floor
                     ):
                         break
+                    if retry_budget <= 0:
+                        break
+                    retry_budget -= 1
                     print(
                         f"# {name}: best {min(times)}s > 3x floor {floor}s — retrying",
                         file=sys.stderr,
