@@ -73,79 +73,67 @@ def register(
 # module import order, so without intervention the same 50 get re-checked
 # every round. DRIVER_WINDOW pins the queries that most need driver-side
 # verification THIS round to the front; everything else follows in
-# registration order. Rotate per round: once a family has its green
-# CORRECTNESS row, swap the next unverified family in.
+# registration order.
 #
-# Round 14 window (ledger in COVERAGE.md). Evidence state after r13:
-# 50 queries hash-green in r13, 50 in r12, 50 in r11, 50 in r10, 2 in r9
-# (tpch_q21_blocking_supplier — displaced from r13's window by the BPE
-# iter2 registration and explicitly queued in COVERAGE.md — and
-# tpch_lateral_top_customers), zero never-attested and zero rows-only
-# cells. This round's slots, per ``tools/evidence_ledger.py --suggest
-# --reserve 1``: (a) the two r9 leftovers FIRST; (b) 47 of the r10-green
-# rows in ledger order. ONE slot is reserved for this round's single new
-# registration (budget <=1/round), which must be appended to this window
-# in its own registration commit per tests/test_evidence_ledger.py; the
-# displaced 48th r10 row (tpch_q18_large_volume) is queued in
-# COVERAGE.md for r15. This continues the steady-state rotation
-# (r8s refreshed in r12, r9s in r13, r10s now) so no attestation ages
-# past ~4 rounds.
+# Rotation mechanism: each round, recompute the fill queue with
+# ``tools/evidence_ledger.py --suggest --reserve 1`` (never-attested rows
+# must be windowed — tests/test_evidence_ledger.py enforces it; one slot
+# stays reserved for the round's single new registration, appended in its
+# own registration commit). The per-round rotation history and the
+# displaced-row queue live in COVERAGE.md's ledger blocks, not here.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- the reserved slot: new in r14 (first-ever attestation) --
-    "text_bpe_train_segment",
-    # -- fill queue: the two r9 leftovers, then 47 r10-green rows --
-    "tpch_q21_blocking_supplier",
-    "tpch_lateral_top_customers",
-    "events_sessionize_30m",
-    "events_sessionize_native_window",
-    "events_max_concurrent",
-    "events_mad_robust_outliers",
-    "curation_gopher_filters",
-    "curation_shuffle_order",
-    "curation_c4_filters",
-    "llm_corpus_prep_v2",
-    "curation_weighted_sample",
-    "dedup_jaccard_prefix_filter",
-    "dedup_keep_list",
-    "dedup_containment_prefix_filter",
-    "dedup_levenshtein_blocked",
-    "layout_csv_roundtrip",
-    "quality_profile_lineitem",
-    "quality_referential_integrity",
-    "quality_profile_documents",
-    "quality_token_drift_psi",
-    "quality_benford_first_digit",
-    "ops_first_wins_dedup",
-    "ops_keyed_merge_two_sources",
-    "ops_snapshot_carry_forward",
-    "ops_clean_anchor_extract",
-    "ops_stable_sort_topk",
-    "rollup_revenue_region_nation",
-    "cube_orders_status_priority",
-    "grouping_sets_lineitem",
-    "setop_repeat_buyers_intersect",
-    "setop_lapsed_buyers_except",
-    "setop_union_priority_buckets",
-    "join_anti_customers_without_orders",
-    "join_semi_suppliers_of_big_items",
-    "join_outer_nation_customer_counts",
-    "sketch_bloom_custkey_probe",
-    "streaming_weighted_reservoir",
-    "window_event_value_delta",
-    "window_balance_quartiles_distributed",
-    "window_rolling_7day_user_value",
-    "window_fill_forward_last_purchase",
-    "agg_weighted_median_distributed",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q4_order_priority",
-    "tpch_q10_returned_customers",
-    "agg_brand_volume",
-    "agg_modern_aggregates",
-    # 49th and last fill row — the next ledger row
-    # (tpch_q18_large_volume per --suggest with no reserve) is displaced
-    # to the r15 queue by the reserved registration slot; see COVERAGE.md.
-    "agg_linear_trend_per_brand",
+    # -- fill queue (r15): the three remaining r10-green rows, then the
+    # r11-green rows in ledger order; one slot reserved for the round's
+    # registration. Displaced rows are queued in COVERAGE.md.
+    "tpch_q18_large_volume",
+    "agg_order_value_percentiles",
+    "tpch_copurchase_part_pairs",
+    "graph_pagerank_copurchase",
+    "curation_weighted_sample_stratified",
+    "curation_decontam_bloom_prefilter",
+    "curation_contamination_matrix",
+    "curation_pii_scrub",
+    "dedup_exact_content_hash",
+    "dedup_duplicate_spans",
+    "dedup_containment_pairs",
+    "multimodal_decode_metadata",
+    "multimodal_frame_sample_stats",
+    "multimodal_payload_dedup",
+    "sim_ivf_persisted_query",
+    "sim_ivf_incremental_append",
+    "sim_ivf_centroid_drift",
+    "quality_embedding_outliers",
+    "sim_knn_label_agreement",
+    "sim_label_centroid_stats",
+    "sim_pca_power_iteration",
+    "text_vocab_growth",
+    "incremental_orders_state_merge",
+    "join_bucketed_order_revenue",
+    "layout_zorder_pruning",
+    "quality_classifier_score",
+    "sketch_hll_distinct_users",
+    "sketch_value_quantiles",
+    "sketch_sampled_quantiles",
+    "sketch_cms_heavy_hitters",
+    "sketch_cms_join_size",
+    "sketch_hll_set_ops",
+    "join_bloom_runtime_filter",
+    "streaming_cms_user_counts",
+    "streaming_incremental_dedup",
+    "window_top3_orders_per_customer",
+    "window_running_customer_spend",
+    "window_part_price_rank",
+    "window_order_gap_days",
+    "window_customer_balance_quartiles",
+    "window_ewma_user_value",
+    "streaming_ewma_user_value",
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
 )
 
 
