@@ -58,6 +58,44 @@ def _median(vals: list[float]) -> float | None:
     return float(s[mid]) if len(s) % 2 else (s[mid - 1] + s[mid]) / 2.0
 
 
+def _cpu_snap() -> tuple[int, int, int] | None:
+    """(steal, idle, total) jiffies from /proc/stat's aggregate cpu line."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        # user nice system idle iowait irq softirq steal ...
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, vals[3], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _load_1m() -> float | None:
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _ambient_delta(before, after) -> dict:
+    """Steal/idle percentages over an attempt — the weather marker that
+    separates hypervisor-steal waves from real regressions (r14 spent a
+    session re-deriving this from control queries; now it rides in the
+    artifact). Degrades to {} off-Linux."""
+    out: dict[str, float] = {}
+    load = _load_1m()
+    if load is not None:
+        out["load_1m_after"] = load
+    if before and after:
+        dtot = after[2] - before[2]
+        if dtot > 0:
+            out["steal_pct"] = round(100.0 * (after[0] - before[0]) / dtot, 1)
+            out["idle_pct"] = round(100.0 * (after[1] - before[1]) / dtot, 1)
+    return out
+
+
 def _parse_args(argv: list[str]) -> argparse.Namespace:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--until-quiet", action="store_true",
@@ -144,6 +182,23 @@ def main(argv: list[str] | None = None) -> None:
           .write.format("noop").mode("overwrite").save())
     _warm(lambda: spark.range(64).mapInPandas(lambda it: it, "id long")
           .write.format("noop").mode("overwrite").save())
+    # ... and the GROUPED-map Arrow path specifically: mapInPandas alone
+    # leaves the first applyInPandas query paying worker/exchange spin-up
+    # (r14 verdict measured dedup_embedding_cosine_topn at 3-7x wall on
+    # its first runs with the host 94% idle, converging to floor-band
+    # only after ~4 runs; a clean A/B with this warm cut its best-of-2
+    # 9.6s -> 3.7s). Two iterations of a trivial 32-group applyInPandas
+    # (one Exchange + grouped Arrow exchange each, ~3s total) are the
+    # same "JVM warm is the steady state a cluster runs in" argument as
+    # the best-of-2 comment below — run BEFORE timing starts.
+    from pyspark.sql import functions as F
+
+    for _ in range(2):
+        _warm(lambda: spark.range(4096)
+              .withColumn("g", F.col("id") % 32)
+              .groupBy("g")
+              .applyInPandas(lambda pdf: pdf, "id long, g long")
+              .write.format("noop").mode("overwrite").save())
 
     # Reference floors (quiet-machine minima, maintained per round): a
     # query whose best-of-2 still exceeds 3x its floor is almost certainly
@@ -159,10 +214,13 @@ def main(argv: list[str] | None = None) -> None:
     except Exception:
         floors = {}
 
-    def _headline_pass(runs_per_query: int = 2) -> tuple[dict, dict, dict, float]:
+    def _headline_pass(
+        runs_per_query: int = 2,
+    ) -> tuple[dict, dict, dict, float, int]:
         per_query: dict[str, float] = {}
         first_run: dict[str, float] = {}
         errors: dict[str, str] = {}
+        n_runs = 0  # timed executions actually performed (incl. retries)
         t_all = time.time()
         # Pass-wide stall-retry budget: the 3x-floor retry exists for
         # ISOLATED single-query stalls. Under uniform hypervisor steal
@@ -222,6 +280,7 @@ def main(argv: list[str] | None = None) -> None:
                     break
                 else:
                     times.append(round(time.time() - t0, 3))
+                    n_runs += 1
                 finally:
                     # Isolate queries/attempts: several plans persist()
                     # intermediates; dropping them keeps every timing a true
@@ -234,7 +293,7 @@ def main(argv: list[str] | None = None) -> None:
                 first_run[name] = times[0]
                 print(f"# {name}: {per_query[name]}s (runs: {times})", file=sys.stderr)
         wall = round(time.time() - t_all, 3)
-        return per_query, first_run, errors, wall
+        return per_query, first_run, errors, wall, n_runs
 
     # Quiet-window hunt (see module docstring). Three regimes:
     #   --until-quiet      unconditional hunt, --max-attempts budget
@@ -251,37 +310,64 @@ def main(argv: list[str] | None = None) -> None:
         n_attempts = max(1, args.auto_max_attempts)
     else:
         n_attempts = 1
-    best = None  # (median_or_inf, total, per_query, first_run, errors, wall)
+    best = None  # (key, payload) — see selection note below
+    chosen_attempt = 1
     attempts_log: list[dict] = []
     hunt_t0 = time.time()
     max_attempt_wall = 0.0
     for attempt in range(1, n_attempts + 1):
-        per_query, first_run, errors, wall = _headline_pass(
-            runs_per_query=2 if attempt == 1 else 1
+        runs_per_query = 2 if attempt == 1 else 1
+        amb_before = _cpu_snap()
+        per_query, first_run, errors, wall, n_runs = _headline_pass(
+            runs_per_query=runs_per_query
         )
-        # budget estimate for the NEXT attempt, which is single-run:
-        # attempt 1 is best-of-2, so halve its wall; later attempts
-        # measure the single-run cost directly
+        ambient = _ambient_delta(amb_before, _cpu_snap())
+        # Budget estimate for the NEXT attempt, which is single-run:
+        # scale this attempt's wall by runs actually executed (attempt 1
+        # is nominally 2 runs/query but stall retries can add 3rd/4th
+        # runs — the old wall/2 mis-counted those), plus headroom for
+        # the next attempt spending its own pass-wide retry budget (10
+        # runs) on stall retries.
         max_attempt_wall = max(
-            max_attempt_wall, wall / 2.0 if attempt == 1 else wall
+            max_attempt_wall,
+            wall * ((len(queries) + 10) / n_runs) if n_runs else wall,
         )
         total = round(sum(per_query.values()), 3)
         med = _median([
             100.0 * t / floors[n]
             for n, t in per_query.items() if floors.get(n)
         ])
-        attempts_log.append({
+        entry = {
             "attempt": attempt,
             "median_floor_pct": round(med, 1) if med is not None else None,
             "total_sec": total,
-        })
+            # auditability (r14 ADVICE): an attempt with errored queries
+            # has a smaller per_query set — record coverage and run
+            # methodology so a single-run- or partial-coverage-backed
+            # headline is distinguishable in the trail.
+            "n_queries": len(per_query),
+            "n_errors": len(errors),
+            "runs_per_query": runs_per_query,
+            "n_runs": n_runs,
+        }
+        entry.update(ambient)
+        attempts_log.append(entry)
         print(f"# attempt {attempt}/{n_attempts}: total {total}s, "
               f"median floor_pct "
-              f"{round(med, 1) if med is not None else 'n/a'}",
+              f"{round(med, 1) if med is not None else 'n/a'}, "
+              f"ambient {ambient}",
               file=sys.stderr)
-        key = (med if med is not None else float("inf"), total)
-        if best is None or key < (best[0], best[1]):
-            best = (key[0], total, per_query, first_run, errors, wall)
+        # Selection: coverage first (an attempt missing queries must not
+        # beat a complete one on a smaller-sum total — r14 ADVICE), then
+        # quietest median, then total.
+        key = (
+            -len(per_query),
+            med if med is not None else float("inf"),
+            total,
+        )
+        if best is None or key < best[0]:
+            best = (key, (total, per_query, first_run, errors, wall))
+            chosen_attempt = attempt
         if n_attempts == 1:
             break
         if med is None:
@@ -312,7 +398,7 @@ def main(argv: list[str] | None = None) -> None:
                       f"{args.auto_engage_median} looks like host load — "
                       f"hunting a quiet window (up to {n_attempts} "
                       "attempts)", file=sys.stderr)
-    _, total, per_query, first_run, errors, wall = best
+    total, per_query, first_run, errors, wall = best[1]
     errors = dict(errors)
 
     # Write-path section (r8 verdict ask #8): the three materializing
@@ -368,8 +454,12 @@ def main(argv: list[str] | None = None) -> None:
         "wall_sec": wall,
         "write_queries": write_queries,
         # one entry per --until-quiet attempt (a single entry on plain
-        # runs): the full hunt is auditable from the chosen artifact
+        # runs): the full hunt is auditable from the chosen artifact —
+        # each entry carries coverage (n_queries/n_errors), methodology
+        # (runs_per_query/n_runs) and the ambient steal/idle/load
+        # markers sampled around the attempt
         "attempts": attempts_log,
+        "chosen_attempt": chosen_attempt,
         # full-precision floor ratios (the stdout headline carries the
         # same signal as a capped integer-percent array)
         "floor_ratio": {

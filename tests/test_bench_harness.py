@@ -186,6 +186,76 @@ def test_no_auto_quiet_flag_restores_unconditional_single_pass(
     assert [a["attempt"] for a in detail["attempts"]] == [1]
 
 
+def test_hunt_prefers_full_coverage_attempt(spark, monkeypatch, tmp_path):
+    """Best-attempt selection must key on coverage FIRST: an attempt in
+    which a query errored has a smaller per_query set and therefore a
+    smaller total — under the old (median, total) key it could win and
+    ship a headline that silently omits a query (r14 ADVICE)."""
+    import bench
+
+    calls = {"n": 0}
+
+    def good(sp, sf_dir):
+        return sp.range(3).selectExpr("id")
+
+    def flaky(sp, sf_dir):
+        # Attempt 1 is best-of-2 (calls 1-2 succeed); every later
+        # attempt's single call fails -> attempts 2+ cover fewer queries.
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("forced failure after attempt 1")
+        return sp.range(3).selectExpr("id")
+
+    fake = {
+        "a_query": Query("a_query", good, None, "", (), True),
+        "b_flaky": Query("b_flaky", flaky, None, "", (), True),
+    }
+    (tmp_path / "bench_floors.json").write_text(
+        json.dumps({"a_query": 1e-9, "b_flaky": 1e-9})
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setattr(bench, "all_queries", lambda: dict(fake))
+    monkeypatch.setattr(bench, "get_spark", lambda name: spark)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        bench.main(["--auto-max-attempts", "3"])
+    headline = json.loads(out.getvalue().strip().splitlines()[-1])
+    detail = json.loads((tmp_path / "bench_last_detail.json").read_text())
+
+    # All three attempts ran; only attempt 1 covered both queries.
+    assert [a["n_queries"] for a in detail["attempts"]] == [2, 1, 1]
+    assert detail["chosen_attempt"] == 1
+    assert set(headline["queries"]) == {"a_query", "b_flaky"}
+
+
+def test_attempt_trail_records_methodology_and_ambient(
+    spark, monkeypatch, tmp_path
+):
+    """Each attempts_log entry must be auditable on its own: coverage,
+    error count, runs-per-query methodology (attempt 1 best-of-2, hunt
+    attempts single-run), actual runs executed, and the ambient
+    steal/idle/load markers sampled around the attempt (r14 verdict ask:
+    separate weather from regression without re-deriving it from control
+    queries)."""
+    headline, detail = _run_fake_bench(
+        spark, monkeypatch, tmp_path, {"a_query": 1e-9},
+        argv=["--auto-max-attempts", "2", "--auto-budget-sec", "1e9"],
+    )
+    att = detail["attempts"]
+    assert [a["runs_per_query"] for a in att] == [2, 1]
+    for a in att:
+        assert a["n_queries"] == 1
+        assert a["n_errors"] == 0
+        assert a["n_runs"] >= a["n_queries"]
+        # /proc exists on this platform, so the markers must be present
+        assert "load_1m_after" in a
+        assert "steal_pct" in a and "idle_pct" in a
+        assert 0.0 <= a["idle_pct"] <= 100.0
+    assert detail["chosen_attempt"] in (1, 2)
+
+
 def test_overlong_headline_degrades_to_parseable_compact_line(
     spark, monkeypatch
 ):
