@@ -82,6 +82,8 @@ def register(
 # own registration commit). The per-round rotation history and the
 # displaced-row queue live in COVERAGE.md's ledger blocks, not here.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # -- the reserved slot: new in r15 (first-ever attestation) --
+    "text_bpe_train_incremental_segment",
     # -- fill queue (r15): the three remaining r10-green rows, then the
     # r11-green rows in ledger order; one slot reserved for the round's
     # registration. Displaced rows are queued in COVERAGE.md.

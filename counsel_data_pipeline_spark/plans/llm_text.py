@@ -1323,7 +1323,16 @@ def _bpe_oracle_rounds(k: int) -> str:
         ),
         v{r} AS (
           SELECT orig, wcount,
-                 replace(word, (SELECT pair FROM m{r}),
+                 -- COALESCE guards the early-stop case: if round r found
+                 -- no pair (m{r} empty), the scalar subquery is NULL and
+                 -- replace(word, NULL, ..) would NULL the whole
+                 -- vocabulary; an unused 2-char PUA string (inputs are
+                 -- PUA-scrubbed, markers ascend from the base) matches
+                 -- nothing, so v{r} = {prev} — exactly the trainer's
+                 -- early-stop fixed point.
+                 replace(word,
+                         COALESCE((SELECT pair FROM m{r}),
+                                  chr(63743) || chr(63743)),
                          chr({base + r - 1})) AS word
           FROM {prev}
         )""")
@@ -1420,6 +1429,114 @@ def bpe_train_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word")
     )
     table = ta.bpe_train(words, n_merges=_BPE_SEG_MERGES)
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("wcount"))
+    seg = vocab.select(
+        "word",
+        "wcount",
+        F.explode(ta.bpe_segment(F.col("word"), table)).alias("symbol"),
+    )
+    return (
+        seg.groupBy("symbol")
+        .agg(
+            F.sum("wcount").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "symbol")
+        .limit(_BPE_TOPK)
+    )
+
+
+# Incremental-trainer round trip (r15 registration): the same
+# train->segment composition as text_bpe_train_segment, but the merge
+# table is learned by ops/text_analysis.bpe_train_incremental — the
+# delta-maintained twin the 100 TB tokenizer story leans on (per-merge
+# aggregate input = only the words containing the winning pair). One
+# merge deeper than the sequential row (5 vs 4) so the two rows hash
+# differently, and pin_every=2 so the driver row attests BOTH
+# amortization regimes: two mid-chain counts/enc pins AND a trailing
+# unpinned replace window (5 % 2 = 1).
+_BPE_INC_MERGES = 5
+_BPE_INC_PIN_EVERY = 2
+
+
+@register(
+    "text_bpe_train_incremental_segment",
+    oracle=f"""
+        -- Same round-replaying oracle as text_bpe_train_segment, one
+        -- merge deeper ({_BPE_INC_MERGES} rounds): the incremental
+        -- trainer learns the IDENTICAL table as the sequential form
+        -- (delta fold is exact by construction), so replaying the
+        -- sequential definition is the correct oracle for the
+        -- delta-maintenance path — any divergence in the maintained
+        -- (pair, n) state surfaces as a wrong argmax and a hash miss.
+        WITH tok AS (
+          SELECT unnest(string_split_regex(
+                   regexp_replace({_SQL_NORM},
+                     '[' || chr(57344) || '-' || chr(63743) || ']',
+                     '', 'g'), ' ')) AS word
+          FROM documents
+        ),
+        vocab AS (
+          SELECT word AS orig, word, count(*) AS wcount
+          FROM tok GROUP BY 1, 2
+        ),
+        {_bpe_oracle_rounds(_BPE_INC_MERGES)},
+        seg AS (
+          SELECT orig, wcount, word,
+                 unnest(range(1, length(word) + 1)) AS i
+          FROM v{_BPE_INC_MERGES}
+        ),
+        sym AS (
+          SELECT orig, wcount,
+                 {_bpe_seg_decode_case(_BPE_INC_MERGES)} AS symbol
+          FROM seg
+        )
+        SELECT symbol,
+               CAST(sum(wcount) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT orig) AS BIGINT) AS n_words
+        FROM sym
+        GROUP BY symbol
+        ORDER BY n_occurrences DESC, symbol
+        LIMIT {_BPE_TOPK}
+    """,
+    description=f"BPE round trip through the INCREMENTAL trainer: learn "
+    f"{_BPE_INC_MERGES} merges with delta-maintained pair counts "
+    f"(pin_every={_BPE_INC_PIN_EVERY} — mid-chain pins plus a trailing "
+    "unpinned window), segment the vocabulary, top corpus-weighted "
+    "symbols with the symbol string as the deterministic tiebreak",
+    tags=("llm", "text", "tokenizer"),
+)
+def bpe_train_incremental_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: identical composition to text_bpe_train_segment
+    except the trainer — bpe_train_incremental maintains the (pair, n)
+    table as state and feeds each merge's aggregate ONLY the words the
+    last merge changed (retraction + assertion delta rows, exact by
+    construction; 8.3% of the sequential form's exploded-pair input at
+    a 300k-word vocabulary, wall win 16.8s vs 24.4s at 32 merges —
+    tools/bpe_incremental_scale_race.py). This row driver-attests the
+    delta-maintenance path end-to-end: a wrong maintained count would
+    flip some round's argmax and hash-mismatch the replayed oracle.
+    pin_every=2 with 5 merges exercises both the amortized-pin window
+    and the trailing unpinned replace chain. Segmenter and final
+    aggregate are the attested pure-codegen shapes (see
+    text_bpe_train_segment)."""
+    from counsel_data_pipeline_spark.ops.partitioning import spread as _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    scrub = "[\\ue000-\\uf8ff]"
+    words = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(ta.norm_text(F.col("text")), scrub, ""),
+                " ",
+            )
+        ).alias("word")
+    )
+    table = ta.bpe_train_incremental(
+        words, n_merges=_BPE_INC_MERGES, pin_every=_BPE_INC_PIN_EVERY
+    )
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("wcount"))
     seg = vocab.select(
         "word",
