@@ -34,6 +34,15 @@ outlast whatever timeout the driver enforces; the per-query 3x-floor
 stall-retry still guards single-run passes). A quiet first pass
 (median <= 135) keeps the historical single-pass behavior and wall
 time. ``--no-auto-quiet`` restores the unconditional single pass.
+
+r15 hardening: the warm-up phase exercises the GROUPED Arrow exchange
+(two trivial applyInPandas passes) so the first grouped-map query
+doesn't pay worker/exchange spin-up; best-attempt selection keys on
+per-query COVERAGE before median/total (an attempt with an errored
+query can't win on its smaller sum); and every attempts_log entry
+records n_queries/n_errors/runs_per_query/n_runs plus ambient
+steal/idle/loadavg sampled around the attempt, so weather is
+adjudicable from the artifact alone.
 """
 
 from __future__ import annotations

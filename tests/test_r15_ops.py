@@ -96,3 +96,72 @@ def test_registered_incremental_round_trip_equals_sequential_round_trip(
     # sf0.001's vocabulary yields fewer distinct symbols than the top-k
     # cap; the cap only bounds, never pads
     assert 0 < len(got) <= _BPE_TOPK
+
+
+def _oracle_segment_counts(vocab_values_sql: str, k: int):
+    """Run the round-replaying BPE oracle CTE chain over a literal
+    vocabulary in DuckDB and return (symbol, n_occurrences) rows."""
+    import duckdb
+
+    from counsel_data_pipeline_spark.plans.llm_text import (
+        _bpe_oracle_rounds,
+        _bpe_seg_decode_case,
+    )
+
+    sql = f"""
+    WITH vocab AS (
+      SELECT * FROM (VALUES {vocab_values_sql}) AS t(orig, word, wcount)
+    ),
+    {_bpe_oracle_rounds(k)},
+    seg AS (
+      SELECT orig, wcount, word, unnest(range(1, length(word) + 1)) AS i
+      FROM v{k}
+    ),
+    sym AS (
+      SELECT orig, wcount, {_bpe_seg_decode_case(k)} AS symbol FROM seg
+    )
+    SELECT symbol, CAST(sum(wcount) AS BIGINT) AS n_occurrences
+    FROM sym GROUP BY symbol ORDER BY n_occurrences DESC, symbol
+    """
+    return duckdb.sql(sql).fetchall()
+
+
+def test_oracle_early_stop_matches_trainer_on_degenerate_corpora(spark):
+    """r14 ADVICE #3 regression pin: when a training round finds no pair
+    (vocabulary exhausted before the merge budget), the m{r} scalar
+    subquery is empty — replace(word, NULL, ..) used to NULL the whole
+    oracle vocabulary and return an EMPTY result while the trainer
+    early-stopped and still segmented. The COALESCE-to-unused-PUA fix
+    must make the oracle's early stop a fixed point that matches the
+    trainer exactly, in both degenerate shapes."""
+    from counsel_data_pipeline_spark.ops.text_analysis import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    cases = [
+        # dry from round 1: every word shorter than 2 chars
+        ("('a','a',3), ('b','b',2)", [("a",), ("a",), ("a",), ("b",), ("b",)]),
+        # one merge then dry: 'ab' fully merges in round 1
+        ("('ab','ab',5), ('c','c',2)",
+         [("ab",)] * 5 + [("c",)] * 2),
+    ]
+    k = 3
+    for values_sql, corpus in cases:
+        oracle = _oracle_segment_counts(values_sql, k)
+        assert oracle, "oracle must not come back empty on early stop"
+
+        words = spark.createDataFrame(corpus, "word string")
+        table = bpe_train(words, n_merges=k)
+        vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("wcount"))
+        got = sorted(
+            (r["symbol"], r["n"])
+            for r in vocab.select(
+                "wcount",
+                F.explode(bpe_segment(F.col("word"), table)).alias("symbol"),
+            )
+            .groupBy("symbol")
+            .agg(F.sum("wcount").cast("bigint").alias("n"))
+            .collect()
+        )
+        assert got == sorted(oracle)
