@@ -82,60 +82,59 @@ def register(
 # own registration commit). The per-round rotation history and the
 # displaced-row queue live in COVERAGE.md's ledger blocks, not here.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- the reserved slot: new in r15 (first-ever attestation) --
-    "text_bpe_train_incremental_segment",
-    # -- fill queue (r15): the three remaining r10-green rows, then the
-    # r11-green rows in ledger order; one slot reserved for the round's
-    # registration. Displaced rows are queued in COVERAGE.md.
-    "tpch_q18_large_volume",
-    "agg_order_value_percentiles",
-    "tpch_copurchase_part_pairs",
-    "graph_pagerank_copurchase",
-    "curation_weighted_sample_stratified",
-    "curation_decontam_bloom_prefilter",
-    "curation_contamination_matrix",
-    "curation_pii_scrub",
-    "dedup_exact_content_hash",
-    "dedup_duplicate_spans",
-    "dedup_containment_pairs",
-    "multimodal_decode_metadata",
-    "multimodal_frame_sample_stats",
-    "multimodal_payload_dedup",
-    "sim_ivf_persisted_query",
-    "sim_ivf_incremental_append",
-    "sim_ivf_centroid_drift",
-    "quality_embedding_outliers",
-    "sim_knn_label_agreement",
-    "sim_label_centroid_stats",
-    "sim_pca_power_iteration",
-    "text_vocab_growth",
-    "incremental_orders_state_merge",
-    "join_bucketed_order_revenue",
-    "layout_zorder_pruning",
-    "quality_classifier_score",
-    "sketch_hll_distinct_users",
-    "sketch_value_quantiles",
-    "sketch_sampled_quantiles",
-    "sketch_cms_heavy_hitters",
-    "sketch_cms_join_size",
-    "sketch_hll_set_ops",
-    "join_bloom_runtime_filter",
-    "streaming_cms_user_counts",
-    "streaming_incremental_dedup",
-    "window_top3_orders_per_customer",
-    "window_running_customer_spend",
-    "window_part_price_rank",
-    "window_order_gap_days",
-    "window_customer_balance_quartiles",
-    "window_ewma_user_value",
-    "streaming_ewma_user_value",
-    "tpch_q1_pricing_summary",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity",
+    # -- fill queue (r16): the four r11-stale rows FIRST, then r12-green
+    # rows in ledger order; one slot reserved for the round's
+    # registration (appended in its own commit). Displaced rows are
+    # queued in COVERAGE.md.
+    "tpch_q16_part_supplier_diversity",
+    "tpch_q19_like_disjunctive",
+    "tpch_quantity_discount_correlation",
+    "tpch_top_customer_per_nation",
+    "events_tumbling_hourly",
+    "events_sliding_6h_daily",
+    "events_json_prop_buckets",
+    "events_top20_users_by_value",
+    "events_distinct_users_salted",
+    "events_asof_last_click_before_purchase",
+    "events_range_join_error_windows",
+    "events_funnel_view_click_purchase",
+    "events_weekly_cohort_retention",
+    "events_zscore_anomalies",
+    "events_daily_type_pivot",
+    "events_pivot_roundtrip_unpivot",
+    "graph_hits_bipartite",
+    "curation_hash_split",
+    "curation_repetition_scores",
+    "curation_decontam_overlap",
+    "curation_numeric_scrub_props",
+    "curation_stratified_sample",
+    "curation_pack_sequences",
+    "curation_source_cap",
+    "curation_temperature_resample",
+    "curation_chunk_dedup_stats",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_connected_clusters",
+    "dedup_embedding_cosine_topn",
+    "dedup_fuzzy_fingerprint_block",
+    "llm_dedup_pipeline",
+    "dedup_incremental_batch",
+    "dedup_store_bucketed_ingest",
+    "multimodal_binary_stats",
+    "sim_cosine_topk_bruteforce",
+    "sim_lsh_bucketed_topk",
+    "sim_ivf_topk",
+    "sim_neighbor_doc_quality",
+    "dedup_semantic_blocked_pairs",
+    "sim_ivf_kmeans_topk",
+    "text_phrase_search",
+    "text_bpe_merge_candidates",
+    "layout_zorder_write_prune",
+    "layout_time_partition_prune",
+    "ops_enrich_waterfall",
+    "sketch_hll_sliding_distinct",
+    "window_scd2_intervals",
 )
 
 
