@@ -82,10 +82,10 @@ def register(
 # own registration commit). The per-round rotation history and the
 # displaced-row queue live in COVERAGE.md's ledger blocks, not here.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # -- the reserved slot: new in r16 (first-ever attestation) --
+    "streaming_closed_sessions_timeout",
     # -- fill queue (r16): the four r11-stale rows FIRST, then r12-green
-    # rows in ledger order; one slot reserved for the round's
-    # registration (appended in its own commit). Displaced rows are
-    # queued in COVERAGE.md.
+    # rows in ledger order. Displaced rows are queued in COVERAGE.md.
     "tpch_q16_part_supplier_diversity",
     "tpch_q19_like_disjunctive",
     "tpch_quantity_discount_correlation",

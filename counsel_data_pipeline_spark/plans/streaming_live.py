@@ -1486,3 +1486,101 @@ def streaming_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(live, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming session CLOSER: the EventTimeTimeout push path
+# ---------------------------------------------------------------------------
+
+_TS_GAP_S = 1800  # 30 min, same gap as the events_sessionize_30m family
+
+
+@register(
+    "streaming_closed_sessions_timeout",
+    # The emitted set is a pure function of the data (staged batches are
+    # event-time ordered): the streamed session PARTITION equals batch
+    # gap-sessionization — a timer can only fire before a same-user
+    # continuation arrives if that continuation was gap-separated anyway
+    # (deadline_ms < floor_ms(T) implies T - last > gap in micro-seconds).
+    # Every NON-last session closes inline via the gap path; a user's
+    # LAST session closes iff its EventTimeTimeout timer fires in the
+    # AvailableNow no-data batch, which Spark evaluates on MILLISECOND-
+    # truncated event time with a STRICT comparison (probed empirically:
+    # deadline == final watermark does NOT fire; 1 ms below does) —
+    # hence the epoch_ms() predicate, not a plain INTERVAL one, which
+    # would diverge on the micro-second timestamps in events.parquet.
+    oracle=f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - lag(ts) OVER w > INTERVAL {_TS_GAP_S} SECOND
+                        OR lag(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        ), per_session AS (
+          SELECT user_id, session_id,
+                 min(ts) AS start_ts, max(ts) AS end_ts,
+                 count(*) AS n_events
+          FROM sessions GROUP BY user_id, session_id
+        ), ranked AS (
+          SELECT user_id, session_id, start_ts, end_ts, n_events,
+                 max(session_id) OVER (PARTITION BY user_id) AS last_sid
+          FROM per_session
+        )
+        SELECT user_id,
+               strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start_s,
+               strftime(end_ts, '%Y-%m-%d %H:%M:%S') AS session_end_s,
+               n_events
+        FROM ranked
+        WHERE session_id < last_sid
+           OR epoch_ms(end_ts) + {_TS_GAP_S * 1000}
+              < epoch_ms((SELECT max(ts) FROM events))
+    """,
+    description="per-session close events pushed BY a stateful Structured "
+    "Streaming job (applyInPandasWithState + GroupStateTimeout."
+    "EventTimeTimeout, state = one open session per user, "
+    f"{_EW_N_BATCHES} ascending event-time micro-batches, AvailableNow): "
+    "non-last sessions close inline on the gap path, each user's last "
+    "session closes only if the WATERMARK passes last_ts + gap — the "
+    "timer path the batch twins never exercise — verified against a "
+    "gap-sessionization DuckDB oracle with the ms-truncated strict "
+    "watermark predicate",
+    tags=("events", "session", "streaming", "stateful"),
+)
+def streaming_closed_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for streaming/timeout_sessions.py — the push-based
+    session closer (the complement of streaming_sessionize_user_stats'
+    summary maintainer). close_reason is deliberately NOT projected: the
+    gap-vs-timeout split for non-last sessions depends on how rows are
+    batched (deterministic here, but a function of the staging, not of
+    the data alone) — the reasons stay pinned by the staged-batch pytest
+    (tests/test_streaming.py::test_timeout_sessions_gap_timeout_and_open_contract);
+    the emitted SET is batching-invariant, which is what the oracle
+    attests. Timer semantics (ms truncation, strict compare, no-data
+    final batch) are pinned by tests/test_r16_ops.py."""
+    from counsel_data_pipeline_spark.streaming.timeout_sessions import (
+        run_closed_sessions_stream,
+    )
+
+    stage = _staged_ts_batches_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="counsel_stream_close_")
+    try:
+        out = run_closed_sessions_stream(
+            spark,
+            input_dir=stage,
+            work_dir=work,
+            schema="user_id BIGINT, ts TIMESTAMP",
+            gap_s=_TS_GAP_S,
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).select(
+        "user_id", "session_start_s", "session_end_s", "n_events"
+    )
