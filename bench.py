@@ -43,6 +43,13 @@ query can't win on its smaller sum); and every attempts_log entry
 records n_queries/n_errors/runs_per_query/n_runs plus ambient
 steal/idle/loadavg sampled around the attempt, so weather is
 adjudicable from the artifact alone.
+
+r16 hardening: the chosen attempt's steal/idle/load markers ride on
+the driver-captured stdout headline itself (``amb`` positional array),
+selection breaks coverage ties on fewest errors (a first-run-ok/
+retry-errored query lands in both per_query and errors), the
+next-attempt wall estimate divides by ALL executions including errored
+ones, and /proc/stat totals exclude the guest/guest_nice double-count.
 """
 
 from __future__ import annotations
@@ -73,9 +80,13 @@ def _cpu_snap() -> tuple[int, int, int] | None:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
         vals = [int(v) for v in parts[1:]]
-        # user nice system idle iowait irq softirq steal ...
+        # user nice system idle iowait irq softirq steal [guest guest_nice]
+        # — guest/guest_nice are EXCLUDED from the total: the kernel
+        # already accounts guest time inside user/nice, so summing them
+        # would double-count jiffies and deflate steal/idle percentages
+        # on guest-running hosts (r15 ADVICE).
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, vals[3], sum(vals)
+        return steal, vals[3], sum(vals[:8])
     except (OSError, ValueError, IndexError):
         return None
 
@@ -225,11 +236,12 @@ def main(argv: list[str] | None = None) -> None:
 
     def _headline_pass(
         runs_per_query: int = 2,
-    ) -> tuple[dict, dict, dict, float, int]:
+    ) -> tuple[dict, dict, dict, float, int, int]:
         per_query: dict[str, float] = {}
         first_run: dict[str, float] = {}
         errors: dict[str, str] = {}
         n_runs = 0  # timed executions actually performed (incl. retries)
+        n_execs = 0  # every execution incl. errored ones (wall accounting)
         t_all = time.time()
         # Pass-wide stall-retry budget: the 3x-floor retry exists for
         # ISOLATED single-query stalls. Under uniform hypervisor steal
@@ -271,6 +283,7 @@ def main(argv: list[str] | None = None) -> None:
                         file=sys.stderr,
                     )
                 t0 = time.time()
+                n_execs += 1
                 # One broken plan must cost one entry, not the whole bench:
                 # the r4 bench produced NOTHING because a single query threw
                 # at plan time.
@@ -302,7 +315,7 @@ def main(argv: list[str] | None = None) -> None:
                 first_run[name] = times[0]
                 print(f"# {name}: {per_query[name]}s (runs: {times})", file=sys.stderr)
         wall = round(time.time() - t_all, 3)
-        return per_query, first_run, errors, wall, n_runs
+        return per_query, first_run, errors, wall, n_runs, n_execs
 
     # Quiet-window hunt (see module docstring). Three regimes:
     #   --until-quiet      unconditional hunt, --max-attempts budget
@@ -327,19 +340,22 @@ def main(argv: list[str] | None = None) -> None:
     for attempt in range(1, n_attempts + 1):
         runs_per_query = 2 if attempt == 1 else 1
         amb_before = _cpu_snap()
-        per_query, first_run, errors, wall, n_runs = _headline_pass(
+        per_query, first_run, errors, wall, n_runs, n_execs = _headline_pass(
             runs_per_query=runs_per_query
         )
         ambient = _ambient_delta(amb_before, _cpu_snap())
         # Budget estimate for the NEXT attempt, which is single-run:
-        # scale this attempt's wall by runs actually executed (attempt 1
-        # is nominally 2 runs/query but stall retries can add 3rd/4th
-        # runs — the old wall/2 mis-counted those), plus headroom for
-        # the next attempt spending its own pass-wide retry budget (10
-        # runs) on stall retries.
+        # scale this attempt's wall by executions actually performed
+        # (attempt 1 is nominally 2 runs/query but stall retries can add
+        # 3rd/4th runs — the old wall/2 mis-counted those; errored
+        # executions spend wall without a timed-run credit, so they
+        # count here too or a pass with failures inflates the estimate
+        # and ends the hunt early — r15 ADVICE), plus headroom for the
+        # next attempt spending its own pass-wide retry budget (10 runs)
+        # on stall retries.
         max_attempt_wall = max(
             max_attempt_wall,
-            wall * ((len(queries) + 10) / n_runs) if n_runs else wall,
+            wall * ((len(queries) + 10) / n_execs) if n_execs else wall,
         )
         total = round(sum(per_query.values()), 3)
         med = _median([
@@ -358,6 +374,7 @@ def main(argv: list[str] | None = None) -> None:
             "n_errors": len(errors),
             "runs_per_query": runs_per_query,
             "n_runs": n_runs,
+            "n_execs": n_execs,
         }
         entry.update(ambient)
         attempts_log.append(entry)
@@ -368,9 +385,13 @@ def main(argv: list[str] | None = None) -> None:
               file=sys.stderr)
         # Selection: coverage first (an attempt missing queries must not
         # beat a complete one on a smaller-sum total — r14 ADVICE), then
-        # quietest median, then total.
+        # fewest errors (a query whose FIRST run succeeded but whose
+        # retry errored sits in both per_query and errors: equal
+        # coverage, degraded methodology — an error-free attempt must
+        # win the tie — r15 ADVICE), then quietest median, then total.
         key = (
             -len(per_query),
+            len(errors),
             med if med is not None else float("inf"),
             total,
         )
@@ -510,6 +531,18 @@ def main(argv: list[str] | None = None) -> None:
         if floors.get(n) else None
         for n in headline["queries"]
     ]
+    # The chosen attempt's weather, ON the driver-captured line (r15
+    # verdict ask #3): without it the official artifact still needed
+    # bench_last_detail.json archaeology to tell steal waves from real
+    # regressions. Positional [steal_pct, idle_pct, load_1m] — ~30
+    # bytes, well inside the capture budget; kept even in the degraded
+    # compact form.
+    chosen = attempts_log[chosen_attempt - 1]
+    headline["amb"] = [
+        chosen.get("steal_pct"),
+        chosen.get("idle_pct"),
+        chosen.get("load_1m_after"),
+    ]
     if errors:
         headline["errors"] = {n: e[:80] for n, e in errors.items()}
 
@@ -545,6 +578,7 @@ def main(argv: list[str] | None = None) -> None:
             "queries": {},
             "n_queries": len(per_query),
             "sf": sf_num,
+            "amb": headline["amb"],
         }
         if errors:
             compact["n_errors"] = len(errors)

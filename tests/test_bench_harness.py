@@ -9,7 +9,7 @@ from contextlib import redirect_stdout
 from counsel_data_pipeline_spark.catalog import Query
 
 
-def test_bench_records_error_and_keeps_going(spark, monkeypatch):
+def test_bench_records_error_and_keeps_going(spark, monkeypatch, tmp_path):
     import bench
 
     def good(sp, sf_dir):
@@ -26,6 +26,10 @@ def test_bench_records_error_and_keeps_going(spark, monkeypatch):
     monkeypatch.setattr(bench, "all_queries", lambda: dict(fake))
     monkeypatch.setattr(bench, "get_spark", lambda name: spark)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    # detail/floors paths derive from bench.__file__ — point them at a
+    # tmpdir so this test's forced failure can never clobber the repo-
+    # root bench_last_detail.json of a real run (r15 verdict ask #4)
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
 
     out = io.StringIO()
     with redirect_stdout(out):
@@ -257,7 +261,7 @@ def test_attempt_trail_records_methodology_and_ambient(
 
 
 def test_overlong_headline_degrades_to_parseable_compact_line(
-    spark, monkeypatch
+    spark, monkeypatch, tmp_path
 ):
     """If the headline set ever grows past the 2000-char capture tail,
     bench must degrade deterministically (drop the per-query map, keep
@@ -281,6 +285,9 @@ def test_overlong_headline_degrades_to_parseable_compact_line(
     monkeypatch.setattr(bench, "all_queries", lambda: dict(fake))
     monkeypatch.setattr(bench, "get_spark", lambda name: spark)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    # this test's forced failure must never clobber the repo-root detail
+    # file of a real bench run (r15 verdict ask #4)
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
 
     out = io.StringIO()
     with redirect_stdout(out):
@@ -298,3 +305,73 @@ def test_overlong_headline_degrades_to_parseable_compact_line(
     # unretrievable exactly when queries fail), clipped to the budget.
     assert d["n_errors"] == 1
     assert d["err_q"] == ["a_broken_query"]
+
+
+def test_hunt_breaks_coverage_tie_on_fewest_errors(spark, monkeypatch, tmp_path):
+    """A query whose FIRST run succeeds but whose retry errors lands in
+    BOTH per_query and errors: coverage alone counts that attempt as
+    complete even though its best-of-2 degraded to a single run. The
+    selection key must break the coverage tie on fewest errors so an
+    error-free attempt of equal coverage always wins (r15 ADVICE)."""
+    import bench
+
+    calls = {"n": 0}
+
+    def good(sp, sf_dir):
+        return sp.range(3).selectExpr("id")
+
+    def second_call_fails(sp, sf_dir):
+        # Attempt 1 is best-of-2: call 1 succeeds, call 2 errors -> the
+        # query is in per_query AND errors. Later single-run attempts
+        # (calls 3+) succeed -> equal coverage, zero errors.
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("forced retry failure")
+        return sp.range(3).selectExpr("id")
+
+    fake = {
+        "a_query": Query("a_query", good, None, "", (), True),
+        "b_retry_dies": Query("b_retry_dies", second_call_fails, None, "", (), True),
+    }
+    (tmp_path / "bench_floors.json").write_text(
+        json.dumps({"a_query": 1e-9, "b_retry_dies": 1e-9})
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setattr(bench, "all_queries", lambda: dict(fake))
+    monkeypatch.setattr(bench, "get_spark", lambda name: spark)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        bench.main(["--auto-max-attempts", "3"])
+    detail = json.loads((tmp_path / "bench_last_detail.json").read_text())
+
+    atts = detail["attempts"]
+    assert atts[0]["n_queries"] == 2 and atts[0]["n_errors"] == 1
+    assert all(a["n_queries"] == 2 and a["n_errors"] == 0 for a in atts[1:])
+    chosen = atts[detail["chosen_attempt"] - 1]
+    assert chosen["n_errors"] == 0, (
+        "equal-coverage attempt with an errored retry must lose to an "
+        "error-free one"
+    )
+    # errored executions count toward the wall-estimate denominator
+    assert atts[0]["n_execs"] == atts[0]["n_runs"] + 1
+
+
+def test_headline_carries_chosen_attempt_ambient(spark, monkeypatch, tmp_path):
+    """The driver-captured stdout line must be weather-self-adjudicating
+    (r15 verdict ask #3): it carries the CHOSEN attempt's
+    [steal_pct, idle_pct, load_1m] so telling a steal wave from a real
+    regression needs no detail-file archaeology."""
+    headline, detail = _run_fake_bench(
+        spark, monkeypatch, tmp_path, {"a_query": 1000.0}
+    )
+    assert "amb" in headline and len(headline["amb"]) == 3
+    chosen = detail["attempts"][detail["chosen_attempt"] - 1]
+    assert headline["amb"] == [
+        chosen.get("steal_pct"),
+        chosen.get("idle_pct"),
+        chosen.get("load_1m_after"),
+    ]
+    # on this Linux host the /proc markers are live, not null
+    assert headline["amb"][2] is not None
