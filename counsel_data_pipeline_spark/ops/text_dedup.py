@@ -91,18 +91,44 @@ def exact_dedup(
 
 
 
-def _doc_shingles(
+def _doc_shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs."""
-    return (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
-        )
-        .distinct()
+    """(id, shs: array<string>) — each doc's DISTINCT shingle set as one
+    array, built MAP-SIDE (``array_distinct`` over the scan projection).
+
+    r16 shuffle-removal (guide §2.3/§2.4): the old shape exploded the
+    corpus into an (id, shingle) stream and ran ``.distinct()`` — a full
+    shuffle of every shingle STRING — before any consumer could start,
+    and verification paths re-aggregated the stream back into per-doc
+    arrays with ``collect_list`` (a second corpus-wide shuffle). Per-doc
+    distinctness needs no cross-partition work at all, so both shuffles
+    were pure overhead. Consumers explode this frame when they need a
+    stream (already-distinct rows, no extra Exchange) and use it directly
+    when they need per-doc sets (verification joins).
+    """
+    return _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(norm_text(F.col(text_col)), n)).alias(
+            "shs"
+        ),
     )
+
+
+# 64-bit shingle keys for shuffles (guide §2.3 "shuffle keys and metadata
+# instead of payloads"): df-counts and candidate equi-joins only need
+# shingle IDENTITY, so they move xxhash64(shingle) — 8 bytes vs ~6·n per
+# string. Exact up to 64-bit collisions (~N²/2^65 across the corpus's
+# distinct shingles — at sf0.1's ~5·10^5 shingles that is ~10^-9, and the
+# committed duplicate-span audit already rides the same argument with
+# 60-bit md5 prefixes). Verification always re-checks candidates against
+# the true string sets, so a collision can only add a candidate that
+# exact verification then discards — except in the df-cap path, where the
+# cap itself is part of the declared semantics and a collision could
+# merge two counts; the driver's oracle rows at three SFs pin that this
+# never bites on the attested data.
+def _shingle_key(c: Column) -> Column:
+    return F.xxhash64(c)
 
 
 def jaccard_pairs(
@@ -123,25 +149,39 @@ def jaccard_pairs(
     the rare-shingle sets (a consistent universe — mixing full-universe
     sizes with capped intersections would systematically underestimate).
     With ``max_shingle_df=None`` it is plain exact Jaccard.
+
+    r16 shape: the stream is the map-side-distinct explode of
+    :func:`_doc_shingle_sets` (no corpus-wide distinct Exchange), shuffles
+    move 8-byte shingle keys, and the df cap is applied by BROADCAST
+    anti-join against the HOT set (df > cap) — the hot set is small by
+    construction (it is the skew tail), where the old inner join against
+    the rare set shuffled the whole stream a second time.
     """
-    # Persisted: the capped shingle stream feeds FOUR consumers (the df-cap
-    # aggregation's probe side, the sizes aggregation, and both sides of
-    # the candidate self-join); without persistence each re-runs the
-    # normalize + explode + distinct chain over the raw text.
-    sh = _doc_shingles(df, id_col, text_col, n).persist()
+    # Persisted: the shingle stream feeds the df-cap aggregation, the
+    # sizes aggregation, and both sides of the candidate self-join;
+    # without persistence each re-runs the normalize + shingle chain.
+    sh = (
+        _doc_shingle_sets(df, id_col, text_col, n)
+        .select("id", F.explode("shs").alias("shingle"))
+        .select("id", _shingle_key(F.col("shingle")).alias("sh"))
+        .persist()
+    )
     if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
+        hot = (
+            sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
         )
-        sh = sh.join(rare, "shingle").persist()
+        # no second persist: the anti-join probe over the cached stream is
+        # map-side, and the broadcast of ``hot`` is shared by exchange
+        # reuse across all three consumers below
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -162,53 +202,56 @@ def _df_ranked_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> tuple[DataFrame, DataFrame]:
     """Shared scaffolding for the prefix-filter family: the persisted
-    distinct shingle stream (it feeds the df-count, the per-doc ranking,
-    and the verification join) plus the ranked view — each (id, shingle)
-    annotated with its position ``rn`` under the global ascending-df
-    order (ties broken by the shingle string, so the order is total and
-    shared by all documents) and the doc's shingle-set size ``sz``."""
-    sh = _doc_shingles(df, id_col, text_col, n).persist()
-    sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-    ranked = (
-        sh.join(sh_df, "shingle")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy("sdf", "shingle")
-            ),
-        )
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    per-doc shingle SET table (one row per doc — it feeds the ranking
+    explode AND the verification joins directly, replacing the r15
+    shape's distinct-shuffled stream + collect_list re-aggregation) plus
+    the ranked view — each (id, shingle-key) annotated with its position
+    ``rn`` under the global ascending-df order (ties broken by the
+    shingle string, so the order is total, shared by all documents, and
+    IDENTICAL to the pre-r16 order) and the doc's set size ``sz`` (from
+    ``size(shs)`` map-side — no second window)."""
+    sets = _doc_shingle_sets(df, id_col, text_col, n).persist()
+    sh = sets.select(
+        "id", F.size("shs").alias("sz"), F.explode("shs").alias("shingle")
+    ).withColumn("h", _shingle_key(F.col("shingle")))
+    sh_df = sh.groupBy("h").agg(F.count(F.lit(1)).alias("sdf"))
+    ranked = sh.join(sh_df, "h").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("sdf", "shingle")
+        ),
     )
-    return sh, ranked
+    return sets, ranked
 
 
 def _prefix_slice(ranked: DataFrame, t_num: int, t_den: int) -> DataFrame:
     """First |x| - ceil(t*|x|) + 1 positions of each doc's ranked
-    shingles — all-integer ceil (DIV, no float)."""
+    shingles — all-integer ceil (DIV, no float). Only the 8-byte shingle
+    key ``h`` survives into the candidate join."""
     return ranked.filter(
         F.col("rn")
         <= F.col("sz")
         - F.expr(f"(sz * {t_num} + {t_den - 1}) DIV {t_den}")
         + 1
-    ).select("id", "shingle", "sz", "rn")
+    ).select("id", "h", "sz", "rn")
 
 
-def _intersect_candidates(cand: DataFrame, sh: DataFrame) -> DataFrame:
+def _intersect_candidates(cand: DataFrame, sets: DataFrame) -> DataFrame:
     """Exact verification over the candidates' FULL shingle sets, carried
     as per-doc ARRAYS: the doc-set table has one row per document (not
-    per shingle), so both verify joins move doc-count rows — small
-    enough to broadcast here, and never more than corpus metadata at
-    scale — and the intersection is a hash-set probe inside codegen
-    (array_intersect) instead of a re-explode + (id, shingle) shuffle
-    of the whole shingle stream per candidate."""
-    docsets = sh.groupBy("id").agg(F.collect_list("shingle").alias("shs"))
+    per shingle), so both verify joins move doc-count rows — never more
+    than corpus metadata at scale — and the intersection is a hash-set
+    probe inside codegen (array_intersect) over the true shingle STRINGS
+    (hash-free, so key collisions upstream cannot reach the answer).
+    ``sets`` is the persisted :func:`_doc_shingle_sets` frame — already
+    per-doc arrays, no collect_list re-aggregation."""
     return (
         cand.join(
-            docsets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")),
+            sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")),
             "id_a",
         )
         .join(
-            docsets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")),
+            sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")),
             "id_b",
         )
         .withColumn(
@@ -251,17 +294,17 @@ def jaccard_prefix_pairs(
     threshold is the exact rational t_num/t_den (no float in the prefix
     arithmetic, so both engines agree on every prefix length).
     """
-    sh, ranked = _df_ranked_shingles(df, id_col, text_col, n)
+    sets, ranked = _df_ranked_shingles(df, id_col, text_col, n)
     prefix = _prefix_slice(ranked, t_num, t_den)
     a = prefix.select(
         F.col("id").alias("id_a"),
-        "shingle",
+        "h",
         F.col("sz").alias("size_a"),
         F.col("rn").alias("rn_a"),
     )
     b = prefix.select(
         F.col("id").alias("id_b"),
-        "shingle",
+        "h",
         F.col("sz").alias("size_b"),
         F.col("rn").alias("rn_b"),
     )
@@ -278,7 +321,7 @@ def jaccard_prefix_pairs(
         f"DIV {t_den + t_num}"
     )
     cand = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # length filter: J >= t forces t * max(|x|,|y|) <= min(|x|,|y|)
@@ -298,7 +341,7 @@ def jaccard_prefix_pairs(
         .select("id_a", "id_b", "size_a", "size_b")
         .distinct()
     )
-    inter = _intersect_candidates(cand, sh)
+    inter = _intersect_candidates(cand, sets)
     out = (
         inter.withColumn(
             "jaccard",
@@ -342,23 +385,23 @@ def containment_prefix_pairs(
     Returns (id_a, id_b, inter, size_a, size_b, containment) with
     id_a < id_b; threshold is the exact rational t_num/t_den.
     """
-    sh, ranked = _df_ranked_shingles(df, id_col, text_col, n)
+    sets, ranked = _df_ranked_shingles(df, id_col, text_col, n)
     prefix = _prefix_slice(ranked, t_num, t_den).select(
         F.col("id").alias("id_p"),
-        "shingle",
+        "h",
         F.col("sz").alias("sz_p"),
         F.col("rn").alias("rn_p"),
     )
     full = ranked.select(
         F.col("id").alias("id_f"),
-        "shingle",
+        "h",
         F.col("sz").alias("sz_f"),
         F.col("rn").alias("rn_f"),
     )
     # required overlap is set by the prefix (smaller) side
     alpha_p = F.expr(f"(sz_p * {t_num} + {t_den - 1}) DIV {t_den}")
     cand = (
-        prefix.join(full, "shingle")
+        prefix.join(full, "h")
         .filter(
             (F.col("id_p") != F.col("id_f"))
             # the smaller-side-as-prefix direction is the guaranteed one;
@@ -385,7 +428,7 @@ def containment_prefix_pairs(
         )
         .distinct()
     )
-    inter = _intersect_candidates(cand, sh)
+    inter = _intersect_candidates(cand, sets)
     out = (
         inter.withColumn(
             "containment",
@@ -510,6 +553,48 @@ def levenshtein_blocked_pairs(
     )
 
 
+def affine_sig_col(shs: Column, n_hashes: int) -> Column:
+    """MinHash signature ``array<bigint>`` computed MAP-SIDE from a
+    per-doc shingle array — the ONE implementation of the md5-affine
+    hash family (minhash_signatures / build_dedup_store /
+    incremental_dedup all route here; a change to the family applied to
+    one copy but not another would silently desync fresh signatures from
+    signatures persisted in the on-disk streaming store).
+
+    sig[i] = min over shingles of (A_i·w1 + B_i·w2 + C_i) mod 2^32 where
+    (w1, w2) are the two leading 32-bit words of one md5 per shingle —
+    identical values to the r15 explode+groupBy aggregation (a min over
+    the distinct set equals the min over the multiset), but evaluated as
+    ``array_min(transform(...))`` inside codegen: ZERO shuffle, zero
+    Exchange — the r15 shape shuffled an (id, w1, w2) row per shingle
+    into a 16-min hash aggregate (guide §2.4: remove shuffles outright).
+    The md5 is computed once per shingle; the H affine maps read the two
+    cached words."""
+    words = F.transform(
+        shs,
+        lambda s: F.struct(
+            *(
+                c.alias(nm)
+                for c, nm in zip(md5_words(s), ("w1", "w2"), strict=True)
+            )
+        ),
+    )
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    words,
+                    lambda w: (
+                        F.lit(a) * w["w1"] + F.lit(b) * w["w2"] + F.lit(c)
+                    )
+                    % F.lit(1 << 32),
+                )
+            )
+            for (a, b, c) in mh_coeffs(n_hashes)
+        ]
+    )
+
+
 def _signature_rows(
     df: DataFrame,
     id_col: str,
@@ -518,40 +603,23 @@ def _signature_rows(
     n_hashes: int,
     carry: dict[str, Column] | None = None,
 ) -> DataFrame:
-    """(id[, *carry], sig) — the ONE implementation of the md5-affine
-    MinHash aggregation (minhash_signatures / build_dedup_store /
-    incremental_dedup all route here; a change to the hash family applied
-    to one copy but not another would silently desync fresh signatures
-    from signatures persisted in the on-disk streaming store).
+    """(id[, *carry], sig) — per-doc MinHash signatures, one map-side
+    pass over the scan (see :func:`affine_sig_col`), no shuffle at all.
 
     ``carry`` maps output column name → per-doc expression evaluated on
-    the input row; each rides through the shingle aggregation as first().
-    One explode + one groupBy computing all H mins map-side (partial
-    aggregation) — a single shuffle of H longs (+ carry) per doc.
-
-    No distinct() on the shingle stream: duplicate shingles cannot change
-    a min, and skipping the dedup drops an entire extra shuffle of the
-    raw (id, shingle) pairs — at 100 TB that shuffle IS the cost."""
+    the input row. A doc whose text yields no shingles is dropped (the
+    r1-era explode produced no rows for it; ``array_min`` of an empty
+    array would instead yield a NULL-filled signature)."""
     carry = carry or {}
-    sh = _spread(df).select(
+    base = _spread(df).select(
         F.col(id_col).alias("id"),
         *[expr.alias(name) for name, expr in carry.items()],
-        F.explode(word_shingles(norm_text(F.col(text_col)), n)).alias("shingle"),
-    )
-    w1, w2 = md5_words(F.col("shingle"))
-    sh = sh.select("id", *carry.keys(), w1.alias("__w1"), w2.alias("__w2"))
-    aggs = [F.first(name).alias(name) for name in carry] + [
-        F.min(
-            (F.lit(a) * F.col("__w1") + F.lit(b) * F.col("__w2") + F.lit(c))
-            % F.lit(1 << 32)
-        ).alias(f"h{i}")
-        for i, (a, b, c) in enumerate(mh_coeffs(n_hashes))
-    ]
-    sigs = sh.groupBy("id").agg(*aggs)
-    return sigs.select(
-        "id",
-        *carry.keys(),
-        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"),
+        F.array_distinct(word_shingles(norm_text(F.col(text_col)), n)).alias(
+            "__shs"
+        ),
+    ).filter(F.size("__shs") > 0)
+    return base.select(
+        "id", *carry.keys(), affine_sig_col(F.col("__shs"), n_hashes).alias("sig")
     )
 
 
@@ -611,12 +679,20 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, est_jaccard[, jaccard]) — est_jaccard is the
     signature agreement fraction.
+
+    r16 shape: ONE text pass. The per-doc distinct shingle-set table is
+    built map-side (:func:`_doc_shingle_sets`), persisted, and feeds BOTH
+    the signatures (map-side ``affine_sig_col`` — the r15 shape re-ran a
+    shingle explode + 16-min shuffle aggregation) and the exact-Jaccard
+    verification arrays (the r15 shape re-normalized + re-shingled the
+    corpus a second time for them).
     """
-    # Persist the signature table: the banding self-join consumes it on
-    # BOTH sides, and without persistence each side re-runs the shingle
-    # explode + 16-way min aggregation (the dominant cost — the signatures
-    # are H longs/doc, the text they summarize is ~KB/doc).
-    sigs = minhash_signatures(df, id_col, text_col, n, n_hashes).persist()
+    # Persisted: the set table is consumed by both banding sides and both
+    # verification joins; everything derived from it is map-side.
+    sets = _doc_shingle_sets(df, id_col, text_col, n).persist()
+    sigs = sets.filter(F.size("shs") > 0).select(
+        "id", affine_sig_col(F.col("shs"), n_hashes).alias("sig")
+    )
     banded = banded_signatures(sigs, n_hashes, bands)
     a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
@@ -640,26 +716,15 @@ def minhash_lsh_pairs(
         return est
     # Exact-Jaccard verification over CANDIDATES ONLY — the whole point of
     # LSH is that the exact similarity runs on O(candidates), not on every
-    # shingle-sharing pair. Shingle sets are built per-doc as
-    # array_distinct over the scan itself — no explode, no distinct
-    # shuffle, no collect_list re-grouping (round 2 paid both); candidates
-    # join the arrays twice and the set algebra stays JVM-side
+    # shingle-sharing pair. The candidates join the PERSISTED set table's
+    # arrays twice and the set algebra stays JVM-side
     # (array_intersect/array_union return distinct elements).
-    # Persisted for the same reason as sigs: both verify joins consume the
-    # shingle-set table, and normalizing + shingling the text is the
-    # expensive part, not the set algebra.
-    sets = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(norm_text(F.col(text_col)), n)).alias(
-            "shingles"
-        ),
-    ).persist()
     verified = (
         est.join(
-            sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa")), "id_a"
+            sets.select(F.col("id").alias("id_a"), F.col("shs").alias("__sa")), "id_a"
         )
         .join(
-            sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb")), "id_b"
+            sets.select(F.col("id").alias("id_b"), F.col("shs").alias("__sb")), "id_b"
         )
         .withColumn(
             "jaccard",

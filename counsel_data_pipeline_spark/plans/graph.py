@@ -118,19 +118,37 @@ def pagerank_copurchase_plan(
     broadcast anywhere. Both paths run the identical integer arithmetic —
     ``tests/test_r6_ops.py`` asserts rank-for-rank equality under
     autoBroadcastJoinThreshold=-1."""
-    # no pre-distinct on (orderkey, partkey): the edge-level distinct
-    # below already canonicalizes, and skipping it removes a full
-    # fact-table shuffle (duplicate same-part lines per order are rare)
+    # r16 edge build (guide §2.4/§3.3 — explode after the key-local work,
+    # never a fact self-join): group each order's DISTINCT parts into one
+    # array (the groupBy reuses the repartition's hash layout, so the
+    # whole build costs one narrow shuffle of (orderkey, partkey) ints),
+    # then emit the ordered pairs per order IN-ARRAY via transform —
+    # replacing the r15 self-join whose probe side ran on the scan's
+    # single input partition and whose pair stream carried into the
+    # distinct at full width. The per-order fan-out is bounded by the
+    # order's distinct-part count (TPC-H: ≤7), so the explode never
+    # amplifies a hot key the way an uncapped join side would.
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    # persisted: the co-purchase self-join is the most expensive stage and
-    # feeds BOTH deg and src_deg — without the cache it ran twice (r9 fix;
-    # the cache is freed as soon as src_deg materializes below)
+    per_order = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    # persisted: the pair stream feeds BOTH deg and src_deg — without the
+    # cache it ran twice (r9 fix; the cache is freed as soon as src_deg
+    # materializes below)
     edges = (
-        li.withColumnRenamed("l_partkey", "src")
-        .join(b, "l_orderkey")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> transform("
+                    "filter(ps, y -> y != x), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
@@ -184,20 +202,19 @@ def pagerank_copurchase_plan(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("contrib"))
         )
-        new_pr = (
-            nodes.crossJoin(F.broadcast(consts))
-            .join(
-                F.broadcast(contrib) if broadcast_ranks else contrib,
-                "node",
-                "left",
-            )
-            .select(
-                "node",
-                (
-                    F.col("base")
-                    + F.expr("div(85 * coalesce(contrib, 0), 100)")
-                ).cast("bigint").alias("pr"),
-            )
+        # r16: no nodes ⋈ contrib rebuild. The co-purchase graph is
+        # symmetrized by construction (every (src, dst) has its (dst,
+        # src) twin), so contrib's group keys are EXACTLY the node set —
+        # the oracle's LEFT JOIN onto nodes never takes its NULL branch —
+        # and the damped rank can be computed straight off the aggregate,
+        # dropping one join + one node-sized broadcast per iteration
+        # (guide §2.4: two operations keyed the same way share one
+        # exchange; here the second operation disappears entirely).
+        new_pr = contrib.crossJoin(F.broadcast(consts)).select(
+            "node",
+            (
+                F.col("base") + F.expr("div(85 * contrib, 100)")
+            ).cast("bigint").alias("pr"),
         )
         # without broadcasts the per-iteration plan would nest join trees
         # _PR_ITERS deep — truncate lineage so iteration cost stays flat
@@ -606,13 +623,28 @@ def common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _copurchase_edge_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same r16 array-pair build as the PageRank edges (see
+    # pagerank_copurchase_plan): one narrow shuffle + in-array pair
+    # emission replaces the fact self-join; u < v emitted directly from
+    # the per-order distinct-part array
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    per_order = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
     return (
-        li.withColumnRenamed("l_partkey", "u")
-        .join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> transform("
+                    "filter(ps, y -> y > x), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
     )
 

@@ -998,15 +998,20 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _spread(load_table(spark, sf_dir, "documents"))
     t = F.split(ta.norm_text(F.col("text")), " ")
+    # r16: the shingle key is xxhash64 (one 8-byte BIGINT) instead of a
+    # 16-hex md5 prefix (a 16-char string): the key never reaches the
+    # output — only per-source distinct counts and shared counts do — so
+    # any injective-on-the-corpus 64-bit hash yields identical numbers,
+    # and xxhash64 is both far cheaper to compute per shingle (guide
+    # §1.2 step 2) and half the width through the distinct Exchange
+    # (guide §2.3). Same 64-bit collision class as the oracle's own md5
+    # prefix; the driver's green rows at the attested SFs pin equality.
     sh = (
         docs.select(
             "source",
             F.explode(ta.word_shingles_from_tokens(t, 8)).alias("shingle"),
         )
-        .select(
-            "source",
-            F.substring(F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 16).alias("gh"),
-        )
+        .select("source", F.xxhash64("shingle").alias("gh"))
         .distinct()
         # both downstream consumers (the per-gram source sets and the
         # per-source totals) read this frame: persist makes the

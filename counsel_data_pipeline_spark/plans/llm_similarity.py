@@ -1121,25 +1121,30 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"x -> CAST(round(x * {scale}, 0) AS BIGINT))"
         ).alias("v")
     )
-    pairs = arr.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(v, (x, i) -> "
-                "transform(v, (y, j) -> struct(i AS i, j AS j, x * y AS p))))"
-            )
-        ).alias("s")
+    # r16 moment pass (guide §2.3 "aggregate before you shuffle" + §1.2
+    # step 1): ONE aggregation replaces the r15 shape's two jobs — a d²-
+    # struct-per-row explode (N·d² = 8.2M rows at sf0.1) feeding a (i,j)
+    # groupBy, plus a second posexplode scan for the column sums. Here
+    # the row stream is posexplode alone (N·d rows), each row carrying
+    # its vector once, and the d per-i row sums Σ x·v[j] are d AGGREGATE
+    # COLUMNS of a single d-group hash aggregate — partial aggregation
+    # compacts everything map-side, the shuffle is partitions × d rows,
+    # and the arithmetic is the identical exact-integer Σ v_i·v_j.
+    pos = arr.select(F.posexplode("v").alias("i", "x"), "v")
+    row_aggs = pos.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("s6"),
+        *[
+            F.sum(F.col("x") * F.col("v")[j]).cast("bigint").alias(f"sp{j}")
+            for j in range(d)
+        ],
     )
-    m = pairs.groupBy("s.i", "s.j").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("s.p").cast("bigint").alias("sp")
-    )
-    s1 = (
-        arr.select(F.posexplode("v").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum("x").cast("bigint").alias("s6"), F.count(F.lit(1)).alias("n"))
-    )
-    # bounded-by-construction collects: d^2 + d rows, data-independent
-    mom = {(r.i, r.j): (r.n, r.sp) for r in m.collect()}
-    s1m = {r.i: (r.s6, r.n) for r in s1.collect()}
+    # bounded-by-construction collect: d rows × (d + 2) cols,
+    # data-independent — the same d² + d integers as the r15 two-collect
+    # shape, in one job
+    rows = row_aggs.collect()
+    mom = {(r["i"], j): (r["n"], r[f"sp{j}"]) for r in rows for j in range(d)}
+    s1m = {r["i"]: (r["s6"], r["n"]) for r in rows}
     mean = {i: _tdiv(s6, n) for i, (s6, n) in s1m.items()}
     cov = {
         (i, j): _tdiv(_tdiv(sp, n) - mean[i] * mean[j], 1000)

@@ -611,7 +611,16 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     est1 = inner_product(cms_lo, cms_oo)
-    est2 = inner_product(cms_lp, cms_lp)
+    # r16: the self-inner-product is Σ cnt² over the sketch's own buckets
+    # — a plain aggregate, not a self-join (the r15 shape joined cms_lp
+    # with itself, which also re-derived the unpersisted sketch twice).
+    # Identical integer arithmetic: the (seed, bucket) self-join matches
+    # every bucket exactly with itself.
+    est2 = (
+        cms_lp.groupBy("seed")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("s"))
+        .agg(F.min("s").alias("est_rows"))
+    )
     ex1 = (
         lo_counts.join(
             oo_counts.select("k", F.col("c").alias("c_b")), "k"
@@ -884,24 +893,38 @@ def bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overhead per plan), and a string literal (UTF8String substring
     # scans from offset 0 per call).
     words = words.persist()
-    probed = li
+    # r16: all k positions/words are computed in ONE projection before
+    # the probe joins — the k slices share a single md5 subtree, which
+    # whole-stage codegen's subexpression elimination evaluates once per
+    # fact row (the r15 shape interleaved a withColumn + join per seed,
+    # so each Project re-derived its own digest: k md5s per row). The
+    # probes stay k BroadcastHashJoins against the ≤m/32-row words table.
+    probed = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        *[
+            _rf_sliced_pos(F.col("l_orderkey"), s_).alias(f"__pos{s_}")
+            for s_ in range(_RF_K)
+        ],
+    ).select(
+        "*",
+        *[
+            (F.col(f"__pos{s_}") / 32).cast("int").alias(f"__word{s_}")
+            for s_ in range(_RF_K)
+        ],
+    )
     for s_ in range(_RF_K):
-        pos_col = _rf_sliced_pos(F.col("l_orderkey"), s_)
-        probed = (
-            probed.withColumn(f"__pos{s_}", pos_col)
-            .withColumn(f"__word{s_}", (F.col(f"__pos{s_}") / 32).cast("int"))
-            .join(
-                F.broadcast(
-                    words.select(
-                        F.col("word").alias(f"__word{s_}"),
-                        F.col("bits").alias(f"__bits{s_}"),
-                    )
-                ),
-                f"__word{s_}",
-                "left",
-            )
-            .withColumn(f"__bits{s_}", F.coalesce(F.col(f"__bits{s_}"), F.lit(0)))
-        )
+        probed = probed.join(
+            F.broadcast(
+                words.select(
+                    F.col("word").alias(f"__word{s_}"),
+                    F.col("bits").alias(f"__bits{s_}"),
+                )
+            ),
+            f"__word{s_}",
+            "left",
+        ).withColumn(f"__bits{s_}", F.coalesce(F.col(f"__bits{s_}"), F.lit(0)))
     may = F.lit(True)
     for s_ in range(_RF_K):
         bit = (

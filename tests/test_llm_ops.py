@@ -55,7 +55,9 @@ def test_jaccard_prefix_filter_lossless_and_pruning(docs, exact_pairs):
     assert all(got[k][3] == exact_pairs[k] for k in got)
     # Pruning actually engages: each doc indexes only its prefix, so the
     # indexed (id, shingle) stream is a strict subset of the full one.
-    sh = td._doc_shingles(docs, "doc_id", "text", 3)
+    sh = td._doc_shingle_sets(docs, "doc_id", "text", 3).select(
+        "id", F.explode("shs").alias("shingle")
+    )
     n_full = sh.count()
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     from pyspark.sql import Window
