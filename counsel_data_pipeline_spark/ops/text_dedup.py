@@ -31,6 +31,7 @@ from counsel_data_pipeline_spark.ops.text_analysis import (
     norm_text,
     tokens,
     word_shingles,
+    word_shingles_from_tokens,
 )
 
 # --------------------------------------------------------------------------
@@ -106,13 +107,24 @@ def _doc_shingle_sets(
     were pure overhead. Consumers explode this frame when they need a
     stream (already-distinct rows, no extra Exchange) and use it directly
     when they need per-doc sets (verification joins).
-    """
-    return _spread(df).select(
+
+    STAGED projections, not one expression: Spark's subexpression
+    elimination skips anything inside a lambda body, so the one-shot
+    ``array_distinct(word_shingles(norm_text(text)))`` re-evaluated the
+    whole tokenize subtree per shingle inside the ``transform`` lambda
+    (measured at sf0.1: 4.5 s one-shot vs 0.6 s staged for the same
+    frame, and 14.6 s when a consumer exploded the inline expression).
+    Each stage binds the previous stage's result to a real column, and
+    ``CollapseProject`` keeps the stages apart because the bound columns
+    are multiply-referenced and non-cheap."""
+    toks = _spread(df).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(norm_text(F.col(text_col)), n)).alias(
-            "shs"
-        ),
+        tokens(norm_text(F.col(text_col))).alias("__t"),
     )
+    raw = toks.select(
+        "id", word_shingles_from_tokens(F.col("__t"), n).alias("__raw")
+    )
+    return raw.select("id", F.array_distinct(F.col("__raw")).alias("shs"))
 
 
 # 64-bit shingle keys for shuffles (guide §2.3 "shuffle keys and metadata
@@ -157,14 +169,24 @@ def jaccard_pairs(
     construction (it is the skew tail), where the old inner join against
     the rare set shuffled the whole stream a second time.
     """
-    # Persisted: the shingle stream feeds the df-cap aggregation, the
-    # sizes aggregation, and both sides of the candidate self-join;
-    # without persistence each re-runs the normalize + shingle chain.
+    # The per-doc SET table is persisted EAGERLY and every consumer
+    # (including the explode below) reads the cache. The cache boundary
+    # is load-bearing, not a convenience: ``InferFiltersFromGenerate``
+    # rewrites ``explode(shs)`` into ``size(shs) > 0 AND isnotnull(shs)``
+    # whenever the generator input is a bound ATTRIBUTE (it skips complex
+    # inline expressions), and predicate pushdown then re-substitutes the
+    # alias chain — the whole tokenize+shingle expression, TWICE — below
+    # the ``spread`` Exchange, where it runs serially on the one-file
+    # input partition (measured: 11.8 s in a single task at sf0.1; the
+    # full query 26 s cold vs ~2 s with the boundary). Above a cache the
+    # inferred filter degenerates to ``size`` over the materialized
+    # array. The count() is timed inside the query like every eager pin
+    # (the bench times fn() construction + the noop write).
+    sets = _doc_shingle_sets(df, id_col, text_col, n).persist()
+    sets.count()
     sh = (
-        _doc_shingle_sets(df, id_col, text_col, n)
-        .select("id", F.explode("shs").alias("shingle"))
+        sets.select("id", F.explode("shs").alias("shingle"))
         .select("id", _shingle_key(F.col("shingle")).alias("sh"))
-        .persist()
     )
     if max_shingle_df is not None:
         hot = (
@@ -173,10 +195,11 @@ def jaccard_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("sh")
         )
-        # no second persist: the anti-join probe over the cached stream is
-        # map-side, and the broadcast of ``hot`` is shared by exchange
-        # reuse across all three consumers below
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    # One persisted copy of the (possibly capped) stream: it feeds the
+    # sizes aggregation and both sides of the candidate self-join.
+    sh = sh.persist()
+    sh.count()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")
@@ -553,24 +576,10 @@ def levenshtein_blocked_pairs(
     )
 
 
-def affine_sig_col(shs: Column, n_hashes: int) -> Column:
-    """MinHash signature ``array<bigint>`` computed MAP-SIDE from a
-    per-doc shingle array — the ONE implementation of the md5-affine
-    hash family (minhash_signatures / build_dedup_store /
-    incremental_dedup all route here; a change to the family applied to
-    one copy but not another would silently desync fresh signatures from
-    signatures persisted in the on-disk streaming store).
-
-    sig[i] = min over shingles of (A_i·w1 + B_i·w2 + C_i) mod 2^32 where
-    (w1, w2) are the two leading 32-bit words of one md5 per shingle —
-    identical values to the r15 explode+groupBy aggregation (a min over
-    the distinct set equals the min over the multiset), but evaluated as
-    ``array_min(transform(...))`` inside codegen: ZERO shuffle, zero
-    Exchange — the r15 shape shuffled an (id, w1, w2) row per shingle
-    into a 16-min hash aggregate (guide §2.4: remove shuffles outright).
-    The md5 is computed once per shingle; the H affine maps read the two
-    cached words."""
-    words = F.transform(
+def _mh_words_col(shs: Column) -> Column:
+    """``array<struct<w1,w2>>`` — the two leading 32-bit md5 words of each
+    shingle, one md5 per shingle."""
+    return F.transform(
         shs,
         lambda s: F.struct(
             *(
@@ -579,6 +588,20 @@ def affine_sig_col(shs: Column, n_hashes: int) -> Column:
             )
         ),
     )
+
+
+def _sig_from_words(words: Column, n_hashes: int) -> Column:
+    """MinHash signature ``array<bigint>`` from a materialized md5-words
+    array: sig[i] = min over shingles of (A_i·w1 + B_i·w2 + C_i) mod 2^32.
+    ``words`` MUST be a bound column (not the ``_mh_words_col`` expression
+    itself): every one of the H mins references it, and Spark's
+    subexpression elimination skips any expression containing a
+    ``LambdaVariable``, so inlining the md5 transform here would compute H
+    md5s per shingle instead of one (measured: dedup_incremental_batch
+    3.5 s → 8.6 s at sf0.1 with the inlined form). Use
+    :func:`with_affine_sig`, which stages the two projections —
+    ``CollapseProject`` keeps them apart because ``words`` is referenced H
+    times and is non-cheap."""
     return F.array(
         *[
             F.array_min(
@@ -595,6 +618,25 @@ def affine_sig_col(shs: Column, n_hashes: int) -> Column:
     )
 
 
+def with_affine_sig(
+    df: DataFrame, shs_col: str, n_hashes: int, keep: list[str]
+) -> DataFrame:
+    """``keep + (sig)`` — per-row MinHash signatures from a shingle-array
+    column, entirely MAP-SIDE: zero shuffle, zero Exchange (the r15 shape
+    shuffled an (id, w1, w2) row per shingle into a 16-min hash
+    aggregate — guide §2.4: remove shuffles outright). The ONE
+    implementation of the md5-affine hash family (minhash_signatures /
+    build_dedup_store / incremental_dedup all route here; a change to the
+    family applied to one copy but not another would silently desync
+    fresh signatures from signatures persisted in the on-disk streaming
+    store). Identical values to the r15 aggregation — a min over the
+    distinct set equals the min over the multiset."""
+    staged = df.select(*keep, _mh_words_col(F.col(shs_col)).alias("__mhw"))
+    return staged.select(
+        *keep, _sig_from_words(F.col("__mhw"), n_hashes).alias("sig")
+    )
+
+
 def _signature_rows(
     df: DataFrame,
     id_col: str,
@@ -604,23 +646,33 @@ def _signature_rows(
     carry: dict[str, Column] | None = None,
 ) -> DataFrame:
     """(id[, *carry], sig) — per-doc MinHash signatures, one map-side
-    pass over the scan (see :func:`affine_sig_col`), no shuffle at all.
+    pass over the scan (see :func:`with_affine_sig`), no shuffle at all.
 
     ``carry`` maps output column name → per-doc expression evaluated on
     the input row. A doc whose text yields no shingles is dropped (the
     r1-era explode produced no rows for it; ``array_min`` of an empty
-    array would instead yield a NULL-filled signature)."""
+    array would instead yield a NULL-filled signature) — expressed as a
+    token-count filter on the STAGED tokens column, which is free, where
+    a ``size(shingles) > 0`` filter would be pushed below the shingle
+    projection and recompute the array per row.
+
+    No ``array_distinct`` on the shingle array: duplicate shingles cannot
+    change a min, and per-doc dedup is pure cost here (the r15 stream
+    shape skipped the distinct for the same reason). Tokens are staged as
+    a bound column so the shingle ``transform`` lambda does not
+    re-tokenize per shingle (see :func:`_doc_shingle_sets`)."""
     carry = carry or {}
-    base = _spread(df).select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"),
         *[expr.alias(name) for name, expr in carry.items()],
-        F.array_distinct(word_shingles(norm_text(F.col(text_col)), n)).alias(
-            "__shs"
-        ),
-    ).filter(F.size("__shs") > 0)
-    return base.select(
-        "id", *carry.keys(), affine_sig_col(F.col("__shs"), n_hashes).alias("sig")
+        tokens(norm_text(F.col(text_col))).alias("__t"),
+    ).filter(F.size("__t") >= n)
+    base = toks.select(
+        "id",
+        *carry.keys(),
+        word_shingles_from_tokens(F.col("__t"), n).alias("__shs"),
     )
+    return with_affine_sig(base, "__shs", n_hashes, ["id", *carry.keys()])
 
 
 def minhash_signatures(
@@ -682,7 +734,7 @@ def minhash_lsh_pairs(
 
     r16 shape: ONE text pass. The per-doc distinct shingle-set table is
     built map-side (:func:`_doc_shingle_sets`), persisted, and feeds BOTH
-    the signatures (map-side ``affine_sig_col`` — the r15 shape re-ran a
+    the signatures (map-side ``with_affine_sig`` — the r15 shape re-ran a
     shingle explode + 16-min shuffle aggregation) and the exact-Jaccard
     verification arrays (the r15 shape re-normalized + re-shingled the
     corpus a second time for them).
@@ -690,8 +742,8 @@ def minhash_lsh_pairs(
     # Persisted: the set table is consumed by both banding sides and both
     # verification joins; everything derived from it is map-side.
     sets = _doc_shingle_sets(df, id_col, text_col, n).persist()
-    sigs = sets.filter(F.size("shs") > 0).select(
-        "id", affine_sig_col(F.col("shs"), n_hashes).alias("sig")
+    sigs = with_affine_sig(
+        sets.filter(F.size("shs") > 0), "shs", n_hashes, ["id"]
     )
     banded = banded_signatures(sigs, n_hashes, bands)
     a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
