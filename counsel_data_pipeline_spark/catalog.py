@@ -82,59 +82,67 @@ def register(
 # own registration commit). The per-round rotation history and the
 # displaced-row queue live in COVERAGE.md's ledger blocks, not here.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- the reserved slot: new in r16 (first-ever attestation) --
-    "streaming_closed_sessions_timeout",
-    # -- fill queue (r16): the four r11-stale rows FIRST, then r12-green
-    # rows in ledger order. Displaced rows are queued in COVERAGE.md.
-    "tpch_q16_part_supplier_diversity",
-    "tpch_q19_like_disjunctive",
-    "tpch_quantity_discount_correlation",
-    "tpch_top_customer_per_nation",
-    "events_tumbling_hourly",
-    "events_sliding_6h_daily",
-    "events_json_prop_buckets",
-    "events_top20_users_by_value",
-    "events_distinct_users_salted",
-    "events_asof_last_click_before_purchase",
-    "events_range_join_error_windows",
-    "events_funnel_view_click_purchase",
-    "events_weekly_cohort_retention",
-    "events_zscore_anomalies",
-    "events_daily_type_pivot",
-    "events_pivot_roundtrip_unpivot",
-    "graph_hits_bipartite",
-    "curation_hash_split",
-    "curation_repetition_scores",
-    "curation_decontam_overlap",
-    "curation_numeric_scrub_props",
-    "curation_stratified_sample",
-    "curation_pack_sequences",
-    "curation_source_cap",
-    "curation_temperature_resample",
-    "curation_chunk_dedup_stats",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "dedup_connected_clusters",
-    "dedup_embedding_cosine_topn",
-    "dedup_fuzzy_fingerprint_block",
-    "llm_dedup_pipeline",
-    "dedup_incremental_batch",
-    "dedup_store_bucketed_ingest",
-    "multimodal_binary_stats",
-    "sim_cosine_topk_bruteforce",
-    "sim_lsh_bucketed_topk",
-    "sim_ivf_topk",
-    "sim_neighbor_doc_quality",
-    "dedup_semantic_blocked_pairs",
-    "sim_ivf_kmeans_topk",
-    "text_phrase_search",
-    "text_bpe_merge_candidates",
-    "layout_zorder_write_prune",
-    "layout_time_partition_prune",
-    "ops_enrich_waterfall",
-    "sketch_hll_sliding_distinct",
-    "window_scd2_intervals",
+    # -- r17 priority block (the r16 verdict's ask #1): the queries whose
+    # plans changed in r16 AFTER the r16 window rotation, so their current
+    # code has no driver attestation, plus streaming_incremental_dedup
+    # (consumes the rewritten map-side signature path). Two of these carry
+    # semantics-sensitive rewrites (the PageRank join elimination and the
+    # df-cap broadcast-anti path) — these rows convert builder-verified to
+    # driver-verified.
+    "graph_pagerank_copurchase",
+    "graph_common_neighbors",
+    "tpch_copurchase_part_pairs",
+    "sim_pca_power_iteration",
+    "sketch_cms_join_size",
+    "join_bloom_runtime_filter",
+    "curation_contamination_matrix",
+    "dedup_ngram_jaccard_capped",
+    "dedup_jaccard_prefix_filter",
+    "dedup_containment_prefix_filter",
+    "streaming_incremental_dedup",
+    # -- fill queue (r17): `tools/evidence_ledger.py --suggest --reserve 0`
+    # (no new registrations in an optimization round) minus the two names
+    # already in the priority block — the five r12-stale rows FIRST, then
+    # r13-green rows in ledger order. Displaced rows queue in COVERAGE.md.
+    "window_scd2_point_in_time",
+    "streaming_scd2_intervals",
+    "streaming_kmeans_cell_stats",
+    "streaming_sessionize_user_stats",
+    "tpch_order_value_histogram",
+    "join_salted_hot_users",
+    "events_variant_props_extract",
+    "events_sequence_detect",
+    "graph_bfs_copurchase_hops",
+    "graph_triangle_count",
+    "graph_bfs_recursive_sql",
+    "multimodal_feature_topk",
+    "sim_quantized_topk",
+    "sim_embedding_dim_profile",
+    "text_token_stats_by_lang",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprints",
+    "llm_corpus_prep",
+    "text_bpe_token_counts",
+    "text_top_ngrams_per_lang",
+    "text_tfidf_top_terms",
+    "text_boilerplate_ngrams",
+    "text_oov_trigram_ratio",
+    "text_bm25_search",
+    "text_source_entropy",
+    "text_bigram_lm_score",
+    "text_udtf_token_chunks",
+    "text_arrow_group_profile",
+    "text_bpe_train_iter2",
+    "layout_schema_evolution_read",
+    "incremental_join_view_merge",
+    "incremental_cdc_upsert_apply",
+    "layout_compact_small_files",
+    "layout_python_sink_roundtrip",
+    "quality_observe_scan_metrics",
+    "sketch_cms_user_counts",
+    "sketch_histogram_quantiles",
+    "window_gap_fill_interpolate",
 )
 
 
