@@ -164,10 +164,27 @@ def jaccard_pairs(
 
     r16 shape: the stream is the map-side-distinct explode of
     :func:`_doc_shingle_sets` (no corpus-wide distinct Exchange), shuffles
-    move 8-byte shingle keys, and the df cap is applied by BROADCAST
-    anti-join against the HOT set (df > cap) — the hot set is small by
-    construction (it is the skew tail), where the old inner join against
+    move 8-byte shingle keys, and the df cap is applied by anti-join
+    against the HOT set (df > cap) — where the old inner join against
     the rare set shuffled the whole stream a second time.
+
+    Hot-set sizing (r17, the r16 ADVICE): |hot| is bounded by
+    total_shingle_occurrences / cap, which GROWS with the corpus — the
+    forced broadcast is only safe while that bound times 8 bytes fits
+    the executors (cap=1000 keeps a 10^12-occurrence corpus at ≤10^9
+    keys ≈ 8 GB: already at the broadcast cap). The hint therefore
+    rides behind ``spark.counsel.jaccard.hotBroadcast`` (default true —
+    right for every attested SF and for production caps sized so
+    occurrences/cap is executor-small); set it false at scale-out
+    corpus/cap ratios and AQE picks the anti-join strategy from the hot
+    set's actual size instead.
+
+    Exactness contract: with the cap active, df counts, cap membership
+    and intersections are computed over 64-bit shingle KEYS — exact up
+    to xxhash64 collisions (see :func:`_shingle_key`; a collision could
+    merge two df counts across the cap boundary). The uncapped path has
+    the same key-collision class in its intersections. The driver's
+    oracle rows at three SFs pin value equality on the attested data.
     """
     # The per-doc SET table is persisted EAGERLY and every consumer
     # (including the explode below) reads the cache. The cache boundary
@@ -195,7 +212,16 @@ def jaccard_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("sh")
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        # broadcast hint gated on conf — see the docstring's hot-set
+        # sizing bound; default true matches every attested SF
+        if (
+            df.sparkSession.conf.get(
+                "spark.counsel.jaccard.hotBroadcast", "true"
+            ).lower()
+            == "true"
+        ):
+            hot = F.broadcast(hot)
+        sh = sh.join(hot, "sh", "left_anti")
     # One persisted copy of the (possibly capped) stream: it feeds the
     # sizes aggregation and both sides of the candidate self-join.
     sh = sh.persist()
@@ -226,37 +252,75 @@ def _df_ranked_shingles(
 ) -> tuple[DataFrame, DataFrame]:
     """Shared scaffolding for the prefix-filter family: the persisted
     per-doc shingle SET table (one row per doc — it feeds the ranking
-    explode AND the verification joins directly, replacing the r15
-    shape's distinct-shuffled stream + collect_list re-aggregation) plus
-    the ranked view — each (id, shingle-key) annotated with its position
-    ``rn`` under the global ascending-df order (ties broken by the
-    shingle string, so the order is total, shared by all documents, and
-    IDENTICAL to the pre-r16 order) and the doc's set size ``sz`` (from
-    ``size(shs)`` map-side — no second window)."""
+    explode AND the verification joins directly) plus the persisted
+    RANKED-ARRAY table — each doc's shingle keys as ONE array ``hs``
+    sorted by the global ascending-df order (ties broken by the 8-byte
+    key ``h``), alongside the set size ``sz``; a key's rank ``rn`` is
+    its array position.
+
+    r17 shape (guide §2.4, §2.3): the r16 row-form ``ranked`` view
+    (df join + ``row_number`` window) was re-evaluated PER CONSUMER —
+    both sides of the candidate self-join re-ran the df aggregation,
+    the df join, and the window's Exchange+Sort (visible as two full
+    Window subtrees in the committed r16 plans). The array form is
+    computed ONCE (df aggregation → one hash join → one collect_list
+    aggregation keyed by id — the same Exchange the window needed, but
+    with no partition-wide Sort/WindowExec: the per-doc ``sort_array``
+    replaces it) and persisted as a NARROW frame (id, sz, array<bigint>
+    — no shingle strings), so every consumer derives its rows map-side
+    with ``posexplode``.
+
+    Rank-order note: ties in ``sdf`` now break by the 8-byte key ``h``
+    instead of the shingle string — the string no longer rides through
+    any ranking shuffle (guide §2.3: shuffle keys, not payloads). ANY
+    corpus-consistent total order satisfies the AllPairs/PPJoin
+    completeness theorem, and (sdf, h) is total on the h-classes the
+    candidate join already operates on; the emitted pair set is
+    invariant because candidates are always re-verified against the
+    true string sets and filtered on the exact threshold. (A 64-bit
+    collision between two equal-df shingles could in principle perturb
+    the order — the same accepted collision class as ``_shingle_key``;
+    the bruteforce property tests and the driver's oracle rows pin the
+    output.)"""
     sets = _doc_shingle_sets(df, id_col, text_col, n).persist()
     sh = sets.select(
         "id", F.size("shs").alias("sz"), F.explode("shs").alias("shingle")
-    ).withColumn("h", _shingle_key(F.col("shingle")))
+    ).select("id", "sz", _shingle_key(F.col("shingle")).alias("h"))
     sh_df = sh.groupBy("h").agg(F.count(F.lit(1)).alias("sdf"))
-    ranked = sh.join(sh_df, "h").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("id").orderBy("sdf", "shingle")
-        ),
+    ranked_sets = (
+        sh.join(sh_df, "h")
+        .groupBy("id", "sz")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("sdf", "h"))).alias("rs")
+        )
+        .select("id", "sz", F.col("rs.h").alias("hs"))
+        .persist()
     )
-    return sets, ranked
+    return sets, ranked_sets
 
 
-def _prefix_slice(ranked: DataFrame, t_num: int, t_den: int) -> DataFrame:
+def _ranked_rows(ranked_sets: DataFrame) -> DataFrame:
+    """(id, h, sz, rn) — the full ranked stream, derived map-side from
+    the persisted ranked-array table (rn = 1-based array position)."""
+    return ranked_sets.select(
+        "id", "sz", F.posexplode("hs").alias("p", "h")
+    ).select("id", "h", "sz", (F.col("p") + 1).alias("rn"))
+
+
+def _prefix_slice(ranked_sets: DataFrame, t_num: int, t_den: int) -> DataFrame:
     """First |x| - ceil(t*|x|) + 1 positions of each doc's ranked
-    shingles — all-integer ceil (DIV, no float). Only the 8-byte shingle
-    key ``h`` survives into the candidate join."""
-    return ranked.filter(
-        F.col("rn")
-        <= F.col("sz")
+    shingles — all-integer ceil (DIV, no float), sliced from the ranked
+    array BEFORE the explode so only prefix positions generate rows.
+    Only the 8-byte shingle key ``h`` survives into the candidate
+    join."""
+    plen = (
+        F.col("sz")
         - F.expr(f"(sz * {t_num} + {t_den - 1}) DIV {t_den}")
-        + 1
-    ).select("id", "h", "sz", "rn")
+        + F.lit(1)
+    )
+    return ranked_sets.select(
+        "id", "sz", F.posexplode(F.slice("hs", F.lit(1), plen)).alias("p", "h")
+    ).select("id", "h", "sz", (F.col("p") + 1).alias("rn"))
 
 
 def _intersect_candidates(cand: DataFrame, sets: DataFrame) -> DataFrame:
@@ -415,7 +479,7 @@ def containment_prefix_pairs(
         F.col("sz").alias("sz_p"),
         F.col("rn").alias("rn_p"),
     )
-    full = ranked.select(
+    full = _ranked_rows(ranked).select(
         F.col("id").alias("id_f"),
         "h",
         F.col("sz").alias("sz_f"),
@@ -748,22 +812,32 @@ def minhash_lsh_pairs(
     banded = banded_signatures(sigs, n_hashes, bands)
     a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
-    cand = (
+    # est_jaccard is computed BEFORE the candidate distinct (r17, guide
+    # §2.3): it is a pure function of the two signatures, so a pair
+    # matching in several bands carries the same value on every
+    # occurrence and the distinct collapses identically — but the
+    # distinct Exchange now moves (id_a, id_b, est) ≈ 24 B/row instead
+    # of two n_hashes-element signature arrays ≈ 2·8·n_hashes B/row.
+    est = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y
+                        ),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(n_hashes))
+            ).alias("est_jaccard"),
+        )
         .distinct()
     )
-    est = cand.withColumn(
-        "est_jaccard",
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(float(n_hashes)),
-    ).select("id_a", "id_b", "est_jaccard")
     if verify_threshold is None:
         return est
     # Exact-Jaccard verification over CANDIDATES ONLY — the whole point of
@@ -884,20 +958,26 @@ def simhash_pairs(
         F.col("id").alias("id_b"), F.col("sig_lo").alias("__lb"),
         F.col("sig_hi").alias("__hb"), "chunk", "bucket",
     )
-    cand = (
+    # hamming is computed AND thresholded BEFORE the candidate distinct
+    # (r17, guide §2.3): it is a pure function of the two signatures, so
+    # multi-chunk matches carry the same value and the distinct
+    # collapses identically — but the Exchange now moves
+    # (id_a, id_b, hamming) instead of four signature halves, and pairs
+    # failing the threshold never enter it at all (filter commutes with
+    # distinct).
+    return (
         a.join(b, ["chunk", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__la", "__ha", "__lb", "__hb")
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb")))
-            + F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))),
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb")))
+                + F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

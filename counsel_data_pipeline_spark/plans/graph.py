@@ -482,16 +482,11 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe are the only shuffles; the degree table is node-sized. The
     oracle deliberately uses the naive id-orientation — equality of the
     two counts is exactly the orientation-invariance theorem."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
-    e = (
-        li.withColumnRenamed("l_partkey", "u")
-        .join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .persist()
-    )
+    # r17: the shared in-array co-purchase edge build (see
+    # _copurchase_edge_list) replaces this query's last remaining fact
+    # self-join — identical (u < v) distinct edge set, one narrow
+    # shuffle instead of the orderkey self-join + full-width distinct.
+    e = _copurchase_edge_list(spark, sf_dir).persist()
     try:
         deg = (
             e.select(F.col("u").alias("x"))
@@ -513,6 +508,15 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_u, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
         ).persist()
         try:
+            # The wedge stays a SELF-JOIN here, deliberately: an r17
+            # interleaved A/B of the common_neighbors-style in-array
+            # emission measured it SLOWER (best 11.1 s vs 9.0 s at
+            # sf0.1) — degree-ordered out-degree is bounded by ~sqrt(2m)
+            # (~10^3 here), so the per-src emission does d slice-copies
+            # of O(d) structs in interpreted HOF evaluation, where the
+            # codegen'd hash join streams the same wedge count. The
+            # in-array form only wins under a SMALL bound (deg_cap=64 in
+            # common_neighbors).
             a1 = o.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
             a2 = o.select("src", F.col("dst").alias("z"), F.col("ddst").alias("dz"))
             # each wedge once: its two out-neighbors ordered by (deg, id)
@@ -654,26 +658,42 @@ def common_neighbors_plan(
 ) -> DataFrame:
     """Top-k common-neighbor candidates from an undirected (u < v) edge
     list — the pre-collect plan, shared by the catalog query and the
-    plan-shape/semantic tests."""
-    deg = (
-        e.select(F.col("u").alias("x"))
-        .unionByName(e.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    plan-shape/semantic tests.
+
+    r17 wedge build (guide §2.4/§3.3 — the same in-array pair emission
+    as the co-purchase edge build): the hub-capped middles' neighbor
+    sets are gathered into per-middle ARRAYS (bounded at ``deg_cap``
+    elements by the pre-aggregation degree filter, so the agg buffer
+    can never hold a hub) and the (y, z) wedge endpoints are emitted
+    in-array via ``transform`` — replacing the r16 wedge SELF-JOIN that
+    shuffled the capped adjacency twice more and sorted both sides.
+    The degree filter must stay BEFORE the collect (not a ``size(ns)``
+    filter after it): collecting an uncapped hub's neighbor list is
+    exactly the per-key memory blow-up the cap exists to prevent."""
     adj = e.select(F.col("u").alias("m"), F.col("v").alias("n")).unionByName(
         e.select(F.col("v").alias("m"), F.col("u").alias("n"))
+    )
+    # deg(m) = adj-row count of m (e is distinct (u, v) pairs, so each
+    # neighbor appears exactly once) — identical to the r16 union-count.
+    deg = adj.groupBy(F.col("m").alias("x")).agg(
+        F.count(F.lit(1)).alias("d")
     )
     small = adj.join(
         F.broadcast(deg.filter(F.col("d") <= deg_cap)),
         adj.m == F.col("x"),
     ).select("m", "n")
-    a2 = small.select("m", F.col("n").alias("z"))
+    nbrs = small.groupBy("m").agg(F.collect_set("n").alias("ns"))
     cand = (
-        small.withColumnRenamed("n", "y")
-        .join(a2, "m")
-        .filter(F.col("y") < F.col("z"))
-        .groupBy("y", "z")
+        nbrs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, x -> transform("
+                    "filter(ns, y -> y > x), "
+                    "y -> struct(x AS ya, y AS za))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.ya").alias("y"), F.col("p.za").alias("z"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("common_mid"))
     )
     return (

@@ -24,6 +24,7 @@ from counsel_data_pipeline_spark.catalog import register
 from counsel_data_pipeline_spark.io.fingerprint import derived_cache_dir, table_fingerprint
 from counsel_data_pipeline_spark.io.sources import load_table
 from counsel_data_pipeline_spark.ops import incremental as inc
+from counsel_data_pipeline_spark.ops.materialize import pin
 
 
 @register(
@@ -386,27 +387,52 @@ def zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("ms"), 2).alias("s_lo"),
         F.shiftright(F.col("ms"), 1).alias("s_hi"),
     )
-    assigned = b.select(
-        "pk", "sk", "p_lo", "p_hi", "s_lo", "s_hi",
-        F.shiftright(morton_interleave8(F.col("bx"), F.col("by")), 8).alias("shard_z"),
-        F.col("bx").alias("shard_lin"),
-    ).persist()
-    box = assigned.filter(
-        F.col("pk").between(F.col("p_lo"), F.col("p_hi"))
-        & F.col("sk").between(F.col("s_lo"), F.col("s_hi"))
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("rows_in_box"))
-    stacked = assigned.select(
+    # r17 one-pass zone build (guide §2.3/§2.4): the old shape PERSISTED
+    # the fact-sized assigned frame (a 6M-row cache build at sf0.1 —
+    # finding 3 of OPTIMIZATION_r16: cache builds are not free) and read
+    # it three times (box count + a 2x stacked union into the zone
+    # aggregation). Both layouts' zone maps and the box count now come
+    # out of ONE fact pass: rows group by the JOINT (shard_z, shard_lin)
+    # key (≤ 256x256 groups, map-side partials absorb the fact stream),
+    # and the per-layout zone tables are micro re-aggregations of that
+    # group table — min/max distribute over the refinement, so the zone
+    # extents are identical by construction. Only the tiny group table
+    # is persisted (three consumers).
+    joint = pin(
+        b.groupBy(
+            F.shiftright(
+                morton_interleave8(F.col("bx"), F.col("by")), 8
+            ).alias("shard_z"),
+            F.col("bx").alias("shard_lin"),
+        ).agg(
+            F.min("pk").alias("min_p"), F.max("pk").alias("max_p"),
+            F.min("sk").alias("min_s"), F.max("sk").alias("max_s"),
+            F.sum(
+                (
+                    F.col("pk").between(F.col("p_lo"), F.col("p_hi"))
+                    & F.col("sk").between(F.col("s_lo"), F.col("s_hi"))
+                ).cast("bigint")
+            ).alias("n_box"),
+            F.max("p_lo").alias("p_lo"), F.max("p_hi").alias("p_hi"),
+            F.max("s_lo").alias("s_lo"), F.max("s_hi").alias("s_hi"),
+        ),
+        eager=False,
+    )
+    box = joint.agg(F.sum("n_box").cast("bigint").alias("rows_in_box"))
+    stacked = joint.select(
         F.lit("zorder").alias("layout"), F.col("shard_z").alias("shard"),
-        "pk", "sk", "p_lo", "p_hi", "s_lo", "s_hi",
+        "min_p", "max_p", "min_s", "max_s", "p_lo", "p_hi", "s_lo", "s_hi",
     ).unionByName(
-        assigned.select(
-            F.lit("partkey_sort").alias("layout"), F.col("shard_lin").alias("shard"),
-            "pk", "sk", "p_lo", "p_hi", "s_lo", "s_hi",
+        joint.select(
+            F.lit("partkey_sort").alias("layout"),
+            F.col("shard_lin").alias("shard"),
+            "min_p", "max_p", "min_s", "max_s",
+            "p_lo", "p_hi", "s_lo", "s_hi",
         )
     )
     zones = stacked.groupBy("layout", "shard").agg(
-        F.min("pk").alias("min_p"), F.max("pk").alias("max_p"),
-        F.min("sk").alias("min_s"), F.max("sk").alias("max_s"),
+        F.min("min_p").alias("min_p"), F.max("max_p").alias("max_p"),
+        F.min("min_s").alias("min_s"), F.max("max_s").alias("max_s"),
         F.max("p_lo").alias("p_lo"), F.max("p_hi").alias("p_hi"),
         F.max("s_lo").alias("s_lo"), F.max("s_hi").alias("s_hi"),
     )

@@ -1004,20 +1004,37 @@ def q19_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "co-occurrence"),
 )
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # r17: the same in-array pair emission as the graph family's
+    # co-purchase edge build (guide §3.3 — explode after the key-local
+    # work, never a fact self-join): one narrow shuffle of
+    # (orderkey, partkey) ints into per-order DISTINCT part arrays
+    # (collect_set subsumes the old pre-join .distinct()), ordered pairs
+    # emitted in-array via transform — the r15 shape self-joined the
+    # distinct fact stream on orderkey and re-shuffled the pair stream
+    # at full width. Per-order fan-out is bounded by the order's
+    # distinct-part count (TPC-H: ≤7), so the explode never amplifies a
+    # hot key. n_orders semantics unchanged: each order contributes one
+    # count per unordered part pair it contains.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    b = li.select(
-        F.col("l_orderkey").alias("l_orderkey"),
-        F.col("l_partkey").alias("part_b"),
+    per_order = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .filter(F.size("ps") >= 2)
     )
     pairs = (
-        li.withColumnRenamed("l_partkey", "part_a")
-        .join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> transform("
+                    "filter(ps, y -> y > x), "
+                    "y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     return pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b").limit(20)
