@@ -169,15 +169,16 @@ def jaccard_pairs(
     the rare set shuffled the whole stream a second time.
 
     Hot-set sizing (r17, the r16 ADVICE): |hot| is bounded by
-    total_shingle_occurrences / cap, which GROWS with the corpus — the
+    total_shingle_occurrences / cap, which GROWS with the corpus — a
     forced broadcast is only safe while that bound times 8 bytes fits
     the executors (cap=1000 keeps a 10^12-occurrence corpus at ≤10^9
-    keys ≈ 8 GB: already at the broadcast cap). The hint therefore
-    rides behind ``spark.counsel.jaccard.hotBroadcast`` (default true —
-    right for every attested SF and for production caps sized so
-    occurrences/cap is executor-small); set it false at scale-out
-    corpus/cap ratios and AQE picks the anti-join strategy from the hot
-    set's actual size instead.
+    keys ≈ 8 GB: already at the broadcast cap). By DEFAULT the
+    anti-join strategy is therefore left to AQE, which sees the hot
+    set's actual size (interleaved A/B at sf0.1: indistinguishable,
+    best 1.99 s vs 2.05 s hinted). Deployments whose corpus/cap ratio
+    provably keeps |hot| executor-small can force the hint — skipping
+    the capped stream's shuffle-stage write — with
+    ``spark.counsel.jaccard.hotBroadcast=true``.
 
     Exactness contract: with the cap active, df counts, cap membership
     and intersections are computed over 64-bit shingle KEYS — exact up
@@ -212,11 +213,11 @@ def jaccard_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("sh")
         )
-        # broadcast hint gated on conf — see the docstring's hot-set
-        # sizing bound; default true matches every attested SF
+        # broadcast hint gated on conf, default OFF (AQE decides from
+        # the hot set's real size) — see the docstring's sizing bound
         if (
             df.sparkSession.conf.get(
-                "spark.counsel.jaccard.hotBroadcast", "true"
+                "spark.counsel.jaccard.hotBroadcast", "false"
             ).lower()
             == "true"
         ):
